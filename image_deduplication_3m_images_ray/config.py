@@ -1,0 +1,75 @@
+"""Pipeline configuration.
+
+The reference exposes its knobs as ``HierarchicalDeduplicator.__init__`` thresholds
+(/root/reference/modules/deduplication.py:33-61: wavelet 0.8, color 0.85, global 0.85,
+local 0.75).  Here every knob lives in one frozen dataclass so a run is fully
+reproducible and the config hash participates in checkpoint lineage.
+
+LSH S-curve: with ``num_perms=128`` split into ``bands=32`` x ``rows_per_band=4``,
+the probability that a pair with true Jaccard ``s`` shares at least one band is
+``1 - (1 - s^4)^32``: ~0.9998 at s=0.70 (our verify threshold), ~0.80 at s=0.50,
+~0.12 at s=0.30.  That keeps dup-pair recall vs the exact-Jaccard oracle at ~1.0
+while pruning the candidate space aggressively below the threshold.
+
+Winnowing guarantee: any common substring of length >= ``winnow_kgram +
+winnow_window - 1`` chars shares at least one selected fingerprint (Schleimer,
+Wilkerson & Aiken, SIGMOD'03), so ``100 + 101 - 1 = 200 = min_substring_len``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling / signatures ---
+    shingle_k: int = 5            # tokens per shingle (5-gram, per north_star)
+    num_perms: int = 128          # MinHash signature length
+    bands: int = 32               # LSH bands
+    rows_per_band: int = 4        # rows per band (bands * rows == num_perms)
+    simhash_bits: int = 64
+
+    # --- verification thresholds ---
+    jaccard_threshold: float = 0.7    # exact shingle-set Jaccard to confirm a pair
+    simhash_hamming_max: int = 32     # cheap pre-gate on candidate pairs (loose by
+                                      # design: must never reject a true pair;
+                                      # analog of the color gate, reference
+                                      # modules/deduplication.py:711-801)
+    length_ratio_min: float = 0.3     # min(len)/max(len) gate for LSH pairs
+
+    # --- substring (suffix/winnowing) pass ---
+    min_substring_len: int = 200      # chars of exact common substring => duplicate
+    winnow_kgram: int = 100           # chars per rolling k-gram
+    winnow_window: int = 101          # winnowing window (k + w - 1 == min_substring_len)
+
+    # --- skew handling ---
+    bucket_pair_cap: int = 256        # bucket size above which pair emission is salted
+    salt_seed: int = 0x5A17           # deterministic member->salt assignment
+
+    # --- execution ---
+    seed: int = 42                    # hash seeds (minhash seed derivation)
+    batch_size: int = 1024            # rows per batch for signature stages
+    signature_concurrency: int | tuple = 4   # actor-pool size for the signature stage
+    join_num_buckets: int = 16        # buckets for the repartitioned hash join
+    cluster_max_rounds: int = 50      # safety cap for label propagation
+    num_output_partitions: int = 16   # partitions for checkpointed stage outputs
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perms:
+            raise ValueError("bands * rows_per_band must equal num_perms")
+        if self.winnow_kgram + self.winnow_window - 1 > self.min_substring_len:
+            raise ValueError(
+                "winnowing guarantee broken: winnow_kgram + winnow_window - 1 "
+                "must be <= min_substring_len"
+            )
+
+    def config_hash(self) -> str:
+        """Stable hash of the config — part of every checkpoint manifest's lineage."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

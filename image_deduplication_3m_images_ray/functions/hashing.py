@@ -1,0 +1,260 @@
+"""Deterministic 64-bit hashing kernels: token hashes, shingles, MinHash, SimHash,
+LSH band keys, and char-level winnowing fingerprints.
+
+All arithmetic is numpy ``uint64`` with intentional mod-2^64 wraparound (the
+splitmix64 finalizer is designed for it), so every kernel is fully vectorized and
+reproducible across processes/machines — no reliance on ``PYTHONHASHSEED``.
+
+Role mapping vs the reference:
+- MinHash-128 plays the role of the reference's global embedding
+  (/root/reference/modules/feature_extraction.py:206-237 — EfficientNet 2560-d);
+- SimHash-64 plays the role of the wavelet perceptual hash
+  (/root/reference/modules/feature_extraction.py:278-315);
+- winnowing fingerprints play the role of local keypoint descriptors
+  (/root/reference/modules/feature_extraction.py:239-276), re-expressed for exact
+  substring duplicate detection per the north rule.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+U64 = np.uint64
+
+_SM_C1 = U64(0x9E3779B97F4A7C15)
+_SM_C2 = U64(0xBF58476D1CE4E5B9)
+_SM_C3 = U64(0x94D049BB133111EB)
+_POLY_P = U64(0x100000001B3)  # FNV-ish odd multiplier for polynomial combines
+_EMPTY_DOC_SHINGLE = U64(0xE3A7C15D00000001)  # sentinel shingle for docs w/o tokens
+
+
+def splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain mixer, Steele et al.)."""
+    z = (np.asarray(x, dtype=U64) + _SM_C1).astype(U64, copy=False)
+    z = (z ^ (z >> U64(30))) * _SM_C2
+    z = (z ^ (z >> U64(27))) * _SM_C3
+    return z ^ (z >> U64(31))
+
+
+def hash_tokens(tokens: np.ndarray) -> np.ndarray:
+    """Flat object array of token strings -> uint64 hashes.
+
+    Uses pandas' vectorized, deterministically-keyed string hash (siphash with the
+    library's fixed default key) — stable across processes, C-speed.
+    """
+    if len(tokens) == 0:
+        return np.empty(0, dtype=U64)
+    return pd.util.hash_array(np.asarray(tokens, dtype=object), categorize=True).astype(U64)
+
+
+def shingle_hashes_flat(
+    token_hashes: np.ndarray, doc_offsets: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Compute k-token shingle hashes for a whole batch of docs at once.
+
+    ``token_hashes``: concatenation of all docs' token hashes.
+    ``doc_offsets``: int64 array of length n_docs+1; doc i's tokens are
+    ``token_hashes[doc_offsets[i]:doc_offsets[i+1]]``.
+
+    Returns ``(shingles, shingle_offsets)`` in the same flat layout.  A doc with
+    fewer than k tokens gets exactly one shingle: the polynomial hash of all of
+    its tokens (empty doc -> the sentinel shingle), so exact copies of short docs
+    still collide.
+    """
+    n = len(token_hashes)
+    doc_offsets = np.asarray(doc_offsets, dtype=np.int64)
+    n_docs = len(doc_offsets) - 1
+    lengths = np.diff(doc_offsets)
+
+    # Global rolling polynomial combine over the flat array: windows that cross a
+    # doc boundary are masked out afterwards.
+    if n >= k:
+        acc = token_hashes[: n - k + 1].astype(U64).copy()
+        for j in range(1, k):
+            acc = acc * _POLY_P + token_hashes[j : n - k + 1 + j]
+        full = splitmix64(acc)
+    else:
+        full = np.empty(0, dtype=U64)
+
+    out_counts = np.where(lengths >= k, lengths - k + 1, 1).astype(np.int64)
+    shingle_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(out_counts, out=shingle_offsets[1:])
+    shingles = np.empty(shingle_offsets[-1], dtype=U64)
+
+    long_mask = lengths >= k
+    if long_mask.any():
+        # valid window starts for long docs, gathered from the global rolling array
+        starts = doc_offsets[:-1][long_mask]
+        counts = out_counts[long_mask]
+        idx = np.repeat(starts, counts) + _ranges(counts)
+        dst = np.repeat(shingle_offsets[:-1][long_mask], counts) + _ranges(counts)
+        shingles[dst] = full[idx]
+
+    short_idx = np.nonzero(~long_mask)[0]
+    for i in short_idx:  # rare path: docs shorter than k tokens get one shingle
+        toks = token_hashes[doc_offsets[i] : doc_offsets[i + 1]].astype(U64)
+        if len(toks) == 0:
+            h = _EMPTY_DOC_SHINGLE
+        else:
+            acc = U64(0xCBF29CE484222325)
+            for t in toks:
+                acc = U64((int(acc) * int(_POLY_P) + int(t)) & 0xFFFFFFFFFFFFFFFF)
+            h = splitmix64(np.array([acc], dtype=U64))[0]
+        shingles[shingle_offsets[i]] = h
+    return shingles, shingle_offsets
+
+
+def _ranges(counts: np.ndarray) -> np.ndarray:
+    """[3,2] -> [0,1,2,0,1] (vectorized per-group arange)."""
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    out[0] = 0
+    starts = np.cumsum(counts)[:-1]
+    out[starts] = 1 - counts[:-1]
+    return np.cumsum(out)
+
+
+def minhash_seeds(num_perms: int, seed: int) -> np.ndarray:
+    """Deterministic per-permutation xor seeds."""
+    base = splitmix64(np.arange(num_perms, dtype=U64) + U64(seed) * U64(0x9E3779B9))
+    return base.astype(U64)
+
+
+def minhash_signature(shingles: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+    """MinHash over a doc's (possibly non-unique) shingle multiset.
+
+    h_i(x) = splitmix64(x ^ seed_i); signature_i = min over unique shingles.
+    (Equivalent to a random permutation per seed for Jaccard estimation.)
+    """
+    uniq = np.unique(np.asarray(shingles, dtype=U64))
+    if len(uniq) == 0:
+        uniq = np.array([_EMPTY_DOC_SHINGLE], dtype=U64)
+    mixed = splitmix64(uniq[:, None] ^ seeds[None, :])
+    return mixed.min(axis=0)
+
+
+def simhash64(shingles: np.ndarray) -> int:
+    """64-bit SimHash over the unique shingle hashes (bit-majority vote)."""
+    uniq = np.unique(np.asarray(shingles, dtype=U64))
+    if len(uniq) == 0:
+        return int(_EMPTY_DOC_SHINGLE)
+    bits = (uniq[:, None] >> np.arange(64, dtype=U64)[None, :]) & U64(1)
+    votes = bits.sum(axis=0, dtype=np.int64)
+    majority = (votes * 2 >= len(uniq)).astype(U64)
+    return int((majority << np.arange(64, dtype=U64)).sum(dtype=U64))
+
+
+def band_hashes(signature: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """Split a signature into bands and hash each band's rows -> uint64[bands]."""
+    sig = np.asarray(signature, dtype=U64).reshape(bands, rows_per_band)
+    acc = sig[:, 0].copy()
+    for j in range(1, rows_per_band):
+        acc = acc * _POLY_P + sig[:, j]
+    # mix in the band id so identical row values in different bands don't collide
+    return splitmix64(acc ^ (np.arange(bands, dtype=U64) * _SM_C1))
+
+
+def band_hashes_batch(signatures: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """(n_docs, num_perms) -> (n_docs, bands) band hashes, fully vectorized."""
+    sigs = np.asarray(signatures, dtype=U64).reshape(len(signatures), bands, rows_per_band)
+    acc = sigs[:, :, 0].copy()
+    for j in range(1, rows_per_band):
+        acc = acc * _POLY_P + sigs[:, :, j]
+    return splitmix64(acc ^ (np.arange(bands, dtype=U64)[None, :] * _SM_C1))
+
+
+def hamming64(a: int | np.ndarray, b: int | np.ndarray) -> np.ndarray:
+    """Popcount of XOR for uint64 scalars/arrays (vectorized, no Python loop)."""
+    x = np.bitwise_xor(np.asarray(a, dtype=U64), np.asarray(b, dtype=U64))
+    x = x.view(np.uint8).reshape(-1, 8) if x.ndim else x.reshape(1).view(np.uint8).reshape(-1, 8)
+    return np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (char-level) — the exact-substring candidate generator
+# ---------------------------------------------------------------------------
+
+_ROLL_B = U64(0x100000001B5)  # odd base for the char-level rolling hash
+
+
+def _char_kgram_hashes(data: bytes, k: int) -> np.ndarray:
+    """Rolling polynomial hash of every k-byte window of ``data`` (uint64 mod 2^64).
+
+    H(i) = sum_{j<k} data[i+j] * B^(k-1-j); computed via prefix sums weighted by
+    inverse powers of the (odd, hence invertible mod 2^64) base.
+    """
+    b = np.frombuffer(data, dtype=np.uint8).astype(U64)
+    n = len(b)
+    if n < k:
+        return np.empty(0, dtype=U64)
+    # powers[i] = B^(n-1-i); prefix[i] = sum_{j<i} b[j] * B^(n-1-j)
+    powers = _pow_series(n)
+    weighted = b * powers
+    prefix = np.zeros(n + 1, dtype=U64)
+    np.cumsum(weighted, out=prefix[1:])  # wraps mod 2^64 — exact under wraparound
+    window_sums = prefix[k:] - prefix[:-k]  # = B^(n-1-(i+k-1)) * H(i) * 1 ... scaled
+    # descale: multiply by inverse of B^(n-k-i) => H(i) = window_sums[i] * invpow[n-k-i]
+    invpows = _invpow_series(n - k + 1)
+    return splitmix64(window_sums * invpows[::-1])
+
+
+def _pow_series(n: int) -> np.ndarray:
+    """[B^(n-1), B^(n-2), ..., B^0] mod 2^64, O(n) via cumulative product."""
+    out = np.empty(n, dtype=U64)
+    out[0] = U64(1)
+    if n > 1:
+        out[1:] = _ROLL_B
+        np.cumprod(out, out=out)  # wraps mod 2^64
+    return out[::-1].copy()
+
+
+_INV_ROLL_B = None
+
+
+def _modinv_pow2(a: int) -> int:
+    """Inverse of odd ``a`` mod 2^64 (Newton iteration)."""
+    x = a & 0xFFFFFFFFFFFFFFFF
+    inv = 1
+    for _ in range(6):
+        inv = (inv * (2 - a * inv)) & 0xFFFFFFFFFFFFFFFF
+    return inv
+
+
+def _invpow_series(n: int) -> np.ndarray:
+    """[Binv^0, Binv^1, ..., Binv^(n-1)] mod 2^64."""
+    global _INV_ROLL_B
+    if _INV_ROLL_B is None:
+        _INV_ROLL_B = U64(_modinv_pow2(int(_ROLL_B)))
+    out = np.empty(n, dtype=U64)
+    out[0] = U64(1)
+    if n > 1:
+        out[1:] = _INV_ROLL_B
+        np.cumprod(out, out=out)
+    return out
+
+
+def winnow_fingerprints(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing (Schleimer et al., SIGMOD'03): rightmost-min k-gram hash per
+    window of ``w`` consecutive k-grams, over the UTF-8 bytes of ``text``.
+
+    Returns (fingerprint_hashes, byte_positions), deduplicated on (hash, pos).
+    Guarantee: two texts sharing a common substring of >= k + w - 1 chars share
+    at least one fingerprint hash.
+    """
+    data = text.encode("utf-8")
+    hashes = _char_kgram_hashes(data, k)
+    m = len(hashes)
+    if m == 0:
+        return np.empty(0, dtype=U64), np.empty(0, dtype=np.int64)
+    if m <= w:
+        pos = int(np.flatnonzero(hashes == hashes.min())[-1])
+        return hashes[pos : pos + 1].copy(), np.array([pos], dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    # rightmost argmin per window: argmin of reversed view
+    rev_arg = np.argmin(win[:, ::-1], axis=1)
+    arg = (w - 1 - rev_arg) + np.arange(m - w + 1)
+    sel = np.unique(arg)
+    return hashes[sel], sel.astype(np.int64)

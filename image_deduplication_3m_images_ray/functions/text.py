@@ -1,0 +1,100 @@
+"""Text normalization, tokenization and batched shingling.
+
+The reference's analog is image resize/normalize preprocessing
+(/root/reference/modules/feature_extraction.py:53-74): a deterministic canonical
+form computed before any hashing.  Here: unicode NFC -> lowercase -> whitespace
+collapse, all via vectorized pyarrow.compute kernels where possible.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .hashing import U64, hash_tokens, minhash_signature, shingle_hashes_flat
+
+
+def normalize_text(s: str) -> str:
+    """Scalar reference implementation (used by the oracle and in tests)."""
+    return " ".join(unicodedata.normalize("NFC", s).lower().split())
+
+
+def normalize_array(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized normalization of a string column: NFC, lower, collapse \\s+."""
+    arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+    arr = pc.utf8_normalize(arr, form="NFC")
+    arr = pc.utf8_lower(arr)
+    arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(arr)
+
+
+def tokenize_batch(norm_texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
+    """Normalized string column -> (flat token hashes, doc offsets).
+
+    Splitting on the single space left by :func:`normalize_array`; token hashing
+    is one vectorized call over the whole batch.
+    """
+    tokens_list = pc.split_pattern(norm_texts, pattern=" ")
+    flat = tokens_list.flatten()
+    offsets = tokens_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    tok_np = flat.to_numpy(zero_copy_only=False)
+    # a fully-empty normalized doc splits to [""]; drop those sentinel tokens by
+    # treating single-empty-token docs as zero-token docs
+    hashes = hash_tokens(tok_np)
+    # detect docs whose only token is "" (empty text)
+    lengths = np.diff(offsets)
+    empty_single = (lengths == 1) & np.asarray(
+        pc.equal(norm_texts, pa.scalar("")).to_numpy(zero_copy_only=False), dtype=bool
+    )
+    if empty_single.any():
+        keep = np.ones(len(tok_np), dtype=bool)
+        keep[offsets[:-1][empty_single]] = False
+        hashes = hashes[keep]
+        new_lengths = lengths.copy()
+        new_lengths[empty_single] = 0
+        offsets = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(new_lengths, out=offsets[1:])
+    return hashes, offsets
+
+
+def shingle_batch(
+    norm_texts: pa.Array, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Normalized texts -> (flat shingle hashes, shingle offsets) for the batch."""
+    tok_hashes, tok_offsets = tokenize_batch(norm_texts)
+    return shingle_hashes_flat(tok_hashes, tok_offsets, k)
+
+
+def shingle_set(text: str, k: int) -> np.ndarray:
+    """Unique shingle hashes of one raw text (oracle / verify-stage kernel)."""
+    arr = pa.array([normalize_text(text)], type=pa.string())
+    shingles, _ = shingle_batch(arr, k)
+    return np.unique(shingles.astype(U64))
+
+
+def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
+    """Exact Jaccard of two unique-shingle arrays."""
+    if len(a) == 0 and len(b) == 0:
+        return 1.0
+    inter = len(np.intersect1d(a, b, assume_unique=True))
+    union = len(a) + len(b) - inter
+    return inter / union if union else 1.0
+
+
+def minhash_batch(
+    norm_texts: pa.Array, k: int, seeds: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Normalized texts -> (signatures (n, num_perms) uint64, n_shingles int64)."""
+    shingles, offsets = shingle_batch(norm_texts, k)
+    n = len(offsets) - 1
+    sigs = np.empty((n, len(seeds)), dtype=U64)
+    n_unique = np.empty(n, dtype=np.int64)
+    for i in range(n):
+        doc_sh = shingles[offsets[i] : offsets[i + 1]]
+        uniq = np.unique(doc_sh)
+        n_unique[i] = len(uniq)
+        sigs[i] = minhash_signature(uniq, seeds)
+    return sigs, n_unique
