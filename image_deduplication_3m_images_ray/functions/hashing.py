@@ -173,6 +173,71 @@ def hamming64(a: int | np.ndarray, b: int | np.ndarray) -> np.ndarray:
     return np.unpackbits(x, axis=1).sum(axis=1).astype(np.int64)
 
 
+def unique_per_doc(shingles: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flat shingle layout -> (sorted-unique flat shingles, new offsets), vectorized.
+
+    Every doc segment must be non-empty (``shingle_hashes_flat`` guarantees this
+    via the empty-doc sentinel shingle).
+    """
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_docs = len(offsets) - 1
+    counts = np.diff(offsets)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    order = np.lexsort((shingles, doc_idx))
+    s = shingles[order]
+    d = doc_idx[order]
+    first = np.ones(len(s), dtype=bool)
+    if len(s) > 1:
+        first[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+    uniq = s[first]
+    uniq_counts = np.bincount(d[first], minlength=n_docs)
+    uniq_offsets = np.zeros(n_docs + 1, dtype=np.int64)
+    np.cumsum(uniq_counts, out=uniq_offsets[1:])
+    return uniq, uniq_offsets
+
+
+def minhash_simhash_batch(
+    shingles: np.ndarray,
+    offsets: np.ndarray,
+    seeds: np.ndarray,
+    chunk_shingles: int = 1 << 16,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Whole-batch MinHash + SimHash via segmented reductions — no per-doc Python loop.
+
+    Returns ``(signatures (n_docs, num_perms) uint64, simhash (n_docs,) uint64,
+    n_unique_shingles (n_docs,) int64)``.  Semantics identical to calling
+    :func:`minhash_signature` / :func:`simhash64` per doc (asserted in tests).
+    Work proceeds in doc chunks whose flat unique-shingle count stays near
+    ``chunk_shingles`` so the (shingles x num_perms) intermediate stays small.
+    """
+    uniq, uoff = unique_per_doc(np.asarray(shingles, dtype=U64), offsets)
+    n_docs = len(uoff) - 1
+    num_perms = len(seeds)
+    sigs = np.empty((n_docs, num_perms), dtype=U64)
+    simhashes = np.empty(n_docs, dtype=U64)
+    n_unique = np.diff(uoff)
+
+    bit_idx = np.arange(64, dtype=U64)
+    lo = 0
+    while lo < n_docs:
+        hi = lo + 1
+        while hi < n_docs and uoff[hi + 1] - uoff[lo] <= chunk_shingles:
+            hi += 1
+        seg = uniq[uoff[lo] : uoff[hi]]
+        starts = (uoff[lo:hi] - uoff[lo]).astype(np.int64)
+        # minhash: mix every unique shingle against every seed, then segmented min
+        mixed = splitmix64(seg[:, None] ^ seeds[None, :])
+        sigs[lo:hi] = np.minimum.reduceat(mixed, starts, axis=0)
+        # simhash: per-bit vote counts via segmented sum over unpacked bits
+        bits = np.unpackbits(seg.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        votes = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+        counts = n_unique[lo:hi][:, None]
+        majority = (votes * 2 >= counts).astype(U64)
+        simhashes[lo:hi] = (majority << bit_idx[None, :]).sum(axis=1, dtype=U64)
+        lo = hi
+    return sigs, simhashes, n_unique
+
+
 # ---------------------------------------------------------------------------
 # Winnowing fingerprints (char-level) — the exact-substring candidate generator
 # ---------------------------------------------------------------------------

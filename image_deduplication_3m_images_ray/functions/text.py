@@ -14,7 +14,14 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-from .hashing import U64, hash_tokens, minhash_signature, shingle_hashes_flat
+from .hashing import (
+    U64,
+    _ranges,
+    hash_tokens,
+    minhash_signature,
+    shingle_hashes_flat,
+    unique_per_doc,
+)
 
 
 def normalize_text(s: str) -> str:
@@ -82,6 +89,35 @@ def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
     inter = len(np.intersect1d(a, b, assume_unique=True))
     union = len(a) + len(b) - inter
     return inter / union if union else 1.0
+
+
+def pairwise_jaccard_batch(texts_a: pa.Array, texts_b: pa.Array, k: int) -> np.ndarray:
+    """Exact shingle-set Jaccard for aligned text columns — fully vectorized.
+
+    For each row i: J(shingles(texts_a[i]), shingles(texts_b[i])), computed via
+    segmented unique counts: |A ∩ B| = |A| + |B| − |A ∪ B|, where the union
+    count comes from one more segmented-unique pass over the per-pair
+    concatenation.  No per-pair Python set operations.
+    """
+    if isinstance(texts_a, pa.ChunkedArray):
+        texts_a = texts_a.combine_chunks()
+    if isinstance(texts_b, pa.ChunkedArray):
+        texts_b = texts_b.combine_chunks()
+    sh_a, off_a = shingle_batch(texts_a, k)
+    sh_b, off_b = shingle_batch(texts_b, k)
+    ua, uoff_a = unique_per_doc(sh_a, off_a)
+    ub, uoff_b = unique_per_doc(sh_b, off_b)
+    na = np.diff(uoff_a)
+    nb = np.diff(uoff_b)
+    comb_off = np.zeros(len(na) + 1, dtype=np.int64)
+    np.cumsum(na + nb, out=comb_off[1:])
+    combined = np.empty(comb_off[-1], dtype=U64)
+    combined[np.repeat(comb_off[:-1], na) + _ranges(na)] = ua
+    combined[np.repeat(comb_off[:-1] + na, nb) + _ranges(nb)] = ub
+    _, u_off = unique_per_doc(combined, comb_off)
+    n_union = np.diff(u_off)
+    inter = na + nb - n_union
+    return inter / np.maximum(n_union, 1)
 
 
 def minhash_batch(

@@ -1,0 +1,129 @@
+"""The flagship near-duplicate detection + clustering pipeline.
+
+Composition (SURVEY.md §3.4 target lifecycle):
+
+    pages ->[extract]-> docs ->[exact pre-pass]-> reps
+          ->[signatures]-> profile
+          ->[LSH banding + salted pair emission]-> lsh candidate pairs
+          ->[winnowing fingerprints]-> substring candidate pairs
+          ->[verify: join profiles, gates, exact Jaccard / seed-extend]-> verified pairs
+          ->[min-label propagation]-> rep clusters ->[expand exact members]-> clusters
+          ->[report: best-per-cluster, statuses]-> report
+
+Reference analog: the 5-stage hierarchical deduplicator end to end
+(/root/reference/modules/deduplication.py:1019-1205, memory-efficient driver
+/root/reference/modules/memory_efficient_deduplication.py:41-186).  Every
+stage boundary can checkpoint per-partition Parquet with a lineage manifest
+(``checkpoint_dir=``), making a killed run resumable mid-pipeline.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from ..config import DedupConfig, DEFAULT_CONFIG
+from ..state import CheckpointManager
+from ..util import rename_columns
+from ..stages.extract import extract_stage
+from ..stages.exact import exact_rep_stage, reps_only
+from ..stages.signatures import signature_stage
+from ..stages.banding import band_postings_stage, lsh_pairs_stage
+from ..stages.winnow import fingerprint_stage, winnow_pairs_stage
+from ..stages.verify import verify_stage
+from ..stages.cluster import cluster_stage
+from ..stages.report import report_stage
+
+
+def _expand_clusters(docs_rep: Dataset, rep_clusters: Dataset, cfg: DedupConfig) -> Dataset:
+    """Map every doc to its final cluster id through its exact representative.
+
+    cluster(doc) = label(rep(doc)) when the rep was clustered, else rep(doc)
+    itself.  Labels are min-rep ids and each rep is the min doc_id of its
+    exact-copy group, so cluster ids remain the min doc_id of the full cluster.
+    """
+    mapping = docs_rep.select_columns(["doc_id", "rep_id"])
+    rc = rename_columns(rep_clusters, {"doc_id": "rep_id", "cluster_id": "rep_cluster"})
+    j = mapping.join(
+        rc, join_type="left_outer", num_partitions=cfg.join_num_buckets, on=("rep_id",)
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        rep_cluster = t["rep_cluster"]
+        if isinstance(rep_cluster, pa.ChunkedArray):
+            rep_cluster = rep_cluster.combine_chunks()
+        rep_id = t["rep_id"]
+        if isinstance(rep_id, pa.ChunkedArray):
+            rep_id = rep_id.combine_chunks()
+        cid = pc.coalesce(rep_cluster, rep_id).cast(pa.uint64())
+        return pa.table({"doc_id": t["doc_id"], "cluster_id": cid})
+
+    return j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_pipeline(
+    pages: Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    checkpoint_dir: Optional[str] = None,
+    exact_prepass: bool = True,
+) -> Dataset:
+    """pages -> report(url, doc_id, cluster_id, cluster_size, quality, status).
+
+    ``checkpoint_dir=None`` runs fully streaming; otherwise each stage persists
+    partitioned Parquet + manifest and a rerun resumes at the first incomplete
+    stage.  ``exact_prepass=False`` skips the exact-duplicate collapse (every
+    doc goes through signatures/LSH — used by tests to cross-check both paths).
+    """
+    ckpt = CheckpointManager(checkpoint_dir, cfg)
+    # Stage outputs referenced by MULTIPLE downstream consumers must be pinned,
+    # or the lazy DAG re-executes the whole upstream chain once per consumer
+    # (profile alone feeds banding, winnowing and both verify-join sides).  With
+    # a checkpoint_dir the Parquet round-trip does this; in streaming mode we
+    # materialize into the object store (spills when large).
+    pin = (lambda ds: ds) if checkpoint_dir else (lambda ds: ds.materialize())
+    docs = pin(ckpt.run("docs", lambda: extract_stage(pages, cfg)))
+    if exact_prepass:
+        docs_rep = pin(
+            ckpt.run("exact_reps", lambda: exact_rep_stage(docs, cfg), parents=["docs"])
+        )
+        reps = reps_only(docs_rep)
+        sig_parents = ["exact_reps"]
+    else:
+        docs_rep = None
+        reps = docs
+        sig_parents = ["docs"]
+    profile = pin(ckpt.run("signatures", lambda: signature_stage(reps, cfg), parents=sig_parents))
+    lsh_pairs = ckpt.run(
+        "lsh_pairs",
+        lambda: lsh_pairs_stage(band_postings_stage(profile, cfg), cfg),
+        parents=["signatures"],
+    )
+    winnow_pairs = ckpt.run(
+        "winnow_pairs",
+        lambda: winnow_pairs_stage(fingerprint_stage(profile, cfg), cfg),
+        parents=["signatures"],
+    )
+    verified = pin(
+        ckpt.run(
+            "verified_pairs",
+            lambda: verify_stage(lsh_pairs.union(winnow_pairs), profile, cfg),
+            parents=["lsh_pairs", "winnow_pairs"],
+        )
+    )
+    rep_clusters = ckpt.run(
+        "clusters", lambda: cluster_stage(verified, cfg), parents=["verified_pairs"]
+    )
+    if exact_prepass:
+        clusters = _expand_clusters(docs_rep, rep_clusters, cfg)
+    else:
+        clusters = rep_clusters
+    report = ckpt.run(
+        "report",
+        lambda: report_stage(docs, clusters, cfg).sort(["cluster_id", "status"]),
+        parents=["clusters"],
+    )
+    return report

@@ -1,0 +1,52 @@
+"""Sources: the pages Parquet reader and a documents-table adapter.
+
+Reference analog: the blob lister + downloader (S1-S3,
+/root/reference/modules/azure_utils.py:295-325,609-652) — in the target the
+payload already lives in Parquet, so the whole ingest surface is
+``ray.data.read_parquet`` with column pruning and optional row filters
+(SURVEY.md §2.1).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data import Dataset
+
+
+def read_pages(
+    path: str,
+    columns: Optional[Sequence[str]] = None,
+    lang: Optional[str] = None,
+) -> Dataset:
+    """Read a pages Parquet table with column pruning + lang row-filter pushdown."""
+    filt = (pc.field("lang") == lang) if lang is not None else None
+    return ray.data.read_parquet(path, columns=list(columns) if columns else None, filter=filt)
+
+
+def documents_as_pages(sf_dir: str) -> Dataset:
+    """Adapt the driver testdata ``documents`` table (doc_id, text, lang, source,
+    n_chars) into the pages shape so the dedup pipeline can run on it."""
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+
+    def to_pages(t: pa.Table) -> pa.Table:
+        urls = pc.binary_join_element_wise(
+            pa.array(["doc://"] * len(t), pa.string()),
+            pc.cast(t["doc_id"], pa.string()),
+            "",
+        )
+        return pa.table(
+            {
+                "url": urls,
+                "warc_ts": pa.array([0] * len(t), pa.timestamp("us")),
+                "html": pa.array([b""] * len(t), pa.binary()),
+                "text": t["text"],
+                "lang": t["lang"],
+            }
+        )
+
+    return ds.map_batches(to_pages, batch_format="pyarrow", zero_copy_batch=True)

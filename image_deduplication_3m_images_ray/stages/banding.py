@@ -1,0 +1,115 @@
+"""LSH banding: profile -> band postings -> candidate pairs, with hot-band salting.
+
+Reference analog: the central wavelet-LSH grouping —
+``group_by_wavelet`` builds ``Dict[band_key, List[path]]`` then unions
+within-bucket pairs (/root/reference/modules/deduplication.py:270-346).  The
+reference *silently truncates* hot buckets (skip >1000 members, cap 50k pairs —
+:305-316,321-338); here hot buckets are **salted** instead: members are split
+into deterministic sub-chunks, pairs are emitted within each chunk, and chunk
+leaders are connected recursively, so connectivity (and therefore union-find
+recall) is preserved through transitivity with O(cap·n) instead of O(n²) pairs
+(SURVEY.md §2.7 O4, §7.4).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from ..config import DedupConfig
+from ..functions.hashing import band_hashes_batch
+
+
+def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
+    n = len(batch)
+    if n == 0:
+        return pa.table(
+            {"band_key": pa.array([], pa.uint64()), "doc_id": pa.array([], pa.uint64())}
+        )
+    mh = batch["minhash"]
+    if isinstance(mh, pa.ChunkedArray):
+        mh = mh.combine_chunks()
+    flat = np.asarray(mh.flatten().to_numpy(zero_copy_only=False), dtype=np.uint64)
+    num_perms = len(flat) // n
+    sigs = flat.reshape(n, num_perms)
+    bh = band_hashes_batch(sigs, bands, num_perms // bands)  # (n, bands), band id mixed in
+    doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    return pa.table(
+        {
+            "band_key": pa.array(bh.reshape(-1), pa.uint64()),
+            "doc_id": pa.array(np.repeat(doc_ids, bands), pa.uint64()),
+        }
+    )
+
+
+def band_postings_stage(profile: Dataset, cfg: DedupConfig) -> Dataset:
+    """profile -> band_postings(band_key, doc_id): ``bands`` rows per doc."""
+    return profile.select_columns(["doc_id", "minhash"]).map_batches(
+        _band_rows,
+        fn_args=(cfg.bands,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+    )
+
+
+def emit_capped_pairs(ids: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+    """All-pairs for buckets <= cap; salted chunk + recursive leader pairs above.
+
+    Deterministic in the multiset of ids.  Connectivity guarantee: the graph of
+    emitted pairs over ``ids`` is connected (chunks are internally complete and
+    leaders are connected recursively), so if every emitted pair verifies, the
+    bucket still collapses to ONE cluster — the planted-giant-cluster test
+    (FIXTURES.md §2) pins this.
+    """
+    ids = np.unique(ids)
+    n = len(ids)
+    if n < 2:
+        e = np.empty(0, dtype=np.uint64)
+        return e, e.copy()
+    if n <= cap:
+        ia, ib = np.triu_indices(n, k=1)
+        return ids[ia], ids[ib]
+    n_chunks = -(-n // cap)
+    a_parts, b_parts = [], []
+    for c in range(n_chunks):
+        chunk = ids[c * cap : (c + 1) * cap]
+        ia, ib = np.triu_indices(len(chunk), k=1)
+        a_parts.append(chunk[ia])
+        b_parts.append(chunk[ib])
+    leaders = ids[np.arange(n_chunks) * cap]
+    la, lb = emit_capped_pairs(leaders, cap)
+    a_parts.append(la)
+    b_parts.append(lb)
+    return np.concatenate(a_parts), np.concatenate(b_parts)
+
+
+def _emit_group_pairs(group: dict, cap: int) -> dict:
+    a, b = emit_capped_pairs(np.asarray(group["doc_id"], dtype=np.uint64), cap)
+    n = len(a)
+    return {
+        "doc_a": a,
+        "doc_b": b,
+        "origin": np.full(n, "lsh", dtype=object),
+        "pos_a": np.full(n, -1, dtype=np.int64),
+        "pos_b": np.full(n, -1, dtype=np.int64),
+    }
+
+
+def _dedup_pairs(group: dict) -> dict:
+    return {k: np.asarray(v)[:1] for k, v in group.items()}
+
+
+def lsh_pairs_stage(postings: Dataset, cfg: DedupConfig) -> Dataset:
+    """band_postings -> distinct candidate_pairs(doc_a<doc_b, origin='lsh').
+
+    Two shuffles: groupby(band_key) to enumerate within-bucket pairs, then
+    groupby(doc_a, doc_b) to dedup pairs that co-occur in multiple bands
+    (a true near-dup pair typically shares many of the 32 bands).
+    """
+    pairs = postings.groupby("band_key").map_groups(
+        lambda g: _emit_group_pairs(g, cfg.bucket_pair_cap), batch_format="numpy"
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(_dedup_pairs, batch_format="numpy")
