@@ -1,0 +1,153 @@
+"""Benchmark harness (driver contract).
+
+Plain run: times the headline near-dup pipeline + key operators over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) under
+``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE
+JSON line.
+
+``--scaling``: runs the plain bench in two FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input (the sandbox proxy for the north rule's N vs 4N
+cluster-size scaling criterion — see BASELINE.md) and prints one JSON line
+with both throughputs and the scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+    ctx.execution_options.verbose_progress = False
+
+    import ray.data
+
+    from image_deduplication_3m_images_ray.config import DedupConfig
+    from image_deduplication_3m_images_ray.pipelines import dedup_pipeline
+    from image_deduplication_3m_images_ray.sources import documents_as_pages
+
+    cfg = DedupConfig(
+        signature_concurrency=max(2, num_cpus // 4),
+        join_num_buckets=max(8, num_cpus // 2),
+    )
+
+    # warm the page cache so we measure compute + shuffle, not first-touch disk
+    n_docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet").count()
+
+    queries: dict[str, float] = {}
+
+    t0 = time.time()
+    report = dedup_pipeline(documents_as_pages(sf_dir, num_blocks=num_cpus * 2), cfg)
+    n_report = report.count()
+    queries["dedup_pipeline"] = round(time.time() - t0, 3)
+    assert n_report == n_docs, (n_report, n_docs)
+
+    from image_deduplication_3m_images_ray.extras.dedup_ops import (
+        embedding_cosine_pairs,
+        exact_dedup_clusters,
+        embeddings_to_matrix,
+    )
+    from image_deduplication_3m_images_ray.extras.similarity import ann_brute_force_topk
+    from image_deduplication_3m_images_ray.extras.textstats import quality_scores, token_stats
+
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source", "n_chars"]
+    )
+
+    t0 = time.time()
+    exact_dedup_clusters(docs).count()
+    queries["exact_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    token_stats(docs.select_columns(["doc_id", "text"])).count()
+    queries["token_stats"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    quality_scores(docs.select_columns(["doc_id", "text"])).count()
+    queries["quality_scores"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    import pyarrow as pa
+
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    head = pa.concat_tables(ray.get(emb.sort("vec_id").limit(8).to_arrow_refs())).combine_chunks()
+    qids, qm = embeddings_to_matrix(head)
+    ann_brute_force_topk(emb, qm, qids, k=10).count()
+    queries["ann_topk"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    embedding_cosine_pairs(emb, threshold=0.3).count()
+    queries["embedding_cosine_pairs"] = round(time.time() - t0, 3)
+
+    total = round(sum(queries.values()), 3)
+    result = {
+        "metric": "webtext dedup + operator suite wall time",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "docs": n_docs,
+        "docs_per_sec_dedup": round(n_docs / queries["dedup_pipeline"], 1),
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    def run(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env,
+            capture_output=True,
+            text=True,
+            check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    lo, hi = 8, 32
+    r_lo = run(lo)
+    r_hi = run(hi)
+    t_lo = r_lo["queries"]["dedup_pipeline"]
+    t_hi = r_hi["queries"]["dedup_pipeline"]
+    eff = (t_lo / t_hi) / (hi / lo)
+    return {
+        "metric": "dedup pipeline scaling (num_cpus 8 vs 32, fresh processes)",
+        "sec_8": t_lo,
+        "sec_32": t_hi,
+        "docs_per_sec_8": r_lo["docs_per_sec_dedup"],
+        "docs_per_sec_32": r_hi["docs_per_sec_dedup"],
+        "scaling_efficiency": round(eff, 3),
+        "total_sec_8": r_lo["value"],
+        "total_sec_32": r_hi["value"],
+        "sf": r_lo["sf"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

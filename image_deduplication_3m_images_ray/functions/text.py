@@ -30,9 +30,23 @@ def normalize_text(s: str) -> str:
 
 
 def normalize_array(texts: pa.Array | pa.ChunkedArray) -> pa.Array:
-    """Vectorized normalization of a string column: NFC, lower, collapse \\s+."""
+    """Vectorized normalization of a string column: NFC, lower, collapse \\s+.
+
+    NFC: pyarrow 16's ``utf8_normalize`` decomposes regardless of the ``form``
+    argument (observed against both ``unicodedata`` and DuckDB
+    ``nfc_normalize``), so NFC runs through ``unicodedata`` with an ASCII
+    fast path — ASCII batches (the common webtext case) stay fully in Arrow.
+    """
     arr = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
-    arr = pc.utf8_normalize(arr, form="NFC")
+    ascii_mask = pc.string_is_ascii(arr)
+    if not pc.all(ascii_mask).as_py():
+        vals = arr.to_pylist()
+        is_ascii = ascii_mask.to_pylist()
+        vals = [
+            v if v is None or ok else unicodedata.normalize("NFC", v)
+            for v, ok in zip(vals, is_ascii)
+        ]
+        arr = pa.array(vals, pa.string())
     arr = pc.utf8_lower(arr)
     arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
     return pc.utf8_trim_whitespace(arr)

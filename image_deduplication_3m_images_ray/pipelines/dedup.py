@@ -127,3 +127,13 @@ def dedup_pipeline(
         parents=["clusters"],
     )
     return report
+
+
+def run_dedup_pipeline(
+    pages: Dataset,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    work_dir: Optional[str] = None,
+    exact_prepass: bool = True,
+) -> Dataset:
+    """Alias entry point: ``work_dir`` is the checkpoint root (None = streaming)."""
+    return dedup_pipeline(pages, cfg, checkpoint_dir=work_dir, exact_prepass=exact_prepass)

@@ -28,10 +28,19 @@ def read_pages(
     return ray.data.read_parquet(path, columns=list(columns) if columns else None, filter=filt)
 
 
-def documents_as_pages(sf_dir: str) -> Dataset:
+def documents_as_pages(sf_dir: str, num_blocks: int | None = None) -> Dataset:
     """Adapt the driver testdata ``documents`` table (doc_id, text, lang, source,
-    n_chars) into the pages shape so the dedup pipeline can run on it."""
-    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang"])
+    n_chars) into the pages shape so the dedup pipeline can run on it.
+
+    ``num_blocks`` splits the single-file read so downstream actor pools get
+    enough input blocks to parallelize (a one-file Parquet read otherwise
+    yields one block at small scale).
+    """
+    ds = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "lang"],
+        override_num_blocks=num_blocks,
+    )
 
     def to_pages(t: pa.Table) -> pa.Table:
         urls = pc.binary_join_element_wise(

@@ -1,0 +1,221 @@
+"""Tests for the extras operators (dedup variants, ANN, text stats, multimodal)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from image_deduplication_3m_images_ray.config import DedupConfig
+
+CFG = DedupConfig(signature_concurrency=2, join_num_buckets=2)
+
+
+def _docs_table():
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(800)]
+    base = " ".join(rng.choice(vocab, 300))
+    other = " ".join(rng.choice(vocab, 300))
+    texts = [
+        base,
+        base,  # exact dup of 0
+        other,  # unrelated
+        base + " one extra tail",  # near dup of 0
+        "short doc",
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),
+        }
+    )
+
+
+def test_exact_dedup(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.dedup_ops import (
+        exact_dedup_clusters,
+        exact_dedup_keep_first,
+    )
+
+    ds = ray.data.from_arrow(_docs_table())
+    cl = exact_dedup_clusters(ds).to_pandas().set_index("doc_id").sort_index()
+    assert cl.loc[0, "cluster_id"] == 0 and cl.loc[1, "cluster_id"] == 0
+    assert cl.loc[0, "cluster_size"] == 2
+    assert cl.loc[2, "cluster_id"] == 2 and cl.loc[2, "cluster_size"] == 1
+    survivors = sorted(exact_dedup_keep_first(ds).to_pandas()["doc_id"])
+    assert survivors == [0, 2, 3, 4]
+
+
+def test_simhash_pairs_find_near_dup(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.dedup_ops import simhash_dedup_pairs
+
+    ds = ray.data.from_arrow(_docs_table())
+    pairs = simhash_dedup_pairs(ds, CFG, max_hamming=3).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 1) in got  # exact dup: hamming 0
+    assert (0, 3) in got and (1, 3) in got  # near dup: tiny tail difference
+    assert not any(2 in p for p in got)  # unrelated doc never pairs
+
+
+def test_char_jaccard_matches_python(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.dedup_ops import char_jaccard_pairs
+
+    ds = ray.data.from_arrow(_docs_table())
+    pairs = char_jaccard_pairs(ds, threshold=0.0, block_col="lang").to_pandas()
+    texts = _docs_table()["text"].to_pylist()
+    for _, r in pairs.iterrows():
+        a, b = set(texts[int(r.doc_a)]), set(texts[int(r.doc_b)])
+        assert r.char_jaccard == pytest.approx(len(a & b) / len(a | b))
+    assert len(pairs) == 10  # all 5-choose-2 pairs at threshold 0
+
+
+def _embeddings(n=200, d=16, seed=5):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    m[1] = m[0] + 0.01 * rng.standard_normal(d)  # planted near-identical pair
+    return pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1), pa.float32()), d
+            ).cast(pa.list_(pa.float32())),
+        }
+    ), m
+
+
+def test_embedding_cosine_pairs(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.dedup_ops import embedding_cosine_pairs
+
+    tbl, m = _embeddings()
+    ds = ray.data.from_arrow(tbl)
+    pairs = embedding_cosine_pairs(ds, threshold=0.99, concurrency=2, batch_size=64).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+    assert (0, 1) in got
+
+
+def test_ann_brute_force_matches_numpy(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.similarity import ann_brute_force_topk
+
+    tbl, m = _embeddings()
+    ds = ray.data.from_arrow(tbl)
+    m32 = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    q = m32[:3]
+    out = ann_brute_force_topk(ds, q, np.arange(3), k=5, concurrency=2, batch_size=64).to_pandas()
+    norm = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    qn = q / np.linalg.norm(q, axis=1, keepdims=True)
+    sim = qn @ norm.T
+    for qi in range(3):
+        expect = set(np.argsort(-sim[qi], kind="stable")[:5])
+        got = set(out[out["query_id"] == qi].sort_values("rank")["vec_id"])
+        assert got == expect
+        assert list(out[out["query_id"] == qi]["rank"]) == [1, 2, 3, 4, 5]
+
+
+def test_ann_lsh_is_plausible_subset(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.similarity import ann_lsh_topk
+
+    tbl, m = _embeddings()
+    ds = ray.data.from_arrow(tbl)
+    m64 = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    out = ann_lsh_topk(ds, m64[:2], np.arange(2), k=5, n_bits=4).to_pandas()
+    # the query vector itself always lands in its own bucket -> rank 1 self-hit
+    for qi in range(2):
+        rows = out[out["query_id"] == qi].sort_values("rank")
+        assert len(rows) >= 1
+        assert int(rows.iloc[0]["vec_id"]) == qi
+
+
+def test_token_stats_and_quality(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import quality_scores, token_stats
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(["  Héllo   WORLD ", "", "abc 123 x9"], pa.string()),
+            }
+        )
+    )
+    ts = token_stats(ds).to_pandas().set_index("doc_id")
+    assert ts.loc[0, "n_tokens"] == 2
+    assert ts.loc[0, "n_chars_norm"] == len("héllo world")
+    assert ts.loc[1, "n_tokens"] == 0
+    qs = quality_scores(ds).to_pandas().set_index("doc_id")
+    assert qs.loc[2, "digit_ratio"] == pytest.approx(4 / 10)
+    assert qs.loc[1, "quality"] == 0.0
+
+
+def test_lang_id(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import lang_id
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([0, 1, 2], pa.int64()),
+                "text": pa.array(
+                    [
+                        "the cat and the dog sat on a mat in the sun for a while",
+                        "der hund und die katze ist nicht mit den anderen zu hause",
+                        "zzz qqq www",
+                    ],
+                    pa.string(),
+                ),
+            }
+        )
+    )
+    out = lang_id(ds, concurrency=1).to_pandas().set_index("doc_id")
+    assert out.loc[0, "pred_lang"] == "en"
+    assert out.loc[1, "pred_lang"] == "de"
+    assert out.loc[2, "pred_lang"] == "und"
+
+
+def test_multimodal_decode(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.multimodal import (
+        DecodeActor,
+        decode_stage,
+        frame_sample_stage,
+        make_fake_media,
+    )
+
+    media = ray.data.from_arrow(make_fake_media(32, seed=42))
+    out = decode_stage(media, fake=True, concurrency=1).to_pandas()
+    assert len(out) == 32
+    assert (out["payload_bytes"] > 0).all()
+    assert all(len(f) == 16 for f in out["feature"])
+    # deterministic across runs
+    out2 = decode_stage(ray.data.from_arrow(make_fake_media(32, seed=42)), fake=True, concurrency=1).to_pandas()
+    assert list(out["width"]) == list(out2["width"])
+    # real decode is an explicit stub
+    actor = DecodeActor(fake=False)
+    with pytest.raises(NotImplementedError):
+        actor(make_fake_media(2))
+    frames = frame_sample_stage(media).to_pandas()
+    assert (frames["frame_ts_ms"] % 1000 == 0).all()
+
+
+def test_suffix_array_pairs(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.suffix import suffix_array_pairs_stage
+
+    base = "x y z " * 80  # 480 chars shared
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                ["PREFIX " * 30 + base, base + " SUFFIX" * 30, "unrelated words " * 40],
+                pa.string(),
+            ),
+        }
+    )
+    out = suffix_array_pairs_stage(ray.data.from_arrow(tbl), CFG).to_pandas()
+    pairs = {(int(a), int(b)) for a, b in zip(out["doc_a"], out["doc_b"])}
+    assert (0, 1) in pairs
+    assert not any(2 in p for p in pairs)
