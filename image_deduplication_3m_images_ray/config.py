@@ -54,7 +54,14 @@ class DedupConfig:
     batch_size: int = 1024            # rows per batch for signature stages
     signature_concurrency: int | tuple = 4   # actor-pool size for the signature stage
     join_num_buckets: int = 16        # buckets for the repartitioned hash join
+    group_shards: int = 64            # hash shards for grouped vectorized ops
+                                      # (~dataset_rows / target_rows_per_task;
+                                      # bounds per-task group-processing size)
     cluster_max_rounds: int = 50      # safety cap for label propagation
+    cluster_driver_max_edges: int = 2_000_000  # below this, union-find runs on the
+                                      # driver (provably-small candidate set —
+                                      # Ray guide's sanctioned fast path);
+                                      # above, distributed label propagation
     num_output_partitions: int = 16   # partitions for checkpointed stage outputs
 
     def __post_init__(self) -> None:

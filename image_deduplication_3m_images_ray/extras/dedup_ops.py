@@ -41,13 +41,15 @@ def exact_dedup_clusters(docs: Dataset) -> Dataset:
 
     def assign(g: pd.DataFrame) -> pd.DataFrame:
         out = g.copy()
-        grp = out.groupby("text", sort=False)["doc_id"]
+        grp = out.groupby(["text_hash", "text"], sort=False)["doc_id"]
         out["cluster_id"] = grp.transform("min").astype(np.int64)
         out["cluster_size"] = grp.transform("size").astype(np.int64)
         return out[["doc_id", "cluster_id", "cluster_size"]]
 
+    from ..util import sharded_group_map
+
     hashed = docs.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
-    return hashed.groupby("text_hash").map_groups(assign, batch_format="pandas")
+    return sharded_group_map(hashed, ["text_hash"], assign, batch_format="pandas")
 
 
 def exact_dedup_keep_first(docs: Dataset) -> Dataset:
@@ -119,28 +121,58 @@ def simhash_dedup_pairs(docs: Dataset, cfg: DedupConfig, max_hamming: int = 3) -
             }
         )
 
-    def emit(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        n = len(g)
-        if n < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [], "hamming": []})
-        ids = g["doc_id"].to_numpy()
-        sims = g["simhash"].to_numpy(dtype=np.uint64)
-        ia, ib = np.triu_indices(n, k=1)
-        ham = hamming64(sims[ia], sims[ib])
-        ok = ham <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[ia[ok]], "doc_b": ids[ib[ok]], "hamming": ham[ok].astype(np.int64)}
-        )
+    def emit_shard(group: dict) -> dict:
+        from ..util import segment_bounds
 
-    pairs = (
-        sim.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("block_key")
-        .map_groups(emit, batch_format="pandas")
+        key = np.asarray(group["block_key"], dtype=U64)
+        ids = np.asarray(group["doc_id"])
+        sims = np.asarray(group["simhash"], dtype=U64)
+        order = np.lexsort((ids, key))
+        key, ids, sims = key[order], ids[order], sims[order]
+        bounds = segment_bounds(key)
+        a_p, b_p, h_p = [], [], []
+        for m in np.nonzero(np.diff(bounds) >= 2)[0]:
+            lo, hi = bounds[m], bounds[m + 1]
+            d, idx = np.unique(ids[lo:hi], return_index=True)
+            s = sims[lo:hi][idx]
+            if len(d) < 2:
+                continue
+            ia, ib = np.triu_indices(len(d), k=1)
+            ham = hamming64(s[ia], s[ib])
+            ok = ham <= max_hamming
+            a_p.append(d[ia[ok]])
+            b_p.append(d[ib[ok]])
+            h_p.append(ham[ok].astype(np.int64))
+        if not a_p:
+            return {
+                "doc_a": np.empty(0, dtype=ids.dtype),
+                "doc_b": np.empty(0, dtype=ids.dtype),
+                "hamming": np.empty(0, dtype=np.int64),
+            }
+        return {
+            "doc_a": np.concatenate(a_p),
+            "doc_b": np.concatenate(b_p),
+            "hamming": np.concatenate(h_p),
+        }
+
+    def dedup_shard(group: dict) -> dict:
+        a = np.asarray(group["doc_a"])
+        b = np.asarray(group["doc_b"])
+        order = np.lexsort((b, a))
+        keep = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            keep[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
+        idx = order[keep]
+        return {k: np.asarray(v)[idx] for k, v in group.items()}
+
+    from ..util import sharded_group_map
+
+    pairs = sharded_group_map(
+        sim.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["block_key"],
+        emit_shard,
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    return sharded_group_map(pairs, ["doc_a", "doc_b"], dedup_shard)
 
 
 def char_jaccard_pairs(

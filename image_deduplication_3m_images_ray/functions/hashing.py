@@ -126,13 +126,16 @@ def minhash_seeds(num_perms: int, seed: int) -> np.ndarray:
 def minhash_signature(shingles: np.ndarray, seeds: np.ndarray) -> np.ndarray:
     """MinHash over a doc's (possibly non-unique) shingle multiset.
 
-    h_i(x) = splitmix64(x ^ seed_i); signature_i = min over unique shingles.
-    (Equivalent to a random permutation per seed for Jaccard estimation.)
+    h_i(x) = (x ^ seed_i) * ODD_C mod 2^64 — a bijection of the key space per
+    seed (odd multiplier), so taking the min is a valid permutation-MinHash.
+    One xor + one multiply per lane (the input shingle hashes are already
+    splitmix-finalized, so no further avalanche is needed); the estimator
+    quality is pinned by test_minhash_estimates_jaccard.
     """
     uniq = np.unique(np.asarray(shingles, dtype=U64))
     if len(uniq) == 0:
         uniq = np.array([_EMPTY_DOC_SHINGLE], dtype=U64)
-    mixed = splitmix64(uniq[:, None] ^ seeds[None, :])
+    mixed = (uniq[:, None] ^ seeds[None, :]) * _SM_C2
     return mixed.min(axis=0)
 
 
@@ -201,14 +204,17 @@ def minhash_simhash_batch(
     offsets: np.ndarray,
     seeds: np.ndarray,
     chunk_shingles: int = 1 << 16,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    return_uniques: bool = False,
+):
     """Whole-batch MinHash + SimHash via segmented reductions — no per-doc Python loop.
 
     Returns ``(signatures (n_docs, num_perms) uint64, simhash (n_docs,) uint64,
-    n_unique_shingles (n_docs,) int64)``.  Semantics identical to calling
-    :func:`minhash_signature` / :func:`simhash64` per doc (asserted in tests).
-    Work proceeds in doc chunks whose flat unique-shingle count stays near
-    ``chunk_shingles`` so the (shingles x num_perms) intermediate stays small.
+    n_unique_shingles (n_docs,) int64)`` — plus ``(uniq_flat, uniq_offsets)``
+    (the sorted-unique shingle sets, flat layout) when ``return_uniques``.
+    Semantics identical to calling :func:`minhash_signature` /
+    :func:`simhash64` per doc (asserted in tests).  Work proceeds in doc
+    chunks whose flat unique-shingle count stays near ``chunk_shingles`` so
+    the (shingles x num_perms) intermediate stays small.
     """
     uniq, uoff = unique_per_doc(np.asarray(shingles, dtype=U64), offsets)
     n_docs = len(uoff) - 1
@@ -225,16 +231,19 @@ def minhash_simhash_batch(
             hi += 1
         seg = uniq[uoff[lo] : uoff[hi]]
         starts = (uoff[lo:hi] - uoff[lo]).astype(np.int64)
-        # minhash: mix every unique shingle against every seed, then segmented min
-        mixed = splitmix64(seg[:, None] ^ seeds[None, :])
+        # minhash: bijective xor+odd-multiply per seed, then segmented min
+        # (same formula as minhash_signature — asserted equal in tests)
+        mixed = (seg[:, None] ^ seeds[None, :]) * _SM_C2
         sigs[lo:hi] = np.minimum.reduceat(mixed, starts, axis=0)
         # simhash: per-bit vote counts via segmented sum over unpacked bits
         bits = np.unpackbits(seg.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-        votes = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+        votes = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
         counts = n_unique[lo:hi][:, None]
         majority = (votes * 2 >= counts).astype(U64)
         simhashes[lo:hi] = (majority << bit_idx[None, :]).sum(axis=1, dtype=U64)
         lo = hi
+    if return_uniques:
+        return sigs, simhashes, n_unique, uniq, uoff
     return sigs, simhashes, n_unique
 
 

@@ -105,14 +105,30 @@ def exact_jaccard(a: np.ndarray, b: np.ndarray) -> float:
     return inter / union if union else 1.0
 
 
-def pairwise_jaccard_batch(texts_a: pa.Array, texts_b: pa.Array, k: int) -> np.ndarray:
-    """Exact shingle-set Jaccard for aligned text columns — fully vectorized.
+def pairwise_jaccard_from_sets(
+    ua: np.ndarray, uoff_a: np.ndarray, ub: np.ndarray, uoff_b: np.ndarray
+) -> np.ndarray:
+    """Exact Jaccard per aligned pair of unique-element sets in flat layout.
 
-    For each row i: J(shingles(texts_a[i]), shingles(texts_b[i])), computed via
-    segmented unique counts: |A ∩ B| = |A| + |B| − |A ∪ B|, where the union
-    count comes from one more segmented-unique pass over the per-pair
-    concatenation.  No per-pair Python set operations.
+    |A ∩ B| = |A| + |B| − |A ∪ B|; the union count comes from one
+    segmented-unique pass over the per-pair concatenation.  No per-pair
+    Python set operations.
     """
+    na = np.diff(np.asarray(uoff_a, dtype=np.int64))
+    nb = np.diff(np.asarray(uoff_b, dtype=np.int64))
+    comb_off = np.zeros(len(na) + 1, dtype=np.int64)
+    np.cumsum(na + nb, out=comb_off[1:])
+    combined = np.empty(comb_off[-1], dtype=U64)
+    combined[np.repeat(comb_off[:-1], na) + _ranges(na)] = np.asarray(ua, dtype=U64)
+    combined[np.repeat(comb_off[:-1] + na, nb) + _ranges(nb)] = np.asarray(ub, dtype=U64)
+    _, u_off = unique_per_doc(combined, comb_off)
+    n_union = np.diff(u_off)
+    inter = na + nb - n_union
+    return inter / np.maximum(n_union, 1)
+
+
+def pairwise_jaccard_batch(texts_a: pa.Array, texts_b: pa.Array, k: int) -> np.ndarray:
+    """Exact shingle-set Jaccard for aligned text columns — fully vectorized."""
     if isinstance(texts_a, pa.ChunkedArray):
         texts_a = texts_a.combine_chunks()
     if isinstance(texts_b, pa.ChunkedArray):
@@ -121,17 +137,7 @@ def pairwise_jaccard_batch(texts_a: pa.Array, texts_b: pa.Array, k: int) -> np.n
     sh_b, off_b = shingle_batch(texts_b, k)
     ua, uoff_a = unique_per_doc(sh_a, off_a)
     ub, uoff_b = unique_per_doc(sh_b, off_b)
-    na = np.diff(uoff_a)
-    nb = np.diff(uoff_b)
-    comb_off = np.zeros(len(na) + 1, dtype=np.int64)
-    np.cumsum(na + nb, out=comb_off[1:])
-    combined = np.empty(comb_off[-1], dtype=U64)
-    combined[np.repeat(comb_off[:-1], na) + _ranges(na)] = ua
-    combined[np.repeat(comb_off[:-1] + na, nb) + _ranges(nb)] = ub
-    _, u_off = unique_per_doc(combined, comb_off)
-    n_union = np.diff(u_off)
-    inter = na + nb - n_union
-    return inter / np.maximum(n_union, 1)
+    return pairwise_jaccard_from_sets(ua, uoff_a, ub, uoff_b)
 
 
 def minhash_batch(

@@ -20,6 +20,7 @@ from ray.data import Dataset
 
 from ..config import DedupConfig
 from ..functions.hashing import band_hashes_batch
+from ..util import segment_bounds, sharded_group_map
 
 
 def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
@@ -86,8 +87,28 @@ def emit_capped_pairs(ids: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray
     return np.concatenate(a_parts), np.concatenate(b_parts)
 
 
-def _emit_group_pairs(group: dict, cap: int) -> dict:
-    a, b = emit_capped_pairs(np.asarray(group["doc_id"], dtype=np.uint64), cap)
+def _emit_shard_pairs(group: dict, cap: int) -> dict:
+    """Vectorized pair emission for ALL buckets in one shard.
+
+    lexsort by (doc_id, band_key) -> segment boundaries -> only buckets with
+    >= 2 members enter the (short) Python loop; singleton buckets — the vast
+    majority — are skipped wholesale.
+    """
+    key = np.asarray(group["band_key"], dtype=np.uint64)
+    doc = np.asarray(group["doc_id"], dtype=np.uint64)
+    order = np.lexsort((doc, key))
+    key, doc = key[order], doc[order]
+    bounds = segment_bounds(key)
+    counts = np.diff(bounds)
+    multi = np.nonzero(counts >= 2)[0]
+    a_parts, b_parts = [], []
+    for m in multi:
+        a, b = emit_capped_pairs(doc[bounds[m] : bounds[m + 1]], cap)
+        if len(a):
+            a_parts.append(a)
+            b_parts.append(b)
+    a = np.concatenate(a_parts) if a_parts else np.empty(0, dtype=np.uint64)
+    b = np.concatenate(b_parts) if b_parts else np.empty(0, dtype=np.uint64)
     n = len(a)
     return {
         "doc_a": a,
@@ -98,18 +119,33 @@ def _emit_group_pairs(group: dict, cap: int) -> dict:
     }
 
 
-def _dedup_pairs(group: dict) -> dict:
-    return {k: np.asarray(v)[:1] for k, v in group.items()}
+def dedup_pairs(pairs: Dataset, num_shards: int = 64, extra_cols: dict | None = None) -> Dataset:
+    """Distinct on (doc_a, doc_b), fully vectorized per shard."""
+
+    def fn(group: dict) -> dict:
+        a = np.asarray(group["doc_a"], dtype=np.uint64)
+        b = np.asarray(group["doc_b"], dtype=np.uint64)
+        order = np.lexsort((b, a))
+        keep_sorted = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            keep_sorted[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
+        idx = order[keep_sorted]
+        return {k: np.asarray(v)[idx] for k, v in group.items()}
+
+    return sharded_group_map(pairs, ["doc_a", "doc_b"], fn, num_shards=num_shards)
 
 
 def lsh_pairs_stage(postings: Dataset, cfg: DedupConfig) -> Dataset:
     """band_postings -> distinct candidate_pairs(doc_a<doc_b, origin='lsh').
 
-    Two shuffles: groupby(band_key) to enumerate within-bucket pairs, then
-    groupby(doc_a, doc_b) to dedup pairs that co-occur in multiple bands
-    (a true near-dup pair typically shares many of the 32 bands).
+    Two shuffles: shard-grouped bucket pair enumeration, then a shard-grouped
+    distinct on (doc_a, doc_b) — a true near-dup pair typically co-occurs in
+    many of the 32 bands.
     """
-    pairs = postings.groupby("band_key").map_groups(
-        lambda g: _emit_group_pairs(g, cfg.bucket_pair_cap), batch_format="numpy"
+    pairs = sharded_group_map(
+        postings,
+        ["band_key"],
+        lambda g: _emit_shard_pairs(g, cfg.bucket_pair_cap),
+        num_shards=cfg.group_shards,
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(_dedup_pairs, batch_format="numpy")
+    return dedup_pairs(pairs, num_shards=cfg.group_shards)

@@ -26,7 +26,7 @@ from ray.data import Dataset
 
 from ..config import DedupConfig
 from ..functions.hashing import U64, splitmix64
-from ..util import rename_columns
+from ..util import rename_columns, sharded_group_map
 
 _CHECK_C = U64(0x9E3779B97F4A7C15)
 
@@ -72,24 +72,77 @@ def _messages(t: pa.Table) -> pa.Table:
     )
 
 
-def _min_per_node(group: dict) -> dict:
-    return {
-        "node": np.asarray(group["node"], dtype=U64)[:1],
-        "label": np.asarray(group["label"], dtype=U64).min(keepdims=True),
-    }
+def _min_per_node_shard(group: dict) -> dict:
+    """Vectorized per-shard min(label) per node: lexsort + segmented reduceat."""
+    node = np.asarray(group["node"], dtype=U64)
+    label = np.asarray(group["label"], dtype=U64)
+    order = np.lexsort((label, node))
+    node, label = node[order], label[order]
+    first = np.ones(len(node), dtype=bool)
+    if len(node) > 1:
+        first[1:] = node[1:] != node[:-1]
+    starts = np.nonzero(first)[0]
+    return {"node": node[starts], "label": np.minimum.reduceat(label, starts)}
+
+
+def _min_labels(ds: Dataset, cfg: DedupConfig) -> Dataset:
+    return sharded_group_map(ds, ["node"], _min_per_node_shard, num_shards=cfg.group_shards)
+
+
+def _driver_union_find(edges: Dataset) -> Dataset:
+    """Small-edge-set fast path: collect pairs, union-find in numpy on the driver.
+
+    Legitimate only because the edge count was just checked against the
+    configured bound (verified pairs cover dup docs only, a small fraction of
+    the corpus); the distributed label-propagation loop below is the scale
+    path and stays exercised by tests with the bound set to 0.
+    """
+    import ray
+    import ray.data
+
+    t = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+    a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False), dtype=U64)
+    b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), dtype=U64)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ia, ib = inv[: len(a)], inv[len(a) :]
+    parent = np.arange(len(nodes), dtype=np.int64)
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for i, j in zip(ia, ib):
+        ri, rj = find(int(i)), find(int(j))
+        if ri != rj:
+            # union by smaller node id keeps labels = min doc_id deterministic
+            if nodes[ri] < nodes[rj]:
+                parent[rj] = ri
+            else:
+                parent[ri] = rj
+    roots = np.array([find(int(i)) for i in range(len(nodes))], dtype=np.int64)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(nodes, pa.uint64()),
+                "cluster_id": pa.array(nodes[roots], pa.uint64()),
+            }
+        )
+    )
 
 
 def cluster_stage(verified: Dataset, cfg: DedupConfig) -> Dataset:
     """verified_pairs -> clusters(doc_id, cluster_id = min doc_id in component)."""
     edges = verified.select_columns(["doc_a", "doc_b"]).materialize()
-    if edges.count() == 0:
+    n_edges = edges.count()
+    if n_edges == 0:
         return _empty_clusters()
-    labels = (
-        edges.map_batches(_init_labels, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("node")
-        .map_groups(_min_per_node, batch_format="numpy")
-        .materialize()
-    )
+    if n_edges <= cfg.cluster_driver_max_edges:
+        return _driver_union_find(edges)
+    labels = _min_labels(
+        edges.map_batches(_init_labels, batch_format="pyarrow", zero_copy_batch=True), cfg
+    ).materialize()
     checksum = _label_checksum(labels)
     for _ in range(cfg.cluster_max_rounds):
         lab_a = rename_columns(labels, {"node": "doc_a", "label": "lab_a"})
@@ -98,12 +151,7 @@ def cluster_stage(verified: Dataset, cfg: DedupConfig) -> Dataset:
             lab_a, join_type="inner", num_partitions=cfg.join_num_buckets, on=("doc_a",)
         ).join(lab_b, join_type="inner", num_partitions=cfg.join_num_buckets, on=("doc_b",))
         msgs = el.map_batches(_messages, batch_format="pyarrow", zero_copy_batch=True)
-        labels = (
-            msgs.union(labels)
-            .groupby("node")
-            .map_groups(_min_per_node, batch_format="numpy")
-            .materialize()
-        )
+        labels = _min_labels(msgs.union(labels), cfg).materialize()
         new_checksum = _label_checksum(labels)
         if new_checksum == checksum:
             break

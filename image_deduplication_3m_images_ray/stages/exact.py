@@ -30,11 +30,15 @@ def _add_text_hash(batch: pa.Table) -> pa.Table:
     return batch.append_column("text_hash", pa.array(h, pa.uint64()))
 
 
-def _pick_reps(group: pd.DataFrame) -> pd.DataFrame:
-    # within one hash bucket, split by actual text (collision safety), then
-    # representative = min doc_id per identical text
+def _pick_reps_shard(group: pd.DataFrame) -> pd.DataFrame:
+    # group by (hash, actual text) across the whole shard — the text split
+    # makes a 64-bit collision harmless; transform('min') is one C pass
     out = group.copy()
-    out["rep_id"] = out.groupby("norm_text")["doc_id"].transform("min").astype(np.uint64)
+    out["rep_id"] = (
+        out.groupby(["text_hash", "norm_text"], sort=False)["doc_id"]
+        .transform("min")
+        .astype(np.uint64)
+    )
     return out.drop(columns=["text_hash"])
 
 
@@ -45,10 +49,18 @@ def exact_rep_stage(docs: Dataset, cfg: DedupConfig) -> Dataset:
     signatures/LSH; the full mapping re-attaches exact copies to the final
     clusters without ever shuffling them through the pair stages.
     """
+    from ..util import sharded_group_map
+
     hashed = docs.map_batches(
         _add_text_hash, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True
     )
-    return hashed.groupby("text_hash").map_groups(_pick_reps, batch_format="pandas")
+    return sharded_group_map(
+        hashed,
+        ["text_hash"],
+        _pick_reps_shard,
+        num_shards=cfg.group_shards,
+        batch_format="pandas",
+    )
 
 
 def reps_only(docs_rep: Dataset) -> Dataset:

@@ -18,7 +18,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..config import DedupConfig
-from ..util import rename_columns
+from ..util import sharded_group_map
 
 
 def _fill_singletons(t: pa.Table) -> pa.Table:
@@ -29,16 +29,25 @@ def _fill_singletons(t: pa.Table) -> pa.Table:
     return t.set_column(t.column_names.index("cluster_id"), "cluster_id", filled.cast(pa.uint64()))
 
 
-def _assign_status(g: pd.DataFrame) -> pd.DataFrame:
-    n = len(g)
-    out = g.copy()
-    out["cluster_size"] = np.int64(n)
-    if n == 1:
-        out["status"] = "Unique"
-        return out
-    order = out.sort_values(["quality", "url"], ascending=[False, True], kind="mergesort").index
-    out["status"] = "Duplicate"
-    out.loc[order[0], "status"] = "Best"
+def _assign_status_shard(g: pd.DataFrame) -> pd.DataFrame:
+    """Vectorized status assignment across ALL clusters in a shard.
+
+    Sort by (cluster_id, -quality, url); the first row of each cluster run is
+    Best (or Unique for singletons) — one C-level pass, no per-cluster calls.
+    """
+    out = g.sort_values(
+        ["cluster_id", "quality", "url"], ascending=[True, False, True], kind="mergesort"
+    ).reset_index(drop=True)
+    sizes = out.groupby("cluster_id", sort=False)["cluster_id"].transform("size")
+    out["cluster_size"] = sizes.astype(np.int64)
+    cid = out["cluster_id"].to_numpy()
+    first = np.ones(len(out), dtype=bool)
+    if len(out) > 1:
+        first[1:] = cid[1:] != cid[:-1]
+    status = np.full(len(out), "Duplicate", dtype=object)
+    status[first & (sizes.to_numpy() == 1)] = "Unique"
+    status[first & (sizes.to_numpy() > 1)] = "Best"
+    out["status"] = status
     return out
 
 
@@ -60,5 +69,7 @@ def report_stage(docs: Dataset, clusters: Dataset, cfg: DedupConfig) -> Dataset:
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    rep = j.groupby("cluster_id").map_groups(_assign_status, batch_format="pandas")
+    rep = sharded_group_map(
+        j, ["cluster_id"], _assign_status_shard, num_shards=cfg.group_shards, batch_format="pandas"
+    )
     return rep.select_columns(["url", "doc_id", "cluster_id", "cluster_size", "quality", "status"])

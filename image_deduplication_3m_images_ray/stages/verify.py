@@ -9,9 +9,12 @@ fingerprint positions) for substring candidates.  The SimHash-Hamming +
 length-ratio gates are provably lossless for pairs above the Jaccard
 threshold (J >= t implies |A|/|B| >= t), so they only skip work, never recall.
 
-Pair -> signature attachment is a hash-partitioned join (``Dataset.join``,
-SURVEY.md §2.4 J1) done once per side; both sides are large at 10^12-doc
-scale so a broadcast is not an option.
+Two join paths, each shipping only what it needs (pair -> signature
+attachment is a hash-partitioned ``Dataset.join``, SURVEY.md §2.4 J1; both
+sides are large at 10^12-doc scale so broadcast is not an option):
+- LSH candidates join the precomputed sorted-unique SHINGLE SETS — Jaccard is
+  a segmented set intersection, no re-tokenization of text;
+- winnow candidates join the normalized TEXT — seed-and-extend needs bytes.
 """
 
 from __future__ import annotations
@@ -24,8 +27,21 @@ from ray.data import Dataset
 
 from ..config import DedupConfig
 from ..functions.hashing import hamming64
-from ..functions.text import pairwise_jaccard_batch
+from ..functions.text import pairwise_jaccard_from_sets
 from ..util import rename_columns as _rename
+from ..util import shard_attach, sharded_group_map
+
+_OUT_SCHEMA = pa.schema(
+    [
+        ("doc_a", pa.uint64()),
+        ("doc_b", pa.uint64()),
+        ("jaccard", pa.float64()),
+        ("simhash_hamming", pa.int32()),
+        ("match_len", pa.int64()),
+        ("origin", pa.string()),
+    ]
+)
+_EMPTY = pa.table({f.name: pa.array([], f.type) for f in _OUT_SCHEMA})
 
 
 def extend_match(ba: bytes, bb: bytes, pos_a: int, pos_b: int, k: int, chunk: int = 128) -> int:
@@ -61,22 +77,31 @@ def extend_match(ba: bytes, bb: bytes, pos_a: int, pos_b: int, k: int, chunk: in
     return i - lo_a
 
 
-def _verify_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+def _shingle_col_to_flat(col) -> tuple[np.ndarray, np.ndarray]:
+    """Binary shingle-set column (raw uint64 bytes) -> (flat values, int64 offsets).
+
+    Zero-copy: reads the Arrow binary array's value/offset buffers directly.
+    Element byte-lengths are multiples of 8 by construction, so the uint64
+    reinterpretation stays aligned.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    byte_offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
+        col.offset : col.offset + len(col) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
+    seg = data[byte_offs[0] : byte_offs[-1]]
+    try:
+        values = seg.view(np.uint64)
+    except ValueError:  # unaligned slice — copy
+        values = np.frombuffer(seg.tobytes(), dtype=np.uint64)
+    return values, (byte_offs - byte_offs[0]) // 8
+
+
+def _verify_lsh_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     n = len(batch)
-    empty = pa.table(
-        {
-            "doc_a": pa.array([], pa.uint64()),
-            "doc_b": pa.array([], pa.uint64()),
-            "jaccard": pa.array([], pa.float64()),
-            "simhash_hamming": pa.array([], pa.int32()),
-            "match_len": pa.array([], pa.int64()),
-            "origin": pa.array([], pa.string()),
-        }
-    )
     if n == 0:
-        return empty
-    origin = np.asarray(batch["origin"].to_pylist(), dtype=object)
-    is_lsh = origin == "lsh"
+        return _EMPTY
     sim_a = np.asarray(batch["simhash_a"].to_numpy(zero_copy_only=False), dtype=np.uint64)
     sim_b = np.asarray(batch["simhash_b"].to_numpy(zero_copy_only=False), dtype=np.uint64)
     ns_a = np.asarray(batch["n_shingles_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -84,81 +109,162 @@ def _verify_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     ham = hamming64(sim_a, sim_b)
     ratio = np.minimum(ns_a, ns_b) / np.maximum(np.maximum(ns_a, ns_b), 1)
     gate_ok = (ham <= cfg.simhash_hamming_max) & (ratio >= cfg.length_ratio_min)
-    # candidates to score: lsh pairs passing gates + every winnow pair
-    todo = np.nonzero((is_lsh & gate_ok) | ~is_lsh)[0]
+    todo = np.nonzero(gate_ok)[0]
     if len(todo) == 0:
-        return empty
-
-    ta = batch["text_a"].take(pa.array(todo))
-    tb = batch["text_b"].take(pa.array(todo))
-    jacc = pairwise_jaccard_batch(ta, tb, cfg.shingle_k)
-
-    match_len = np.zeros(len(todo), dtype=np.int64)
-    win_rows = np.nonzero(~is_lsh[todo])[0]
-    if len(win_rows):
-        pos_a = np.asarray(batch["pos_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        pos_b = np.asarray(batch["pos_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
-        ta_list = ta.to_pylist()
-        tb_list = tb.to_pylist()
-        for r in win_rows:
-            src = todo[r]
-            match_len[r] = extend_match(
-                ta_list[r].encode("utf-8"),
-                tb_list[r].encode("utf-8"),
-                int(pos_a[src]),
-                int(pos_b[src]),
-                cfg.winnow_kgram,
-            )
-    keep_local = (jacc >= cfg.jaccard_threshold) | (match_len >= cfg.min_substring_len)
+        return _EMPTY
+    sel = pa.array(todo)
+    ua, uoff_a = _shingle_col_to_flat(batch["sh_a"].take(sel))
+    ub, uoff_b = _shingle_col_to_flat(batch["sh_b"].take(sel))
+    jacc = pairwise_jaccard_from_sets(ua, uoff_a, ub, uoff_b)
+    keep_local = jacc >= cfg.jaccard_threshold
     kept = todo[keep_local]
     if len(kept) == 0:
-        return empty
+        return _EMPTY
     return pa.table(
         {
-            "doc_a": batch["doc_a"].take(pa.array(kept)),
-            "doc_b": batch["doc_b"].take(pa.array(kept)),
+            "doc_a": batch["doc_a"].take(pa.array(kept)).cast(pa.uint64()),
+            "doc_b": batch["doc_b"].take(pa.array(kept)).cast(pa.uint64()),
             "jaccard": pa.array(jacc[keep_local], pa.float64()),
             "simhash_hamming": pa.array(ham[kept].astype(np.int32), pa.int32()),
-            "match_len": pa.array(match_len[keep_local], pa.int64()),
-            "origin": pa.array(origin[kept], pa.string()),
+            "match_len": pa.array(np.zeros(len(kept), dtype=np.int64), pa.int64()),
+            "origin": pa.array(["lsh"] * len(kept), pa.string()),
         }
     )
 
 
-def _combine_pair(group: dict) -> dict:
+def _verify_winnow_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    n = len(batch)
+    if n == 0:
+        return _EMPTY
+    pos_a = np.asarray(batch["pos_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    pos_b = np.asarray(batch["pos_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    ta = batch["text_a"].to_pylist()
+    tb = batch["text_b"].to_pylist()
+    match_len = np.zeros(n, dtype=np.int64)
+    for i in range(n):
+        match_len[i] = extend_match(
+            ta[i].encode("utf-8"),
+            tb[i].encode("utf-8"),
+            int(pos_a[i]),
+            int(pos_b[i]),
+            cfg.winnow_kgram,
+        )
+    keep = match_len >= cfg.min_substring_len
+    if not keep.any():
+        return _EMPTY
+    sel = pa.array(np.nonzero(keep)[0])
+    nk = int(keep.sum())
+    return pa.table(
+        {
+            "doc_a": batch["doc_a"].take(sel).cast(pa.uint64()),
+            "doc_b": batch["doc_b"].take(sel).cast(pa.uint64()),
+            "jaccard": pa.array(np.zeros(nk), pa.float64()),
+            "simhash_hamming": pa.array(np.full(nk, 64, dtype=np.int32), pa.int32()),
+            "match_len": pa.array(match_len[keep], pa.int64()),
+            "origin": pa.array(["winnow"] * nk, pa.string()),
+        }
+    )
+
+
+def _combine_shard_pairs(group: dict) -> dict:
+    """Per-shard vectorized combine: one output row per distinct (doc_a, doc_b),
+    keeping max jaccard / max match_len / min hamming and the merged origin."""
+    a = np.asarray(group["doc_a"], dtype=np.uint64)
+    b = np.asarray(group["doc_b"], dtype=np.uint64)
     jacc = np.asarray(group["jaccard"], dtype=np.float64)
+    ham = np.asarray(group["simhash_hamming"], dtype=np.int32)
+    mlen = np.asarray(group["match_len"], dtype=np.int64)
+    origin = np.asarray(group["origin"], dtype=object)
+    order = np.lexsort((b, a))
+    a, b, jacc, ham, mlen, origin = (
+        a[order], b[order], jacc[order], ham[order], mlen[order], origin[order]
+    )
+    first = np.ones(len(a), dtype=bool)
+    if len(a) > 1:
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.nonzero(first)[0]
+    is_lsh = (origin == "lsh").astype(np.int64)
+    is_win = (origin == "winnow").astype(np.int64)
+    has_lsh = np.maximum.reduceat(is_lsh, starts) > 0
+    has_win = np.maximum.reduceat(is_win, starts) > 0
+    names = np.where(
+        has_lsh & has_win, "lsh+winnow", np.where(has_lsh, "lsh", "winnow")
+    ).astype(object)
     return {
-        "doc_a": np.asarray(group["doc_a"], dtype=np.uint64)[:1],
-        "doc_b": np.asarray(group["doc_b"], dtype=np.uint64)[:1],
-        "jaccard": jacc.max(keepdims=True),
-        "simhash_hamming": np.asarray(group["simhash_hamming"], dtype=np.int32).min(keepdims=True),
-        "match_len": np.asarray(group["match_len"], dtype=np.int64).max(keepdims=True),
-        "origin": np.asarray(
-            ["+".join(sorted(set(np.asarray(group["origin"], dtype=object))))], dtype=object
-        ),
+        "doc_a": a[starts],
+        "doc_b": b[starts],
+        "jaccard": np.maximum.reduceat(jacc, starts),
+        "simhash_hamming": np.minimum.reduceat(ham, starts),
+        "match_len": np.maximum.reduceat(mlen, starts),
+        "origin": names,
     }
+
+
+def _filter_origin(ds: Dataset, origin: str, cols: list) -> Dataset:
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(t["origin"], origin)).select(cols),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
 
 
 def verify_stage(candidates: Dataset, profile: Dataset, cfg: DedupConfig) -> Dataset:
     """candidate_pairs x profile -> verified_pairs (distinct on doc_a, doc_b)."""
-    cols = profile.select_columns(["doc_id", "simhash", "n_shingles", "norm_text"])
-    prof_a = _rename(
-        cols,
-        {"doc_id": "doc_a", "simhash": "simhash_a", "n_shingles": "n_shingles_a", "norm_text": "text_a"},
+    # --- LSH path: join shingle sets, gate, exact Jaccard ---
+    sig = profile.select_columns(["doc_id", "simhash", "n_shingles", "shingles"])
+    sig_a = _rename(
+        sig,
+        {"doc_id": "doc_a", "simhash": "simhash_a", "n_shingles": "n_shingles_a", "shingles": "sh_a"},
     )
-    prof_b = _rename(
-        cols,
-        {"doc_id": "doc_b", "simhash": "simhash_b", "n_shingles": "n_shingles_b", "norm_text": "text_b"},
+    sig_b = _rename(
+        sig,
+        {"doc_id": "doc_b", "simhash": "simhash_b", "n_shingles": "n_shingles_b", "shingles": "sh_b"},
     )
-    j = candidates.join(
-        prof_a, join_type="inner", num_partitions=cfg.join_num_buckets, on=("doc_a",)
+    lsh_cand = _filter_origin(candidates, "lsh", ["doc_a", "doc_b"])
+    lsh_j = shard_attach(
+        lsh_cand,
+        sig_a,
+        key="doc_a",
+        payload={"simhash_a": "simhash_a", "n_shingles_a": "n_shingles_a", "sh_a": "sh_a"},
+        num_shards=cfg.group_shards,
     )
-    j = j.join(prof_b, join_type="inner", num_partitions=cfg.join_num_buckets, on=("doc_b",))
-    verified = j.map_batches(
-        _verify_batch,
+    lsh_j = shard_attach(
+        lsh_j,
+        sig_b,
+        key="doc_b",
+        payload={"simhash_b": "simhash_b", "n_shingles_b": "n_shingles_b", "sh_b": "sh_b"},
+        num_shards=cfg.group_shards,
+    )
+    lsh_ver = lsh_j.map_batches(
+        _verify_lsh_batch,
         fn_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         zero_copy_batch=True,
     )
-    return verified.groupby(["doc_a", "doc_b"]).map_groups(_combine_pair, batch_format="numpy")
+
+    # --- winnow path: join texts, seed-and-extend at fingerprint positions ---
+    txt = profile.select_columns(["doc_id", "norm_text"])
+    txt_a = _rename(txt, {"doc_id": "doc_a", "norm_text": "text_a"})
+    txt_b = _rename(txt, {"doc_id": "doc_b", "norm_text": "text_b"})
+    win_cand = _filter_origin(candidates, "winnow", ["doc_a", "doc_b", "pos_a", "pos_b"])
+    win_j = shard_attach(
+        win_cand, txt_a, key="doc_a", payload={"text_a": "text_a"}, num_shards=cfg.group_shards
+    )
+    win_j = shard_attach(
+        win_j, txt_b, key="doc_b", payload={"text_b": "text_b"}, num_shards=cfg.group_shards
+    )
+    win_ver = win_j.map_batches(
+        _verify_winnow_batch,
+        fn_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        zero_copy_batch=True,
+    )
+
+    return sharded_group_map(
+        lsh_ver.union(win_ver),
+        ["doc_a", "doc_b"],
+        _combine_shard_pairs,
+        num_shards=cfg.group_shards,
+    )

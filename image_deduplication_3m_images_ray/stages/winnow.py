@@ -31,6 +31,7 @@ from ray.data import Dataset
 
 from ..config import DedupConfig
 from ..functions.hashing import winnow_fingerprints
+from ..util import segment_bounds, sharded_group_map
 
 
 def _fingerprint_batch(batch: pa.Table, k: int, w: int) -> pa.Table:
@@ -71,34 +72,24 @@ def fingerprint_stage(profile: Dataset, cfg: DedupConfig) -> Dataset:
     )
 
 
-def _emit_fp_pairs(group: dict, cap: int) -> dict:
-    """Within one fingerprint bucket, emit candidate (doc_a, doc_b, pos_a, pos_b).
+def _emit_bucket_pairs(doc: np.ndarray, pos: np.ndarray, cap: int):
+    """Candidate (doc_a, doc_b, pos_a, pos_b) for ONE fingerprint bucket.
 
     Docs sharing this fingerprint hash share (w.h.p.) a k-gram at the recorded
     positions.  Hot fingerprints (site boilerplate) are capped star-wise: each
     doc pairs with the bucket's min-doc occurrence only, which keeps emission
-    linear while preserving bucket connectivity; correctness is restored by the
-    verify stage measuring the true match length at the positions.
+    linear while preserving bucket connectivity; correctness is restored by
+    the verify stage measuring the true match length at the positions.
     """
-    doc = np.asarray(group["doc_id"], dtype=np.uint64)
-    pos = np.asarray(group["pos"], dtype=np.int64)
-    order = np.lexsort((pos, doc))
-    doc, pos = doc[order], pos[order]
     if len(doc) * (len(doc) - 1) // 2 > cap:
-        # hot fingerprint: collapse to one occurrence per doc (min position)
+        # hot fingerprint: collapse to one occurrence per doc (min position);
+        # (doc, pos) arrive lexsorted so the first row per doc is min-pos
         keep = np.ones(len(doc), dtype=bool)
         keep[1:] = doc[1:] != doc[:-1]
         doc, pos = doc[keep], pos[keep]
     n = len(doc)
-    empty = {
-        "doc_a": np.empty(0, dtype=np.uint64),
-        "doc_b": np.empty(0, dtype=np.uint64),
-        "origin": np.empty(0, dtype=object),
-        "pos_a": np.empty(0, dtype=np.int64),
-        "pos_b": np.empty(0, dtype=np.int64),
-    }
     if n < 2:
-        return empty
+        return None
     if n * (n - 1) // 2 <= cap:
         ia, ib = np.triu_indices(n, k=1)
         mask = doc[ia] != doc[ib]  # drop same-doc occurrence pairs
@@ -106,12 +97,41 @@ def _emit_fp_pairs(group: dict, cap: int) -> dict:
     else:  # star around the first (min doc_id) occurrence
         ia = np.zeros(n - 1, dtype=np.int64)
         ib = np.arange(1, n, dtype=np.int64)
+    return doc[ia], doc[ib], pos[ia], pos[ib]
+
+
+def _emit_shard_fp_pairs(group: dict, cap: int) -> dict:
+    fp = np.asarray(group["fp"], dtype=np.uint64)
+    doc = np.asarray(group["doc_id"], dtype=np.uint64)
+    pos = np.asarray(group["pos"], dtype=np.int64)
+    order = np.lexsort((pos, doc, fp))
+    fp, doc, pos = fp[order], doc[order], pos[order]
+    bounds = segment_bounds(fp)
+    counts = np.diff(bounds)
+    a_p, b_p, pa_p, pb_p = [], [], [], []
+    for m in np.nonzero(counts >= 2)[0]:
+        lo, hi = bounds[m], bounds[m + 1]
+        out = _emit_bucket_pairs(doc[lo:hi], pos[lo:hi], cap)
+        if out is not None:
+            a_p.append(out[0])
+            b_p.append(out[1])
+            pa_p.append(out[2])
+            pb_p.append(out[3])
+    if not a_p:
+        return {
+            "doc_a": np.empty(0, dtype=np.uint64),
+            "doc_b": np.empty(0, dtype=np.uint64),
+            "origin": np.empty(0, dtype=object),
+            "pos_a": np.empty(0, dtype=np.int64),
+            "pos_b": np.empty(0, dtype=np.int64),
+        }
+    a = np.concatenate(a_p)
     return {
-        "doc_a": doc[ia],
-        "doc_b": doc[ib],
-        "origin": np.full(len(ia), "winnow", dtype=object),
-        "pos_a": pos[ia],
-        "pos_b": pos[ib],
+        "doc_a": a,
+        "doc_b": np.concatenate(b_p),
+        "origin": np.full(len(a), "winnow", dtype=object),
+        "pos_a": np.concatenate(pa_p),
+        "pos_b": np.concatenate(pb_p),
     }
 
 
@@ -123,6 +143,9 @@ def winnow_pairs_stage(fingerprints: Dataset, cfg: DedupConfig) -> Dataset:
     (keeping only one could pick a seed outside the long shared run).  The
     verify stage dedups after measuring match lengths.
     """
-    return fingerprints.groupby("fp").map_groups(
-        lambda g: _emit_fp_pairs(g, cfg.bucket_pair_cap), batch_format="numpy"
+    return sharded_group_map(
+        fingerprints,
+        ["fp"],
+        lambda g: _emit_shard_fp_pairs(g, cfg.bucket_pair_cap),
+        num_shards=cfg.group_shards,
     )

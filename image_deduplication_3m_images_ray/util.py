@@ -2,9 +2,13 @@
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ray.data import Dataset
+
+_U64 = np.uint64
+_MIX_P = _U64(0x9E3779B97F4A7C15)
 
 
 def rename_columns(ds: Dataset, mapping: dict) -> Dataset:
@@ -14,3 +18,144 @@ def rename_columns(ds: Dataset, mapping: dict) -> Dataset:
         return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sharded_group_map(
+    ds: Dataset,
+    key_cols: list,
+    fn,
+    num_shards: int = 64,
+    batch_format: str = "numpy",
+) -> Dataset:
+    """Group-by-key with ONE Python call per hash shard instead of per group.
+
+    ``ds.groupby(key).map_groups(fn)`` invokes ``fn`` once per group — ruinous
+    when groups number in the millions (LSH buckets, candidate pairs).  Rows
+    with equal keys land in the same shard (shard = mix(keys) % num_shards),
+    so ``fn`` receives WHOLE groups and can do vectorized segmented processing
+    (lexsort + boundaries + reduceat) across all of its groups at once.
+
+    ``key_cols`` must be integer-typed columns.  ``num_shards`` bounds
+    per-task group size: pick ~ dataset_rows / target_rows_per_task at scale.
+    ``fn`` receives the shard without the helper's shard column and must not
+    depend on row order.
+    """
+    from .functions.hashing import splitmix64
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = np.zeros(len(t), dtype=_U64)
+        for c in key_cols:
+            v = np.asarray(t[c].to_numpy(zero_copy_only=False)).astype(_U64)
+            h = splitmix64(h * _MIX_P ^ v)
+        return t.append_column(
+            "__shard", pa.array((h % _U64(num_shards)).astype(np.int32), pa.int32())
+        )
+
+    def strip(group):
+        if isinstance(group, dict):
+            group = {k: v for k, v in group.items() if k != "__shard"}
+        else:  # pandas
+            group = group.drop(columns="__shard")
+        return fn(group)
+
+    sharded = ds.map_batches(add_shard, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded.groupby("__shard").map_groups(strip, batch_format=batch_format)
+
+
+def shard_attach(
+    left: Dataset,
+    right: Dataset,
+    key: str,
+    payload: dict,
+    num_shards: int = 64,
+    how: str = "inner",
+) -> Dataset:
+    """Hash-partitioned equi-join: attach ``right``'s payload columns to ``left``.
+
+    ``key`` is an integer column present in both sides; ``right`` must be
+    unique on it (a profile/dimension table).  ``payload`` maps right-column
+    -> output-column names.  Implemented as a tagged union + one sort-based
+    shard groupby + per-shard vectorized ``searchsorted`` mapping — measured
+    several times cheaper than the actor-based ``Dataset.join`` at
+    small-to-medium scale while hash-partitioning the same way at large scale
+    (SURVEY.md §2.4 J1 "repartition join").
+    """
+    ls = left.schema()
+    rs = right.schema()
+    left_cols = list(ls.names)
+    left_types = dict(zip(ls.names, ls.types))
+    rtypes = dict(zip(rs.names, rs.types))
+    payload_types = {out: rtypes[src] for src, out in payload.items()}
+
+    def filler(n: int, typ: pa.DataType) -> pa.Array:
+        # numeric filler must be 0, not null: a numeric column with nulls
+        # degrades to float64 in the numpy group format, corrupting uint64 ids
+        if pa.types.is_integer(typ) or pa.types.is_floating(typ):
+            return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()), typ)
+        return pa.nulls(n, type=typ)
+
+    def prep_left(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in left_cols}
+        for out, typ in payload_types.items():
+            cols[out] = filler(len(t), typ)
+        cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    def prep_right(t: pa.Table) -> pa.Table:
+        cols = {}
+        for c in left_cols:
+            cols[c] = t[key] if c == key else filler(len(t), left_types[c])
+        for src, out in payload.items():
+            cols[out] = t[src]
+        cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    lt = left.map_batches(prep_left, batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.select_columns([key, *payload.keys()]).map_batches(
+        prep_right, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out_payload = list(payload.values())
+
+    def join_shard(g: dict) -> dict:
+        side = np.asarray(g["__side"], dtype=np.int8)
+        keys = np.asarray(g[key]).astype(np.uint64)
+        prof = side == 0
+        pk = keys[prof]
+        order = np.argsort(pk, kind="stable")
+        pk = pk[order]
+        lmask = ~prof
+        lk = keys[lmask]
+        idx = np.searchsorted(pk, lk)
+        idx_c = np.minimum(idx, max(len(pk) - 1, 0))
+        matched = (len(pk) > 0) & (pk[idx_c] == lk) if len(pk) else np.zeros(len(lk), bool)
+        if how == "inner":
+            take_left = np.nonzero(lmask)[0][matched]
+            gather = order[idx_c[matched]]
+        else:  # left_outer: unmatched keep nulls already present in left rows
+            take_left = np.nonzero(lmask)[0]
+            gather = np.where(matched, order[idx_c], -1)
+        out = {}
+        for c in left_cols:
+            out[c] = np.asarray(g[c])[take_left]
+        prof_rows = np.nonzero(prof)[0]
+        for c in out_payload:
+            vals = np.asarray(g[c])
+            if how == "inner":
+                out[c] = vals[prof_rows[gather]]
+            else:
+                col = np.asarray(g[c])[take_left]  # nulls from left prep
+                hit = gather >= 0
+                col[hit] = vals[prof_rows[gather[hit]]]
+                out[c] = col
+        return out
+
+    return sharded_group_map(lt.union(rt), [key], join_shard, num_shards=num_shards)
+
+
+def segment_bounds(sorted_keys: np.ndarray) -> np.ndarray:
+    """Start indices of each equal-key run in a sorted array, plus the end."""
+    n = len(sorted_keys)
+    if n == 0:
+        return np.zeros(1, dtype=np.int64)
+    change = np.nonzero(sorted_keys[1:] != sorted_keys[:-1])[0] + 1
+    return np.concatenate([[0], change, [n]]).astype(np.int64)

@@ -6,16 +6,17 @@ import pytest
 
 from image_deduplication_3m_images_ray.config import DedupConfig
 
-CFG = DedupConfig(join_num_buckets=2, cluster_max_rounds=50)
+# driver_max_edges=0 forces the DISTRIBUTED label-propagation path; the
+# driver union-find fast path is covered by test_driver_and_distributed_agree
+CFG = DedupConfig(join_num_buckets=2, cluster_max_rounds=50, cluster_driver_max_edges=0)
 
 
-def _run(edges, ray_session):
+def _edges_ds(edges):
     import ray.data
-    from image_deduplication_3m_images_ray.stages.cluster import cluster_stage
 
     a = pa.array([e[0] for e in edges], pa.uint64())
     b = pa.array([e[1] for e in edges], pa.uint64())
-    ds = ray.data.from_arrow(
+    return ray.data.from_arrow(
         pa.table(
             {
                 "doc_a": a,
@@ -27,7 +28,12 @@ def _run(edges, ray_session):
             }
         )
     )
-    out = cluster_stage(ds, CFG).to_pandas()
+
+
+def _run(edges, ray_session, cfg=CFG):
+    from image_deduplication_3m_images_ray.stages.cluster import cluster_stage
+
+    out = cluster_stage(_edges_ds(edges), cfg).to_pandas()
     return dict(zip(out["doc_id"].astype(np.uint64), out["cluster_id"].astype(np.uint64)))
 
 
@@ -50,6 +56,15 @@ def test_star_and_self_consistency(ray_session):
     edges = [(100, i) for i in range(101, 110)] + [(5, 100)]
     labels = _run(edges, ray_session)
     assert set(labels.values()) == {5}
+
+
+def test_driver_and_distributed_agree(ray_session):
+    rng = np.random.default_rng(9)
+    edges = [tuple(sorted(map(int, rng.integers(0, 120, 2)))) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    dist = _run(edges, ray_session)
+    fast = _run(edges, ray_session, DedupConfig(join_num_buckets=2))
+    assert dist == fast
 
 
 def test_empty_edges(ray_session):
