@@ -211,6 +211,28 @@ def _q_dedup_report(sf_dir: str):
     return dedup_pipeline(documents_as_pages(sf_dir), cfg).sort("url")
 
 
+def _q_window_agg(sf_dir: str):
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.windows import tumbling_window_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return tumbling_window_agg(events, window_sec=3600).sort(["event_type", "window_start"])
+
+
+def _q_sessions(sf_dir: str):
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.windows import sessionize
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id"]
+    )
+    return sessionize(events, gap_sec=1800).sort(["user_id", "session_id"])
+
+
 def _q_media_decode(sf_dir: str):
     import ray.data
 
@@ -242,6 +264,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "suffix_pairs": _q_suffix_pairs,
         "dedup_report": _q_dedup_report,
+        "window_agg": _q_window_agg,
+        "sessions": _q_sessions,
         "media_decode": _q_media_decode,
     }
 
@@ -349,6 +373,37 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_id, vec_id, round(c, 6) AS cosine, rank
             FROM r WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "window_agg": """
+            SELECT event_type,
+                   (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "sessions": """
+            WITH o AS (
+                SELECT user_id, ts, event_id,
+                       lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+                FROM events
+            ),
+            f AS (
+                SELECT *, CASE WHEN prev_ts IS NULL
+                                 OR date_diff('microsecond', prev_ts, ts) > 1800000000
+                               THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ),
+            s AS (
+                SELECT *, CAST(sum(new_s) OVER (
+                            PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS BIGINT) - 1 AS session_id
+                FROM f
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
         """,
         # minhash_lsh_clusters / simhash_pairs / lang_id / doc_fingerprints /
         # suffix_pairs / dedup_report / media_decode: hash-seeded or

@@ -46,7 +46,10 @@ class DedupConfig:
     winnow_window: int = 101          # winnowing window (k + w - 1 == min_substring_len)
 
     # --- skew handling ---
-    bucket_pair_cap: int = 256        # bucket size above which pair emission is salted
+    bucket_pair_cap: int = 64         # bucket size above which pair emission is
+                                      # salted into chunks (chunk assignment is
+                                      # re-randomized per band, so a pair split
+                                      # in one band usually co-chunks in another)
     salt_seed: int = 0x5A17           # deterministic member->salt assignment
 
     # --- execution ---

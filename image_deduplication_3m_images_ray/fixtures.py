@@ -77,12 +77,19 @@ def _edit(rng: np.random.Generator, pool: list, tokens: list, rate: float) -> li
     return [t for i, t in enumerate(out) if i not in kill]
 
 
-def generate_corpus(n_rows: int, seed: int = 42, giant_size: int | None = None):
-    """Return (pages: pa.Table, truth: pa.Table); deterministic in (n_rows, seed)."""
+def generate_corpus(
+    n_rows: int, seed: int = 42, giant_size: int | None = None, doc_scale: float = 1.0
+):
+    """Return (pages: pa.Table, truth: pa.Table); deterministic in (n_rows, seed,
+    doc_scale).  ``doc_scale`` multiplies document token lengths — bench corpora
+    use larger docs (Common-Crawl pages average several KB of extracted text)."""
     rng = np.random.default_rng(seed)
     pool = _word_pool(rng)
     if giant_size is None:
         giant_size = max(6, min(500, n_rows // 40))
+
+    def S(n: int) -> int:
+        return max(10, int(n * doc_scale))
 
     budgets = {
         "exact_dup": int(n_rows * 0.10),
@@ -100,7 +107,7 @@ def generate_corpus(n_rows: int, seed: int = 42, giant_size: int | None = None):
         return cluster_id
 
     # giant cluster: light edits of one seed -> must resolve to ONE final cluster
-    seed_doc = _base_doc(rng, pool, 200, 400)
+    seed_doc = _base_doc(rng, pool, S(200), S(400))
     cid = new_cluster()
     rows.append(_Row("near_dup_light", cid, seed_doc))
     for _ in range(giant_size - 1):
@@ -119,12 +126,12 @@ def generate_corpus(n_rows: int, seed: int = 42, giant_size: int | None = None):
             while sum(len(w) + 1 for w in footer) >= 195:
                 footer = footer[:-1]
             for _ in range(budget):
-                body = _base_doc(rng, pool, 150, 400)
+                body = _base_doc(rng, pool, S(150), S(400))
                 rows.append(_Row(cls, new_cluster(), header + body + footer))
             continue
         while made < budget:
             if cls == "substring_dup":
-                inner = _base_doc(rng, pool, 60, 200)
+                inner = _base_doc(rng, pool, S(60), S(200))
                 prefix = _base_doc(rng, pool, len(inner), 2 * len(inner))
                 suffix = _base_doc(rng, pool, len(inner) // 2, len(inner))
                 cid = new_cluster()
@@ -136,10 +143,10 @@ def generate_corpus(n_rows: int, seed: int = 42, giant_size: int | None = None):
             size = min(size, budget - made) if budget - made >= 2 else budget - made
             if size < 2:
                 # absorb the remainder as a unique row
-                rows.append(_Row("unique", new_cluster(), _base_doc(rng, pool)))
+                rows.append(_Row("unique", new_cluster(), _base_doc(rng, pool, S(60), S(500))))
                 made += 1
                 continue
-            base = _base_doc(rng, pool, 80, 500)
+            base = _base_doc(rng, pool, S(80), S(500))
             cid = new_cluster()
             rows.append(_Row(cls, cid, base))
             for _ in range(size - 1):
@@ -152,7 +159,7 @@ def generate_corpus(n_rows: int, seed: int = 42, giant_size: int | None = None):
             made += size
 
     while len(rows) < n_rows:
-        rows.append(_Row("unique", new_cluster(), _base_doc(rng, pool)))
+        rows.append(_Row("unique", new_cluster(), _base_doc(rng, pool, S(60), S(500))))
     rows = rows[:n_rows]
 
     # deterministic shuffle of row order
@@ -224,12 +231,18 @@ def _render_html(title: str, body: str) -> bytes:
     return doc.encode("utf-8")
 
 
-def write_corpus(out_dir: str, n_rows: int, seed: int = 42, giant_size: int | None = None):
+def write_corpus(
+    out_dir: str,
+    n_rows: int,
+    seed: int = 42,
+    giant_size: int | None = None,
+    doc_scale: float = 1.0,
+):
     """Write pages.parquet + truth.parquet under ``out_dir``; returns paths."""
     import os
 
     os.makedirs(out_dir, exist_ok=True)
-    pages, truth = generate_corpus(n_rows, seed=seed, giant_size=giant_size)
+    pages, truth = generate_corpus(n_rows, seed=seed, giant_size=giant_size, doc_scale=doc_scale)
     pages_path = os.path.join(out_dir, "pages.parquet")
     truth_path = os.path.join(out_dir, "truth.parquet")
     pq.write_table(pages, pages_path)

@@ -203,7 +203,7 @@ def minhash_simhash_batch(
     shingles: np.ndarray,
     offsets: np.ndarray,
     seeds: np.ndarray,
-    chunk_shingles: int = 1 << 16,
+    chunk_shingles: int = 1 << 15,
     return_uniques: bool = False,
 ):
     """Whole-batch MinHash + SimHash via segmented reductions — no per-doc Python loop.
@@ -212,36 +212,45 @@ def minhash_simhash_batch(
     n_unique_shingles (n_docs,) int64)`` — plus ``(uniq_flat, uniq_offsets)``
     (the sorted-unique shingle sets, flat layout) when ``return_uniques``.
     Semantics identical to calling :func:`minhash_signature` /
-    :func:`simhash64` per doc (asserted in tests).  Work proceeds in doc
-    chunks whose flat unique-shingle count stays near ``chunk_shingles`` so
-    the (shingles x num_perms) intermediate stays small.
+    :func:`simhash64` per doc (asserted in tests).
+
+    Cache-blocked: the per-seed mix runs in-place over an L2-resident
+    ``chunk_shingles`` window (measured ~10x faster than materializing the
+    (shingles x num_perms) matrix, which streams num_perms*8 bytes of
+    temporaries through DRAM per shingle).  Chunks cut across doc boundaries;
+    partial per-doc minima/votes merge into the output arrays.
     """
     uniq, uoff = unique_per_doc(np.asarray(shingles, dtype=U64), offsets)
     n_docs = len(uoff) - 1
     num_perms = len(seeds)
-    sigs = np.empty((n_docs, num_perms), dtype=U64)
-    simhashes = np.empty(n_docs, dtype=U64)
+    n = len(uniq)
+    sigs = np.full((n_docs, num_perms), np.iinfo(np.uint64).max, dtype=U64)
+    votes = np.zeros((n_docs, 64), dtype=np.int32)
     n_unique = np.diff(uoff)
 
-    bit_idx = np.arange(64, dtype=U64)
+    tmp = np.empty(chunk_shingles, dtype=U64)
     lo = 0
-    while lo < n_docs:
-        hi = lo + 1
-        while hi < n_docs and uoff[hi + 1] - uoff[lo] <= chunk_shingles:
-            hi += 1
-        seg = uniq[uoff[lo] : uoff[hi]]
-        starts = (uoff[lo:hi] - uoff[lo]).astype(np.int64)
-        # minhash: bijective xor+odd-multiply per seed, then segmented min
-        # (same formula as minhash_signature — asserted equal in tests)
-        mixed = (seg[:, None] ^ seeds[None, :]) * _SM_C2
-        sigs[lo:hi] = np.minimum.reduceat(mixed, starts, axis=0)
-        # simhash: per-bit vote counts via segmented sum over unpacked bits
+    while lo < n:
+        hi = min(n, lo + chunk_shingles)
+        seg = uniq[lo:hi]
+        t = tmp[: hi - lo]
+        # docs overlapping [lo, hi): j0 starts at/before lo, j1 first at/after hi
+        j0 = int(np.searchsorted(uoff, lo, side="right")) - 1
+        j1 = int(np.searchsorted(uoff, hi, side="left"))
+        starts_local = np.maximum(uoff[j0:j1] - lo, 0).astype(np.int64)
+        for i in range(num_perms):
+            # bijective xor + odd-multiply per seed (same formula as
+            # minhash_signature — asserted equal in tests)
+            np.bitwise_xor(seg, seeds[i], out=t)
+            np.multiply(t, _SM_C2, out=t)
+            part = np.minimum.reduceat(t, starts_local)
+            np.minimum(sigs[j0:j1, i], part, out=sigs[j0:j1, i])
         bits = np.unpackbits(seg.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
-        votes = np.add.reduceat(bits.astype(np.int32), starts, axis=0)
-        counts = n_unique[lo:hi][:, None]
-        majority = (votes * 2 >= counts).astype(U64)
-        simhashes[lo:hi] = (majority << bit_idx[None, :]).sum(axis=1, dtype=U64)
+        votes[j0:j1] += np.add.reduceat(bits.astype(np.int32), starts_local, axis=0)
         lo = hi
+
+    majority = (votes * 2 >= n_unique[:, None]).astype(U64)
+    simhashes = (majority << np.arange(64, dtype=U64)[None, :]).sum(axis=1, dtype=U64)
     if return_uniques:
         return sigs, simhashes, n_unique, uniq, uoff
     return sigs, simhashes, n_unique
@@ -310,13 +319,28 @@ def _invpow_series(n: int) -> np.ndarray:
     return out
 
 
-def winnow_fingerprints(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
-    """Winnowing (Schleimer et al., SIGMOD'03): rightmost-min k-gram hash per
-    window of ``w`` consecutive k-grams, over the UTF-8 bytes of ``text``.
+def sliding_min(hashes: np.ndarray, w: int) -> np.ndarray:
+    """min over every length-``w`` window — O(n log w) sparse-table doubling
+    (the O(n*w) strided-view argmin dominated the fingerprint stage)."""
+    g = hashes
+    shift = 1
+    while shift * 2 <= w:
+        g = np.minimum(g[:-shift], g[shift:])
+        shift *= 2
+    # g[i] = min(hashes[i:i+shift]); combine two overlapping spans per window
+    return np.minimum(g[: len(hashes) - w + 1], g[w - shift :])
 
-    Returns (fingerprint_hashes, byte_positions), deduplicated on (hash, pos).
+
+def winnow_fingerprints(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Winnowing (Schleimer et al., SIGMOD'03): the min k-gram hash per window
+    of ``w`` consecutive k-grams, over the UTF-8 bytes of ``text``.
+
+    Returns (fingerprint_hashes, byte_positions) of the selected k-grams.
     Guarantee: two texts sharing a common substring of >= k + w - 1 chars share
-    at least one fingerprint hash.
+    at least one fingerprint HASH (64-bit hashes are unique within a doc
+    w.h.p., so the selected value pins a position; a value repeated inside one
+    doc keeps its first position — the shared-hash guarantee is unaffected,
+    only the seed position can then point at a different copy).
     """
     data = text.encode("utf-8")
     hashes = _char_kgram_hashes(data, k)
@@ -324,11 +348,11 @@ def winnow_fingerprints(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarr
     if m == 0:
         return np.empty(0, dtype=U64), np.empty(0, dtype=np.int64)
     if m <= w:
-        pos = int(np.flatnonzero(hashes == hashes.min())[-1])
+        pos = int(np.flatnonzero(hashes == hashes.min())[0])
         return hashes[pos : pos + 1].copy(), np.array([pos], dtype=np.int64)
-    win = np.lib.stride_tricks.sliding_window_view(hashes, w)
-    # rightmost argmin per window: argmin of reversed view
-    rev_arg = np.argmin(win[:, ::-1], axis=1)
-    arg = (w - 1 - rev_arg) + np.arange(m - w + 1)
-    sel = np.unique(arg)
-    return hashes[sel], sel.astype(np.int64)
+    sel_vals = np.unique(sliding_min(hashes, w))
+    order = np.argsort(hashes, kind="stable")
+    idx = np.searchsorted(hashes[order], sel_vals)
+    pos = order[idx]  # first position of each selected value
+    o = np.argsort(pos, kind="stable")
+    return sel_vals[o], pos[o].astype(np.int64)

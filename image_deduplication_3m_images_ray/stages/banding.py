@@ -56,15 +56,28 @@ def band_postings_stage(profile: Dataset, cfg: DedupConfig) -> Dataset:
     )
 
 
-def emit_capped_pairs(ids: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
+def emit_capped_pairs(
+    ids: np.ndarray, cap: int, salt: int = 0
+) -> tuple[np.ndarray, np.ndarray]:
     """All-pairs for buckets <= cap; salted chunk + recursive leader pairs above.
 
-    Deterministic in the multiset of ids.  Connectivity guarantee: the graph of
-    emitted pairs over ``ids`` is connected (chunks are internally complete and
-    leaders are connected recursively), so if every emitted pair verifies, the
-    bucket still collapses to ONE cluster — the planted-giant-cluster test
-    (FIXTURES.md §2) pins this.
+    Deterministic in (multiset of ids, salt).  Connectivity guarantee: the
+    graph of emitted pairs over ``ids`` is connected (chunks are internally
+    complete and leaders are connected recursively), so if every emitted pair
+    verifies, the bucket still collapses to ONE cluster — the
+    planted-giant-cluster test (FIXTURES.md §2) pins this.
+
+    ``salt`` controls the (pseudo-random, id-magnitude-independent) chunk
+    assignment.  It is deliberately CONSTANT across bands: a hot bucket that
+    recurs in many bands (a true near-dup cluster) then emits the SAME pair
+    set each time, which the downstream distinct collapses — salting per band
+    would multiply distinct pairs by the band count.  Mixed hot buckets in
+    different bands have different membership, so their chunk splits differ
+    anyway.  (The reference instead silently dropped hot buckets,
+    /root/reference/modules/deduplication.py:305-316.)
     """
+    from ..functions.hashing import splitmix64
+
     ids = np.unique(ids)
     n = len(ids)
     if n < 2:
@@ -73,15 +86,17 @@ def emit_capped_pairs(ids: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray
     if n <= cap:
         ia, ib = np.triu_indices(n, k=1)
         return ids[ia], ids[ib]
+    order = np.argsort(splitmix64(ids ^ np.uint64(salt)), kind="stable")
+    ids_s = ids[order]
     n_chunks = -(-n // cap)
     a_parts, b_parts = [], []
     for c in range(n_chunks):
-        chunk = ids[c * cap : (c + 1) * cap]
+        chunk = ids_s[c * cap : (c + 1) * cap]
         ia, ib = np.triu_indices(len(chunk), k=1)
-        a_parts.append(chunk[ia])
-        b_parts.append(chunk[ib])
-    leaders = ids[np.arange(n_chunks) * cap]
-    la, lb = emit_capped_pairs(leaders, cap)
+        a_parts.append(np.minimum(chunk[ia], chunk[ib]))
+        b_parts.append(np.maximum(chunk[ia], chunk[ib]))
+    leaders = np.sort(ids_s[np.arange(n_chunks) * cap])
+    la, lb = emit_capped_pairs(leaders, cap, salt)
     a_parts.append(la)
     b_parts.append(lb)
     return np.concatenate(a_parts), np.concatenate(b_parts)

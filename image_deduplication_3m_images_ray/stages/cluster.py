@@ -100,7 +100,11 @@ def _driver_union_find(edges: Dataset) -> Dataset:
     import ray
     import ray.data
 
-    t = pa.concat_tables(ray.get(edges.to_arrow_refs()))
+    # some blocks can be empty with a degenerate (column-less) schema — skip
+    blocks = [b for b in ray.get(edges.to_arrow_refs()) if b.num_rows and b.num_columns]
+    if not blocks:
+        return _empty_clusters()
+    t = pa.concat_tables(blocks)
     a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False), dtype=U64)
     b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), dtype=U64)
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)

@@ -46,16 +46,19 @@ def _extract_batch(batch: pa.Table) -> pa.Table:
         zero_copy_only=False
     )
     need = np.asarray(need, dtype=bool)
-    texts = text.to_pylist()
     if need.any():
+        # per-row Python ONLY for rows whose text must come from html
+        texts = text.to_pylist()
         html_col = batch["html"] if "html" in batch.column_names else None
         htmls = html_col.to_pylist() if html_col is not None else None
         for i in np.nonzero(need)[0]:
             raw = htmls[i] if htmls is not None else None
             texts[int(i)] = extract_text(raw) if raw else ""
-    raw_text = pa.array(texts, pa.string())
+        raw_text = pa.array(texts, pa.string())
+    else:
+        raw_text = text  # zero-copy fast path
     norm = normalize_array(raw_text)
-    urls = np.asarray(batch["url"].to_pylist(), dtype=object)
+    urls = batch["url"].to_numpy(zero_copy_only=False)
     out = pa.table(
         {
             "doc_id": pa.array(doc_ids_for_urls(urls), pa.uint64()),

@@ -18,15 +18,17 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..config import DedupConfig
-from ..util import sharded_group_map
+from ..util import shard_attach, sharded_group_map
 
 
 def _fill_singletons(t: pa.Table) -> pa.Table:
-    cid = t["cluster_id"]
-    if isinstance(cid, pa.ChunkedArray):
-        cid = cid.combine_chunks()
-    filled = pc.coalesce(cid, t["doc_id"].combine_chunks() if isinstance(t["doc_id"], pa.ChunkedArray) else t["doc_id"])
-    return t.set_column(t.column_names.index("cluster_id"), "cluster_id", filled.cast(pa.uint64()))
+    # 0 is shard_attach's no-match sentinel (see pipelines.dedup._expand_clusters)
+    cid = np.asarray(t["cluster_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    did = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    filled = np.where(cid == 0, did, cid)
+    return t.set_column(
+        t.column_names.index("cluster_id"), "cluster_id", pa.array(filled, pa.uint64())
+    )
 
 
 def _assign_status_shard(g: pd.DataFrame) -> pd.DataFrame:
@@ -51,16 +53,7 @@ def _assign_status_shard(g: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def report_stage(docs: Dataset, clusters: Dataset, cfg: DedupConfig) -> Dataset:
-    """docs(doc_id,url,n_chars) x clusters(doc_id,cluster_id) -> report.
-
-    Left-outer hash join (clusters cover only docs that appear in verified
-    pairs); a null cluster_id means a singleton whose cluster is itself.
-    """
-    base = docs.select_columns(["doc_id", "url", "n_chars"])
-    j = base.join(
-        clusters, join_type="left_outer", num_partitions=cfg.join_num_buckets, on=("doc_id",)
-    )
+def _finish_report(j: Dataset, cfg: DedupConfig) -> Dataset:
     j = j.map_batches(_fill_singletons, batch_format="pyarrow", zero_copy_batch=True)
     j = j.map_batches(
         lambda t: t.append_column("quality", pc.cast(t["n_chars"], pa.float64())).drop_columns(
@@ -73,3 +66,54 @@ def report_stage(docs: Dataset, clusters: Dataset, cfg: DedupConfig) -> Dataset:
         j, ["cluster_id"], _assign_status_shard, num_shards=cfg.group_shards, batch_format="pandas"
     )
     return rep.select_columns(["url", "doc_id", "cluster_id", "cluster_size", "quality", "status"])
+
+
+def report_stage(docs: Dataset, clusters: Dataset, cfg: DedupConfig) -> Dataset:
+    """docs(doc_id,url,n_chars) x clusters(doc_id,cluster_id) -> report.
+
+    Left-outer hash join (clusters cover only docs that appear in verified
+    pairs); sentinel cluster_id 0 means a singleton whose cluster is itself.
+    """
+    base = docs.select_columns(["doc_id", "url", "n_chars"])
+    j = shard_attach(
+        base,
+        clusters,
+        key="doc_id",
+        payload={"cluster_id": "cluster_id"},
+        num_shards=cfg.group_shards,
+        how="left_outer",
+    )
+    return _finish_report(j, cfg)
+
+
+def report_stage_from_reps(docs_rep: Dataset, rep_clusters: Dataset, cfg: DedupConfig) -> Dataset:
+    """Exact-prepass report in ONE attach: every doc reaches its cluster through
+    its exact representative (cluster(doc) = label(rep(doc)) or rep(doc)).
+
+    Unmatched reps fall back to ``rep_id`` (not ``doc_id``) so an unclustered
+    exact-copy group still collapses to one cluster.
+    """
+    from ..util import rename_columns
+
+    base = docs_rep.select_columns(["doc_id", "url", "n_chars", "rep_id"])
+    rc = rename_columns(rep_clusters, {"doc_id": "rep_id", "cluster_id": "cluster_id"})
+    j = shard_attach(
+        base,
+        rc,
+        key="rep_id",
+        payload={"cluster_id": "cluster_id"},
+        num_shards=cfg.group_shards,
+        how="left_outer",
+    )
+
+    def fallback(t: pa.Table) -> pa.Table:
+        cid = np.asarray(t["cluster_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        rid = np.asarray(t["rep_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        filled = np.where(cid == 0, rid, cid)
+        out = t.set_column(
+            t.column_names.index("cluster_id"), "cluster_id", pa.array(filled, pa.uint64())
+        )
+        return out.drop_columns(["rep_id"])
+
+    j = j.map_batches(fallback, batch_format="pyarrow", zero_copy_batch=True)
+    return _finish_report(j, cfg)

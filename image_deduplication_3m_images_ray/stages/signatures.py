@@ -41,30 +41,16 @@ class SignatureActor:
             else batch["norm_text"]
         )
         shingles, offsets = shingle_batch(norm, cfg.shingle_k)
-        sigs, simhashes, n_unique, uniq, uoff = minhash_simhash_batch(
-            shingles, offsets, self.seeds, return_uniques=True
-        )
+        sigs, simhashes, n_unique = minhash_simhash_batch(shingles, offsets, self.seeds)
         minhash_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1), pa.uint64()), cfg.num_perms
         ).cast(pa.list_(pa.uint64()))
-        # the sorted-unique shingle set per doc travels IN the table so the
-        # verify stage never re-tokenizes text (compute-once, reference analog:
-        # quality caching, memory_efficient_deduplication.py:233-246).
-        # Stored as BINARY (raw little-endian uint64 bytes) because Acero hash
-        # joins reject list-typed payload columns; decode is a zero-copy
-        # frombuffer in the verify stage.
-        shingle_col = pa.Array.from_buffers(
-            pa.binary(),
-            len(uoff) - 1,
-            [None, pa.py_buffer((uoff * 8).astype(np.int32).tobytes()), pa.py_buffer(uniq.tobytes())],
-        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
                 "url": batch["url"],
                 "norm_text": norm,
                 "minhash": minhash_col,
-                "shingles": shingle_col,
                 "simhash": pa.array(simhashes, pa.uint64()),
                 "n_shingles": pa.array(n_unique, pa.int64()),
                 # doc quality = extracted-text length (FIXTURES.md §4), the

@@ -27,7 +27,7 @@ from ray.data import Dataset
 
 from ..config import DedupConfig
 from ..functions.hashing import hamming64
-from ..functions.text import pairwise_jaccard_from_sets
+from ..functions.text import pairwise_jaccard_batch
 from ..util import rename_columns as _rename
 from ..util import shard_attach, sharded_group_map
 
@@ -77,27 +77,6 @@ def extend_match(ba: bytes, bb: bytes, pos_a: int, pos_b: int, k: int, chunk: in
     return i - lo_a
 
 
-def _shingle_col_to_flat(col) -> tuple[np.ndarray, np.ndarray]:
-    """Binary shingle-set column (raw uint64 bytes) -> (flat values, int64 offsets).
-
-    Zero-copy: reads the Arrow binary array's value/offset buffers directly.
-    Element byte-lengths are multiples of 8 by construction, so the uint64
-    reinterpretation stays aligned.
-    """
-    if isinstance(col, pa.ChunkedArray):
-        col = col.combine_chunks()
-    byte_offs = np.frombuffer(col.buffers()[1], dtype=np.int32)[
-        col.offset : col.offset + len(col) + 1
-    ].astype(np.int64)
-    data = np.frombuffer(col.buffers()[2], dtype=np.uint8)
-    seg = data[byte_offs[0] : byte_offs[-1]]
-    try:
-        values = seg.view(np.uint64)
-    except ValueError:  # unaligned slice — copy
-        values = np.frombuffer(seg.tobytes(), dtype=np.uint64)
-    return values, (byte_offs - byte_offs[0]) // 8
-
-
 def _verify_lsh_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     n = len(batch)
     if n == 0:
@@ -113,9 +92,12 @@ def _verify_lsh_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
     if len(todo) == 0:
         return _EMPTY
     sel = pa.array(todo)
-    ua, uoff_a = _shingle_col_to_flat(batch["sh_a"].take(sel))
-    ub, uoff_b = _shingle_col_to_flat(batch["sh_b"].take(sel))
-    jacc = pairwise_jaccard_from_sets(ua, uoff_a, ub, uoff_b)
+    # exact Jaccard by re-shingling the attached texts: shipping text through
+    # the attach shuffle is cheaper than shipping shingle sets (~40% fewer
+    # bytes) and the re-shingle is perfectly parallel vectorized compute
+    jacc = pairwise_jaccard_batch(
+        batch["text_a"].take(sel), batch["text_b"].take(sel), cfg.shingle_k
+    )
     keep_local = jacc >= cfg.jaccard_threshold
     kept = todo[keep_local]
     if len(kept) == 0:
@@ -133,21 +115,20 @@ def _verify_lsh_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
 
 
 def _verify_winnow_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
+    """Seed-extend inside the attached context windows (bytes, window-local
+    positions).  match_len is exact up to the window bound — the >= L decision
+    is unaffected (any >= L run through the seed lies within +-L of it)."""
     n = len(batch)
     if n == 0:
         return _EMPTY
     pos_a = np.asarray(batch["pos_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
     pos_b = np.asarray(batch["pos_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    ta = batch["text_a"].to_pylist()
-    tb = batch["text_b"].to_pylist()
+    ta = batch["ctx_a"].to_pylist()
+    tb = batch["ctx_b"].to_pylist()
     match_len = np.zeros(n, dtype=np.int64)
     for i in range(n):
         match_len[i] = extend_match(
-            ta[i].encode("utf-8"),
-            tb[i].encode("utf-8"),
-            int(pos_a[i]),
-            int(pos_b[i]),
-            cfg.winnow_kgram,
+            ta[i], tb[i], int(pos_a[i]), int(pos_b[i]), cfg.winnow_kgram
         )
     keep = match_len >= cfg.min_substring_len
     if not keep.any():
@@ -208,63 +189,263 @@ def _filter_origin(ds: Dataset, origin: str, cols: list) -> Dataset:
     )
 
 
+def _consolidate_shard(group: dict, max_seeds: int = 4) -> dict:
+    """One row set per distinct (doc_a, doc_b) before the expensive text attach.
+
+    Keeps at most one LSH row plus up to ``max_seeds`` winnow seed rows per
+    pair.  Near-dup clusters otherwise explode the winnow row count (every
+    shared fingerprint emits a row — hundreds for lightly-edited copies), and
+    each surviving row later ships both documents' text through the attach
+    shuffle.  Seeds are SPREAD over the pair's matches: extension around any
+    seed inside a >=L shared run passes, so a handful of spread seeds
+    preserves the winnowing guarantee in all but adversarial multi-run
+    layouts.  The LSH row is kept even when winnow seeds exist (and vice
+    versa) — a containment pair can share a band yet fail Jaccard.
+    """
+    a = np.asarray(group["doc_a"], dtype=np.uint64)
+    b = np.asarray(group["doc_b"], dtype=np.uint64)
+    pos_a = np.asarray(group["pos_a"], dtype=np.int64)
+    pos_b = np.asarray(group["pos_b"], dtype=np.int64)
+    origin = np.asarray(group["origin"], dtype=object)
+    is_win = (origin == "winnow").astype(np.int8)
+    order = np.lexsort((pos_a, is_win, b, a))
+    a, b, pos_a, pos_b, origin, is_win = (
+        a[order], b[order], pos_a[order], pos_b[order], origin[order], is_win[order]
+    )
+    first = np.ones(len(a), dtype=bool)
+    if len(a) > 1:
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.nonzero(first)[0]
+    ends = np.append(starts[1:], len(a))
+    has_lsh = is_win[starts] == 0  # lsh rows sort before winnow rows per pair
+    keep_parts = [starts[has_lsh]]
+    # winnow seed rows for EVERY pair (segment minus the lsh row if present)
+    w_starts = starts + has_lsh.astype(np.int64)
+    w_lens = ends - w_starts
+    nonempty = w_lens > 0
+    w_starts, w_lens = w_starts[nonempty], w_lens[nonempty]
+    small = w_lens <= max_seeds
+    if small.any():
+        s, ln = w_starts[small], w_lens[small]
+        from ..functions.hashing import _ranges
+
+        keep_parts.append(np.repeat(s, ln) + _ranges(ln))
+    for s, ln in zip(w_starts[~small], w_lens[~small]):
+        sel = s + np.unique((np.arange(max_seeds) * (ln - 1)) // (max_seeds - 1))
+        keep_parts.append(sel)
+    keep = np.sort(np.concatenate(keep_parts))
+    return {
+        "doc_a": a[keep],
+        "doc_b": b[keep],
+        "origin": origin[keep],
+        "pos_a": pos_a[keep],
+        "pos_b": pos_b[keep],
+    }
+
+
+def _ctx_attach(
+    rows: Dataset,
+    prof: Dataset,
+    key: str,
+    pos_col: str,
+    out_col: str,
+    window: int,
+    k: int,
+    num_shards: int,
+) -> Dataset:
+    """Attach a byte CONTEXT WINDOW of the document text around each seed.
+
+    A >= L common run through a shared k-gram is decidable from the bytes
+    within ``window`` (= L) of the seed on each side, so winnow verification
+    never needs the full text — this cuts the attach shuffle volume by ~50x
+    for long documents.  ``pos_col`` is rewritten to the window-local offset.
+    """
+    row_schema = rows.schema()
+    row_cols = list(row_schema.names)
+    row_types = {n: t for n, t in zip(row_schema.names, row_schema.types)}
+
+    def prep_rows(t: pa.Table) -> pa.Table:
+        cols = {c: t[c] for c in row_cols}
+        cols[out_col] = pa.nulls(len(t), type=pa.binary())
+        cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    def filler(n: int, typ) -> pa.Array:
+        if isinstance(typ, pa.DataType) and (pa.types.is_integer(typ) or pa.types.is_floating(typ)):
+            return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()), typ)
+        if isinstance(typ, pa.DataType):
+            return pa.nulls(n, type=typ)
+        return pa.nulls(n, type=pa.string())  # pandas-backed object column
+
+    def prep_prof(t: pa.Table) -> pa.Table:
+        cols = {
+            c: (t["doc_id"] if c == key else filler(len(t), row_types[c])) for c in row_cols
+        }
+        cols[out_col] = pc.cast(t["norm_text"], pa.binary())
+        cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8), pa.int8())
+        return pa.table(cols)
+
+    lt = rows.map_batches(prep_rows, batch_format="pyarrow", zero_copy_batch=True)
+    rt = prof.select_columns(["doc_id", "norm_text"]).map_batches(
+        prep_prof, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def join_shard(g: dict) -> dict:
+        side = np.asarray(g["__side"], dtype=np.int8)
+        keys = np.asarray(g[key]).astype(np.uint64)
+        texts = np.asarray(g[out_col], dtype=object)
+        pos = np.asarray(g[pos_col], dtype=np.int64)
+        prof_idx = np.nonzero(side == 0)[0]
+        pk = keys[prof_idx]
+        order = np.argsort(pk, kind="stable")
+        pk = pk[order]
+        prof_idx = prof_idx[order]
+        row_idx = np.nonzero(side == 1)[0]
+        lk = keys[row_idx]
+        if len(pk):
+            loc = np.minimum(np.searchsorted(pk, lk), len(pk) - 1)
+            matched = pk[loc] == lk
+        else:
+            loc = np.zeros(len(lk), dtype=np.int64)
+            matched = np.zeros(len(lk), dtype=bool)
+        row_idx = row_idx[matched]
+        loc = loc[matched]
+        ctx = np.empty(len(row_idx), dtype=object)
+        new_pos = np.empty(len(row_idx), dtype=np.int64)
+        for i in range(len(row_idx)):
+            data = texts[prof_idx[loc[i]]]
+            p = int(pos[row_idx[i]])
+            lo = max(0, p - window)
+            hi = min(len(data), p + k + window)
+            ctx[i] = data[lo:hi]
+            new_pos[i] = p - lo
+        out = {}
+        for c in row_cols:
+            out[c] = np.asarray(g[c])[row_idx]
+        out[pos_col] = new_pos
+        out[out_col] = ctx
+        return out
+
+    return sharded_group_map(lt.union(rt), [key], join_shard, num_shards=num_shards)
+
+
+def _drop_verified_shard(group: dict) -> dict:
+    """Anti-join: drop winnow seed rows whose pair already verified via LSH."""
+    a = np.asarray(group["doc_a"], dtype=np.uint64)
+    b = np.asarray(group["doc_b"], dtype=np.uint64)
+    origin = np.asarray(group["origin"], dtype=object)
+    pos_a = np.asarray(group["pos_a"], dtype=np.int64)
+    pos_b = np.asarray(group["pos_b"], dtype=np.int64)
+    is_marker = (origin == "verified").astype(np.int8)
+    order = np.lexsort((1 - is_marker, b, a))  # markers first within each pair
+    a, b, origin, pos_a, pos_b, is_marker = (
+        a[order], b[order], origin[order], pos_a[order], pos_b[order], is_marker[order]
+    )
+    first = np.ones(len(a), dtype=bool)
+    if len(a) > 1:
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    pair_id = np.cumsum(first) - 1
+    starts = np.nonzero(first)[0]
+    pair_has_marker = is_marker[starts] == 1
+    keep = (is_marker == 0) & ~pair_has_marker[pair_id]
+    return {
+        "doc_a": a[keep],
+        "doc_b": b[keep],
+        "origin": origin[keep],
+        "pos_a": pos_a[keep],
+        "pos_b": pos_b[keep],
+    }
+
+
 def verify_stage(candidates: Dataset, profile: Dataset, cfg: DedupConfig) -> Dataset:
-    """candidate_pairs x profile -> verified_pairs (distinct on doc_a, doc_b)."""
-    # --- LSH path: join shingle sets, gate, exact Jaccard ---
-    sig = profile.select_columns(["doc_id", "simhash", "n_shingles", "shingles"])
-    sig_a = _rename(
-        sig,
-        {"doc_id": "doc_a", "simhash": "simhash_a", "n_shingles": "n_shingles_a", "shingles": "sh_a"},
+    """candidate_pairs x profile -> verified_pairs (distinct on doc_a, doc_b).
+
+    Two-phase, shuffle-volume-minimizing plan (the dominant cost is shipping
+    both documents' text per candidate pair through the attach exchange):
+
+    1. consolidate candidates per pair (1 LSH row + <= 4 spread winnow seeds);
+    2. attach profile payload to the LSH rows only and confirm by exact
+       Jaccard — near-dup clusters (where winnow seeds are most redundant)
+       resolve here;
+    3. anti-join the winnow seeds against the phase-2 verdicts: a pair already
+       confirmed needs no substring check — this is what keeps lightly-edited
+       copy clusters (hundreds of shared fingerprints per pair) from shipping
+       text hundreds of times;
+    4. attach text to the surviving winnow seeds and seed-extend;
+    5. one combine shuffle emits the distinct verified pair set.
+    """
+    prof = profile.select_columns(["doc_id", "simhash", "n_shingles", "norm_text"])
+    prof_a = _rename(
+        prof,
+        {"doc_id": "doc_a", "simhash": "simhash_a", "n_shingles": "n_shingles_a", "norm_text": "text_a"},
     )
-    sig_b = _rename(
-        sig,
-        {"doc_id": "doc_b", "simhash": "simhash_b", "n_shingles": "n_shingles_b", "shingles": "sh_b"},
+    prof_b = _rename(
+        prof,
+        {"doc_id": "doc_b", "simhash": "simhash_b", "n_shingles": "n_shingles_b", "norm_text": "text_b"},
     )
-    lsh_cand = _filter_origin(candidates, "lsh", ["doc_a", "doc_b"])
-    lsh_j = shard_attach(
-        lsh_cand,
-        sig_a,
+    candidates = sharded_group_map(
+        candidates, ["doc_a", "doc_b"], _consolidate_shard, num_shards=cfg.group_shards
+    ).materialize()  # consumed by both phases; tiny payload (ids + positions)
+
+    # --- phase 1: LSH rows -> exact Jaccard ---
+    lsh_rows = _filter_origin(candidates, "lsh", ["doc_a", "doc_b"])
+    j1 = shard_attach(
+        lsh_rows,
+        prof_a,
         key="doc_a",
-        payload={"simhash_a": "simhash_a", "n_shingles_a": "n_shingles_a", "sh_a": "sh_a"},
+        payload={"simhash_a": "simhash_a", "n_shingles_a": "n_shingles_a", "text_a": "text_a"},
         num_shards=cfg.group_shards,
     )
-    lsh_j = shard_attach(
-        lsh_j,
-        sig_b,
+    j1 = shard_attach(
+        j1,
+        prof_b,
         key="doc_b",
-        payload={"simhash_b": "simhash_b", "n_shingles_b": "n_shingles_b", "sh_b": "sh_b"},
+        payload={"simhash_b": "simhash_b", "n_shingles_b": "n_shingles_b", "text_b": "text_b"},
         num_shards=cfg.group_shards,
     )
-    lsh_ver = lsh_j.map_batches(
+    v_lsh = j1.map_batches(
         _verify_lsh_batch,
         fn_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         zero_copy_batch=True,
-    )
+    ).materialize()  # consumed twice (anti-join markers + final union); small
 
-    # --- winnow path: join texts, seed-and-extend at fingerprint positions ---
-    txt = profile.select_columns(["doc_id", "norm_text"])
-    txt_a = _rename(txt, {"doc_id": "doc_a", "norm_text": "text_a"})
-    txt_b = _rename(txt, {"doc_id": "doc_b", "norm_text": "text_b"})
-    win_cand = _filter_origin(candidates, "winnow", ["doc_a", "doc_b", "pos_a", "pos_b"])
-    win_j = shard_attach(
-        win_cand, txt_a, key="doc_a", payload={"text_a": "text_a"}, num_shards=cfg.group_shards
+    # --- phase 2: anti-join winnow seeds, then seed-extend ---
+    win_rows = _filter_origin(
+        candidates, "winnow", ["doc_a", "doc_b", "origin", "pos_a", "pos_b"]
     )
-    win_j = shard_attach(
-        win_j, txt_b, key="doc_b", payload={"text_b": "text_b"}, num_shards=cfg.group_shards
+    markers = v_lsh.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "origin": pa.array(["verified"] * len(t), pa.string()),
+                "pos_a": pa.array(np.full(len(t), -1, dtype=np.int64), pa.int64()),
+                "pos_b": pa.array(np.full(len(t), -1, dtype=np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    win_ver = win_j.map_batches(
+    win_keep = sharded_group_map(
+        win_rows.union(markers), ["doc_a", "doc_b"], _drop_verified_shard, num_shards=cfg.group_shards
+    )
+    j2 = _ctx_attach(
+        win_keep, profile, key="doc_a", pos_col="pos_a", out_col="ctx_a",
+        window=cfg.min_substring_len, k=cfg.winnow_kgram, num_shards=cfg.group_shards,
+    )
+    j2 = _ctx_attach(
+        j2, profile, key="doc_b", pos_col="pos_b", out_col="ctx_b",
+        window=cfg.min_substring_len, k=cfg.winnow_kgram, num_shards=cfg.group_shards,
+    )
+    v_win = j2.map_batches(
         _verify_winnow_batch,
         fn_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
         zero_copy_batch=True,
     )
-
     return sharded_group_map(
-        lsh_ver.union(win_ver),
-        ["doc_a", "doc_b"],
-        _combine_shard_pairs,
-        num_shards=cfg.group_shards,
+        v_lsh.union(v_win), ["doc_a", "doc_b"], _combine_shard_pairs, num_shards=cfg.group_shards
     )

@@ -80,11 +80,28 @@ def shard_attach(
     small-to-medium scale while hash-partitioning the same way at large scale
     (SURVEY.md §2.4 J1 "repartition join").
     """
+    def as_arrow_type(t):
+        # Ray reports Python types for pandas-backed blocks (str -> object)
+        if isinstance(t, pa.DataType):
+            return t
+        if t in (str, object):
+            return pa.string()
+        if t is bytes:
+            return pa.binary()
+        if t is int:
+            return pa.int64()
+        if t is float:
+            return pa.float64()
+        try:
+            return pa.from_numpy_dtype(t)
+        except (pa.ArrowNotImplementedError, TypeError):
+            return pa.string()
+
     ls = left.schema()
     rs = right.schema()
     left_cols = list(ls.names)
-    left_types = dict(zip(ls.names, ls.types))
-    rtypes = dict(zip(rs.names, rs.types))
+    left_types = {n: as_arrow_type(t) for n, t in zip(ls.names, ls.types)}
+    rtypes = {n: as_arrow_type(t) for n, t in zip(rs.names, rs.types)}
     payload_types = {out: rtypes[src] for src, out in payload.items()}
 
     def filler(n: int, typ: pa.DataType) -> pa.Array:
@@ -125,15 +142,18 @@ def shard_attach(
         pk = pk[order]
         lmask = ~prof
         lk = keys[lmask]
-        idx = np.searchsorted(pk, lk)
-        idx_c = np.minimum(idx, max(len(pk) - 1, 0))
-        matched = (len(pk) > 0) & (pk[idx_c] == lk) if len(pk) else np.zeros(len(lk), bool)
+        if len(pk):
+            idx_c = np.minimum(np.searchsorted(pk, lk), len(pk) - 1)
+            matched = pk[idx_c] == lk
+        else:
+            idx_c = np.zeros(len(lk), dtype=np.int64)
+            matched = np.zeros(len(lk), dtype=bool)
         if how == "inner":
             take_left = np.nonzero(lmask)[0][matched]
-            gather = order[idx_c[matched]]
-        else:  # left_outer: unmatched keep nulls already present in left rows
+            gather = order[idx_c[matched]] if len(pk) else np.empty(0, dtype=np.int64)
+        else:  # left_outer: unmatched keep the filler values from left prep
             take_left = np.nonzero(lmask)[0]
-            gather = np.where(matched, order[idx_c], -1)
+            gather = np.where(matched, order[idx_c] if len(pk) else -1, -1)
         out = {}
         for c in left_cols:
             out[c] = np.asarray(g[c])[take_left]
