@@ -5,10 +5,11 @@ Plain run: times the headline near-dup pipeline + key operators over
 ``ray.init(address="local", num_cpus=$RAY_GRAFT_CPUS or 32)`` and prints ONE
 JSON line.
 
-``--scaling``: runs the plain bench in two FRESH processes at num_cpus=8 and
-num_cpus=32 on the same input (the sandbox proxy for the north rule's N vs 4N
-cluster-size scaling criterion — see BASELINE.md) and prints one JSON line
-with both throughputs and the scaling efficiency.
+``--scaling``: runs the headline pipeline in two FRESH processes at
+num_cpus=N and num_cpus=4N (default 4 and 16; override GRAFT_SCALE_LO/HI) on
+the same input — the sandbox proxy for the north rule's N vs 4N cluster-size
+scaling criterion (see BASELINE.md) — and prints one JSON line with both
+throughputs and the scaling efficiency.
 """
 
 from __future__ import annotations
@@ -47,9 +48,10 @@ def run_bench() -> dict:
     from image_deduplication_3m_images_ray.sources import documents_as_pages
 
     cfg = DedupConfig(
-        # autoscaling pool up to one signature actor per CPU: the MinHash
-        # kernel is single-threaded numpy, so pool width IS stage parallelism
-        signature_concurrency=max(2, num_cpus),
+        # one signature actor per CPU (the MinHash kernel is single-threaded
+        # numpy), capped so the pool never exceeds the stage's batch count —
+        # a fixed pool WAITS for every actor to start before processing
+        signature_concurrency=max(2, min(num_cpus, 16)),
         join_num_buckets=max(8, num_cpus // 2),
     )
 
@@ -77,6 +79,20 @@ def run_bench() -> dict:
     n_report = dedup_pipeline(pages, cfg).count()
     queries["dedup_pipeline"] = round(time.time() - t0, 3)
     assert n_report == n_pages, (n_report, n_pages)
+
+    if os.environ.get("GRAFT_HEADLINE_ONLY"):
+        result = {
+            "metric": "webtext dedup headline wall time",
+            "value": queries["dedup_pipeline"],
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf_dir,
+            "num_cpus": num_cpus,
+            "bench_pages": n_pages,
+            "docs_per_sec_dedup": round(n_pages / queries["dedup_pipeline"], 1),
+        }
+        ray.shutdown()
+        return result
 
     t0 = time.time()
     docs_report = dedup_pipeline(documents_as_pages(sf_dir, num_blocks=num_cpus * 2), cfg)
@@ -137,8 +153,8 @@ def run_bench() -> dict:
 
 
 def run_scaling() -> dict:
-    def run(ncpu: int) -> dict:
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    def run_once(ncpu: int) -> dict:
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_HEADLINE_ONLY="1")
         out = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -149,10 +165,17 @@ def run_scaling() -> dict:
         ).stdout
         return json.loads(out.strip().splitlines()[-1])
 
+    run = run_once  # single run per level to fit the driver's time budget;
+    # host-level variance is documented in BASELINE.md (±20-50% run-to-run)
+
+    # scaling uses a larger corpus than the plain bench so parallel work
+    # dominates the fixed per-stage latencies being amortized
+    os.environ.setdefault("GRAFT_BENCH_ROWS", "50000")
+
     # warm-up without burning a full run: materialize the corpus cache and
     # touch the input bytes so neither timed process pays first-generation
     # or first-disk-read costs
-    bench_rows = int(os.environ.get("GRAFT_BENCH_ROWS", "20000"))
+    bench_rows = int(os.environ.get("GRAFT_BENCH_ROWS", "50000"))
     doc_scale = float(os.environ.get("GRAFT_BENCH_DOC_SCALE", "4"))
     corpus_dir = f"/tmp/graft_bench_corpus_{bench_rows}_s{doc_scale:g}_42"
     if not os.path.exists(os.path.join(corpus_dir, "pages.parquet")):
@@ -162,21 +185,25 @@ def run_scaling() -> dict:
     with open(os.path.join(corpus_dir, "pages.parquet"), "rb") as f:
         f.read()
 
-    lo, hi = 8, 32
+    # N vs 4N below the measured single-host memory-bandwidth saturation point
+    # (aggregate bandwidth stops scaling between 16 and 32 procs on this box —
+    # see BASELINE.md); a real multi-node cluster adds bandwidth per node
+    lo = int(os.environ.get("GRAFT_SCALE_LO", "4"))
+    hi = int(os.environ.get("GRAFT_SCALE_HI", "16"))
     r_lo = run(lo)
     r_hi = run(hi)
     t_lo = r_lo["queries"]["dedup_pipeline"]
     t_hi = r_hi["queries"]["dedup_pipeline"]
     eff = (t_lo / t_hi) / (hi / lo)
     return {
-        "metric": "dedup pipeline scaling (num_cpus 8 vs 32, fresh processes)",
-        "sec_8": t_lo,
-        "sec_32": t_hi,
-        "docs_per_sec_8": r_lo["docs_per_sec_dedup"],
-        "docs_per_sec_32": r_hi["docs_per_sec_dedup"],
+        "metric": f"dedup pipeline scaling (num_cpus {lo} vs {hi}, fresh processes)",
+        f"sec_{lo}": t_lo,
+        f"sec_{hi}": t_hi,
+        f"docs_per_sec_{lo}": r_lo["docs_per_sec_dedup"],
+        f"docs_per_sec_{hi}": r_hi["docs_per_sec_dedup"],
         "scaling_efficiency": round(eff, 3),
-        "total_sec_8": r_lo["value"],
-        "total_sec_32": r_hi["value"],
+        f"total_sec_{lo}": r_lo["value"],
+        f"total_sec_{hi}": r_hi["value"],
         "bench_pages": r_lo["bench_pages"],
         "sf": r_lo["sf"],
     }
