@@ -9,12 +9,11 @@ fingerprint positions) for substring candidates.  The SimHash-Hamming +
 length-ratio gates are provably lossless for pairs above the Jaccard
 threshold (J >= t implies |A|/|B| >= t), so they only skip work, never recall.
 
-Two join paths, each shipping only what it needs (pair -> signature
-attachment is a hash-partitioned ``Dataset.join``, SURVEY.md §2.4 J1; both
-sides are large at 10^12-doc scale so broadcast is not an option):
-- LSH candidates join the precomputed sorted-unique SHINGLE SETS — Jaccard is
-  a segmented set intersection, no re-tokenization of text;
-- winnow candidates join the normalized TEXT — seed-and-extend needs bytes.
+Pair -> document attachment is a hash-partitioned sort-based equi-join
+(``util.shard_attach``, SURVEY.md §2.4 J1; both sides are large at
+10^12-doc scale so broadcast is not an option).  The stage is organized to
+minimize shuffle VOLUME (the dominant cost is shipping document payloads per
+candidate pair) — see :func:`verify_stage` for the five-step plan.
 """
 
 from __future__ import annotations
