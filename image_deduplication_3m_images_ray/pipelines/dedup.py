@@ -139,8 +139,20 @@ def dedup_pipeline(
             parents=["lsh_pairs", "winnow_pairs"],
         )
     )
+    if checkpoint_dir:
+        # key the mid-loop round checkpoints by config + upstream lineage so a
+        # changed config or recomputed verified_pairs never resumes stale labels
+        import hashlib
+
+        vid = (ckpt.manifest("verified_pairs") or {}).get("stage_id", "")
+        tag = hashlib.sha256(f"{cfg.config_hash()}:{vid}".encode()).hexdigest()[:12]
+        round_dir = f"{checkpoint_dir}/clusters_rounds_{tag}"
+    else:
+        round_dir = None
     rep_clusters = ckpt.run(
-        "clusters", lambda: cluster_stage(verified, cfg), parents=["verified_pairs"]
+        "clusters",
+        lambda: cluster_stage(verified, cfg, round_checkpoint_dir=round_dir),
+        parents=["verified_pairs"],
     )
     if exact_prepass:
         # one attach: doc -> rep -> cluster (report_stage_from_reps)

@@ -19,6 +19,8 @@ of the corpus; without it each lazy round would re-execute every prior round.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -136,19 +138,47 @@ def _driver_union_find(edges: Dataset) -> Dataset:
     )
 
 
-def cluster_stage(verified: Dataset, cfg: DedupConfig) -> Dataset:
-    """verified_pairs -> clusters(doc_id, cluster_id = min doc_id in component)."""
+def cluster_stage(
+    verified: Dataset, cfg: DedupConfig, round_checkpoint_dir: str | None = None
+) -> Dataset:
+    """verified_pairs -> clusters(doc_id, cluster_id = min doc_id in component).
+
+    ``round_checkpoint_dir`` persists the label table after every propagation
+    round (``round_<i>/`` + ``round_<i>.done`` marker); a rerun resumes from
+    the last completed round instead of restarting the loop (SURVEY.md §7.4
+    "label propagation at scale ... correctness under resume mid-loop" —
+    label propagation is monotone, so resuming from ANY completed round's
+    labels converges to the identical fixpoint).
+    """
+    import ray.data
+
     edges = verified.select_columns(["doc_a", "doc_b"]).materialize()
     n_edges = edges.count()
     if n_edges == 0:
         return _empty_clusters()
     if n_edges <= cfg.cluster_driver_max_edges:
         return _driver_union_find(edges)
-    labels = _min_labels(
-        edges.map_batches(_init_labels, batch_format="pyarrow", zero_copy_batch=True), cfg
-    ).materialize()
+
+    start_round = 0
+    labels = None
+    if round_checkpoint_dir:
+        os.makedirs(round_checkpoint_dir, exist_ok=True)
+        done = sorted(
+            int(f.split("_")[1].split(".")[0])
+            for f in os.listdir(round_checkpoint_dir)
+            if f.endswith(".done")
+        )
+        if done:
+            start_round = done[-1] + 1
+            labels = ray.data.read_parquet(
+                os.path.join(round_checkpoint_dir, f"round_{done[-1]}")
+            ).materialize()
+    if labels is None:
+        labels = _min_labels(
+            edges.map_batches(_init_labels, batch_format="pyarrow", zero_copy_batch=True), cfg
+        ).materialize()
     checksum = _label_checksum(labels)
-    for _ in range(cfg.cluster_max_rounds):
+    for rnd in range(start_round, cfg.cluster_max_rounds):
         lab_a = rename_columns(labels, {"node": "doc_a", "label": "lab_a"})
         lab_b = rename_columns(labels, {"node": "doc_b", "label": "lab_b"})
         el = edges.join(
@@ -156,6 +186,12 @@ def cluster_stage(verified: Dataset, cfg: DedupConfig) -> Dataset:
         ).join(lab_b, join_type="inner", num_partitions=cfg.join_num_buckets, on=("doc_b",))
         msgs = el.map_batches(_messages, batch_format="pyarrow", zero_copy_batch=True)
         labels = _min_labels(msgs.union(labels), cfg).materialize()
+        if round_checkpoint_dir:
+            rdir = os.path.join(round_checkpoint_dir, f"round_{rnd}")
+            os.makedirs(rdir, exist_ok=True)
+            labels.write_parquet(rdir)
+            with open(os.path.join(round_checkpoint_dir, f"round_{rnd}.done"), "w") as f:
+                f.write("ok")
         new_checksum = _label_checksum(labels)
         if new_checksum == checksum:
             break

@@ -1,0 +1,64 @@
+"""Partitioned report sink + mid-loop cluster checkpoint resume."""
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from image_deduplication_3m_images_ray.config import DedupConfig
+
+
+def test_write_report_partitioned(ray_session, tiny_corpus, tmp_path):
+    import ray.data
+    from image_deduplication_3m_images_ray.pipelines import dedup_pipeline
+    from image_deduplication_3m_images_ray.sources.report_sink import write_report
+
+    pages, _ = tiny_corpus
+    cfg = DedupConfig(signature_concurrency=2, join_num_buckets=4)
+    report = dedup_pipeline(ray.data.from_arrow(pages), cfg)
+    out = str(tmp_path / "report")
+    counts = write_report(report, out)
+    assert sum(counts.values()) == len(pages)
+    assert counts["Best"] > 0 and counts["Unique"] > 0
+    # each partition readable on its own and contains only its status
+    best = ray.data.read_parquet(os.path.join(out, "status=Best")).to_pandas()
+    assert set(best["status"]) == {"Best"}
+    assert len(best) == counts["Best"]
+
+
+def test_cluster_round_checkpoint_resume(ray_session, tmp_path):
+    """Killing the propagation loop mid-way and resuming yields identical labels."""
+    import ray.data
+    from image_deduplication_3m_images_ray.stages.cluster import cluster_stage
+
+    # chain graph forces multiple propagation rounds on the distributed path
+    edges = [(i, i + 1) for i in range(30)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([e[0] for e in edges], pa.uint64()),
+                "doc_b": pa.array([e[1] for e in edges], pa.uint64()),
+            }
+        )
+    )
+    cfg = DedupConfig(join_num_buckets=2, cluster_driver_max_edges=0)
+
+    full_dir = str(tmp_path / "full")
+    full = cluster_stage(ds, cfg, round_checkpoint_dir=full_dir).to_pandas()
+    rounds_done = sorted(f for f in os.listdir(full_dir) if f.endswith(".done"))
+    assert len(rounds_done) >= 2
+
+    # simulate a crash: keep only the first completed round, resume
+    resume_dir = str(tmp_path / "resume")
+    os.makedirs(resume_dir)
+    import shutil
+
+    shutil.copytree(os.path.join(full_dir, "round_0"), os.path.join(resume_dir, "round_0"))
+    shutil.copy(os.path.join(full_dir, "round_0.done"), os.path.join(resume_dir, "round_0.done"))
+    resumed = cluster_stage(ds, cfg, round_checkpoint_dir=resume_dir).to_pandas()
+
+    a = full.sort_values("doc_id").reset_index(drop=True)
+    b = resumed.sort_values("doc_id").reset_index(drop=True)
+    assert a.equals(b)
+    assert set(b["cluster_id"]) == {0}
