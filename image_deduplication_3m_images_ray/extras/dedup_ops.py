@@ -241,7 +241,7 @@ def minhash_lsh_clusters(docs: Dataset, cfg: DedupConfig) -> Dataset:
         concurrency=cfg.signature_concurrency,
         zero_copy_batch=True,
     ).materialize()
-    pairs = lsh_pairs_stage(band_postings_stage(profile, cfg), cfg)
+    pairs = lsh_pairs_stage(band_postings_stage(profile, cfg), cfg, dedup=False)
     verified = verify_stage(pairs, profile, cfg).materialize()
     clusters = cluster_stage(verified, cfg)
     cl = rename_columns(clusters, {"cluster_id": "min_cluster"})

@@ -35,7 +35,7 @@ from ..stages.exact import exact_rep_stage, reps_only
 from ..stages.signatures import signature_stage
 from ..stages.banding import band_postings_stage, lsh_pairs_stage
 from ..stages.winnow import fingerprint_stage, winnow_pairs_stage
-from ..stages.verify import verify_stage
+from ..stages.verify import consolidate_candidates, verify_stage
 from ..stages.cluster import cluster_stage
 from ..stages.report import report_stage, report_stage_from_reps
 
@@ -114,30 +114,23 @@ def dedup_pipeline(
         reps = docs_for_report
         sig_parents = ["docs"]
     profile = pin(ckpt.run("signatures", lambda: signature_stage(reps, cfg), parents=sig_parents))
-    # The pair/verify stages are shuffle-heavy; pinning their boundaries lets
-    # each sort run with the full CPU width instead of splitting the node
-    # across a dozen concurrently-streaming operators (measured ~3x faster
-    # than one fused lazy DAG at 8 cpus on the 50k bench corpus).
-    lsh_pairs = pin(
-        ckpt.run(
-            "lsh_pairs",
-            lambda: lsh_pairs_stage(band_postings_stage(profile, cfg), cfg),
-            parents=["signatures"],
+    # Pair generation + verification run as ONE streaming DAG of exactly three
+    # exchanges (consolidate / attach / merge-verify — see stages/verify.py).
+    # No pins: every intermediate has a single consumer, and each exchange is
+    # already an executor barrier, so extra materializations would only add
+    # serial wall-time (the round-1 scaling bottleneck: ~13 exchanges + 7 pins
+    # cost a fixed 1-2 s each regardless of CPU count).
+    def build_candidates() -> Dataset:
+        raw = lsh_pairs_stage(band_postings_stage(profile, cfg), cfg, dedup=False).union(
+            winnow_pairs_stage(fingerprint_stage(profile, cfg), cfg)
         )
-    )
-    winnow_pairs = pin(
-        ckpt.run(
-            "winnow_pairs",
-            lambda: winnow_pairs_stage(fingerprint_stage(profile, cfg), cfg),
-            parents=["signatures"],
-        )
-    )
-    verified = pin(
-        ckpt.run(
-            "verified_pairs",
-            lambda: verify_stage(lsh_pairs.union(winnow_pairs), profile, cfg),
-            parents=["lsh_pairs", "winnow_pairs"],
-        )
+        return consolidate_candidates(raw, cfg)
+
+    candidates = ckpt.run("candidate_pairs", build_candidates, parents=["signatures"])
+    verified = ckpt.run(
+        "verified_pairs",
+        lambda: verify_stage(candidates, profile, cfg, consolidated=True),
+        parents=["candidate_pairs"],
     )
     if checkpoint_dir:
         # key the mid-loop round checkpoints by config + upstream lineage so a

@@ -21,6 +21,7 @@ from ray.data import Dataset
 from ..config import DedupConfig
 from ..functions.hashing import band_hashes_batch
 from ..util import segment_bounds, sharded_group_map
+from .verify import ORIGIN_LSH
 
 
 def _band_rows(batch: pa.Table, bands: int) -> pa.Table:
@@ -128,7 +129,7 @@ def _emit_shard_pairs(group: dict, cap: int) -> dict:
     return {
         "doc_a": a,
         "doc_b": b,
-        "origin": np.full(n, "lsh", dtype=object),
+        "origin": np.full(n, ORIGIN_LSH, dtype=np.int8),
         "pos_a": np.full(n, -1, dtype=np.int64),
         "pos_b": np.full(n, -1, dtype=np.int64),
     }
@@ -150,12 +151,14 @@ def dedup_pairs(pairs: Dataset, num_shards: int = 64, extra_cols: dict | None = 
     return sharded_group_map(pairs, ["doc_a", "doc_b"], fn, num_shards=num_shards)
 
 
-def lsh_pairs_stage(postings: Dataset, cfg: DedupConfig) -> Dataset:
-    """band_postings -> distinct candidate_pairs(doc_a<doc_b, origin='lsh').
+def lsh_pairs_stage(postings: Dataset, cfg: DedupConfig, dedup: bool = True) -> Dataset:
+    """band_postings -> candidate_pairs(doc_a<doc_b, origin=ORIGIN_LSH).
 
-    Two shuffles: shard-grouped bucket pair enumeration, then a shard-grouped
-    distinct on (doc_a, doc_b) — a true near-dup pair typically co-occurs in
-    many of the 32 bands.
+    ``dedup=True`` adds a shard-grouped distinct on (doc_a, doc_b) — a true
+    near-dup pair typically co-occurs in many of the 32 bands.  The flagship
+    pipeline passes ``dedup=False`` because the verify stage's consolidate
+    exchange dedups the combined lsh+winnow stream anyway; standalone use
+    keeps the distinct.
     """
     pairs = sharded_group_map(
         postings,
@@ -163,4 +166,4 @@ def lsh_pairs_stage(postings: Dataset, cfg: DedupConfig) -> Dataset:
         lambda g: _emit_shard_pairs(g, cfg.bucket_pair_cap),
         num_shards=cfg.group_shards,
     )
-    return dedup_pairs(pairs, num_shards=cfg.group_shards)
+    return dedup_pairs(pairs, num_shards=cfg.group_shards) if dedup else pairs

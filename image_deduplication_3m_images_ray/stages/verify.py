@@ -9,11 +9,27 @@ fingerprint positions) for substring candidates.  The SimHash-Hamming +
 length-ratio gates are provably lossless for pairs above the Jaccard
 threshold (J >= t implies |A|/|B| >= t), so they only skip work, never recall.
 
-Pair -> document attachment is a hash-partitioned sort-based equi-join
-(``util.shard_attach``, SURVEY.md §2.4 J1; both sides are large at
-10^12-doc scale so broadcast is not an option).  The stage is organized to
-minimize shuffle VOLUME (the dominant cost is shipping document payloads per
-candidate pair) — see :func:`verify_stage` for the five-step plan.
+Physical plan — exactly THREE exchanges (down from seven in the first
+design; each all-to-all costs 1-2 s of serial wall-time regardless of CPU
+count, so exchange count is the scaling-efficiency budget):
+
+1. **consolidate** (key = (doc_a, doc_b)): distinct the raw candidate stream
+   (a true pair typically surfaces in many of the 32 LSH bands and at many
+   shared fingerprints) down to one LSH row plus <= ``max_seeds`` spread
+   winnow seed rows per pair;
+2. **attach** (key = doc id): ONE tagged-union shard pass co-locates *both*
+   half-rows of every pair with the profile rows they need — the LSH halves
+   pick up (simhash, n_shingles, full normalized text), the winnow halves a
+   byte context window around their seed position (>= L decidable within
+   +-L of the seed, ~50x less volume than full text for long docs);
+3. **merge-verify** (key = (doc_a, doc_b)): the two halves of each pair meet;
+   gates + exact Jaccard run for LSH units, seed-extend for winnow units
+   (skipped when the pair already confirmed via Jaccard — the old anti-join,
+   now a free local check), and the distinct verified pair set is emitted.
+
+Origin codes on the wire are int8 (0 = lsh, 1 = winnow) to keep the shuffles
+binary-dense; the output ``origin`` column is back to strings for report
+parity.
 """
 
 from __future__ import annotations
@@ -25,10 +41,13 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..config import DedupConfig
-from ..functions.hashing import hamming64
+from ..functions.hashing import _ranges, hamming64
 from ..functions.text import pairwise_jaccard_batch
-from ..util import rename_columns as _rename
-from ..util import shard_attach, sharded_group_map
+from ..util import sharded_group_map
+
+ORIGIN_LSH = 0
+ORIGIN_WINNOW = 1
+_SIDE_PROFILE = 2  # tag for profile rows in the attach union
 
 _OUT_SCHEMA = pa.schema(
     [
@@ -40,7 +59,6 @@ _OUT_SCHEMA = pa.schema(
         ("origin", pa.string()),
     ]
 )
-_EMPTY = pa.table({f.name: pa.array([], f.type) for f in _OUT_SCHEMA})
 
 
 def extend_match(ba: bytes, bb: bytes, pos_a: int, pos_b: int, k: int, chunk: int = 128) -> int:
@@ -76,137 +94,29 @@ def extend_match(ba: bytes, bb: bytes, pos_a: int, pos_b: int, k: int, chunk: in
     return i - lo_a
 
 
-def _verify_lsh_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
-    n = len(batch)
-    if n == 0:
-        return _EMPTY
-    sim_a = np.asarray(batch["simhash_a"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-    sim_b = np.asarray(batch["simhash_b"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-    ns_a = np.asarray(batch["n_shingles_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    ns_b = np.asarray(batch["n_shingles_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    ham = hamming64(sim_a, sim_b)
-    ratio = np.minimum(ns_a, ns_b) / np.maximum(np.maximum(ns_a, ns_b), 1)
-    gate_ok = (ham <= cfg.simhash_hamming_max) & (ratio >= cfg.length_ratio_min)
-    todo = np.nonzero(gate_ok)[0]
-    if len(todo) == 0:
-        return _EMPTY
-    sel = pa.array(todo)
-    # exact Jaccard by re-shingling the attached texts: shipping text through
-    # the attach shuffle is cheaper than shipping shingle sets (~40% fewer
-    # bytes) and the re-shingle is perfectly parallel vectorized compute
-    jacc = pairwise_jaccard_batch(
-        batch["text_a"].take(sel), batch["text_b"].take(sel), cfg.shingle_k
-    )
-    keep_local = jacc >= cfg.jaccard_threshold
-    kept = todo[keep_local]
-    if len(kept) == 0:
-        return _EMPTY
-    return pa.table(
-        {
-            "doc_a": batch["doc_a"].take(pa.array(kept)).cast(pa.uint64()),
-            "doc_b": batch["doc_b"].take(pa.array(kept)).cast(pa.uint64()),
-            "jaccard": pa.array(jacc[keep_local], pa.float64()),
-            "simhash_hamming": pa.array(ham[kept].astype(np.int32), pa.int32()),
-            "match_len": pa.array(np.zeros(len(kept), dtype=np.int64), pa.int64()),
-            "origin": pa.array(["lsh"] * len(kept), pa.string()),
-        }
-    )
-
-
-def _verify_winnow_batch(batch: pa.Table, cfg: DedupConfig) -> pa.Table:
-    """Seed-extend inside the attached context windows (bytes, window-local
-    positions).  match_len is exact up to the window bound — the >= L decision
-    is unaffected (any >= L run through the seed lies within +-L of it)."""
-    n = len(batch)
-    if n == 0:
-        return _EMPTY
-    pos_a = np.asarray(batch["pos_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    pos_b = np.asarray(batch["pos_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    ta = batch["ctx_a"].to_pylist()
-    tb = batch["ctx_b"].to_pylist()
-    match_len = np.zeros(n, dtype=np.int64)
-    for i in range(n):
-        match_len[i] = extend_match(
-            ta[i], tb[i], int(pos_a[i]), int(pos_b[i]), cfg.winnow_kgram
-        )
-    keep = match_len >= cfg.min_substring_len
-    if not keep.any():
-        return _EMPTY
-    sel = pa.array(np.nonzero(keep)[0])
-    nk = int(keep.sum())
-    return pa.table(
-        {
-            "doc_a": batch["doc_a"].take(sel).cast(pa.uint64()),
-            "doc_b": batch["doc_b"].take(sel).cast(pa.uint64()),
-            "jaccard": pa.array(np.zeros(nk), pa.float64()),
-            "simhash_hamming": pa.array(np.full(nk, 64, dtype=np.int32), pa.int32()),
-            "match_len": pa.array(match_len[keep], pa.int64()),
-            "origin": pa.array(["winnow"] * nk, pa.string()),
-        }
-    )
-
-
-def _combine_shard_pairs(group: dict) -> dict:
-    """Per-shard vectorized combine: one output row per distinct (doc_a, doc_b),
-    keeping max jaccard / max match_len / min hamming and the merged origin."""
-    a = np.asarray(group["doc_a"], dtype=np.uint64)
-    b = np.asarray(group["doc_b"], dtype=np.uint64)
-    jacc = np.asarray(group["jaccard"], dtype=np.float64)
-    ham = np.asarray(group["simhash_hamming"], dtype=np.int32)
-    mlen = np.asarray(group["match_len"], dtype=np.int64)
-    origin = np.asarray(group["origin"], dtype=object)
-    order = np.lexsort((b, a))
-    a, b, jacc, ham, mlen, origin = (
-        a[order], b[order], jacc[order], ham[order], mlen[order], origin[order]
-    )
-    first = np.ones(len(a), dtype=bool)
-    if len(a) > 1:
-        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-    starts = np.nonzero(first)[0]
-    is_lsh = (origin == "lsh").astype(np.int64)
-    is_win = (origin == "winnow").astype(np.int64)
-    has_lsh = np.maximum.reduceat(is_lsh, starts) > 0
-    has_win = np.maximum.reduceat(is_win, starts) > 0
-    names = np.where(
-        has_lsh & has_win, "lsh+winnow", np.where(has_lsh, "lsh", "winnow")
-    ).astype(object)
-    return {
-        "doc_a": a[starts],
-        "doc_b": b[starts],
-        "jaccard": np.maximum.reduceat(jacc, starts),
-        "simhash_hamming": np.minimum.reduceat(ham, starts),
-        "match_len": np.maximum.reduceat(mlen, starts),
-        "origin": names,
-    }
-
-
-def _filter_origin(ds: Dataset, origin: str, cols: list) -> Dataset:
-    return ds.map_batches(
-        lambda t: t.filter(pc.equal(t["origin"], origin)).select(cols),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-
-
 def _consolidate_shard(group: dict, max_seeds: int = 4) -> dict:
     """One row set per distinct (doc_a, doc_b) before the expensive text attach.
 
     Keeps at most one LSH row plus up to ``max_seeds`` winnow seed rows per
     pair.  Near-dup clusters otherwise explode the winnow row count (every
     shared fingerprint emits a row — hundreds for lightly-edited copies), and
-    each surviving row later ships both documents' text through the attach
+    each surviving row later ships document payload through the attach
     shuffle.  Seeds are SPREAD over the pair's matches: extension around any
     seed inside a >=L shared run passes, so a handful of spread seeds
     preserves the winnowing guarantee in all but adversarial multi-run
     layouts.  The LSH row is kept even when winnow seeds exist (and vice
     versa) — a containment pair can share a band yet fail Jaccard.
+
+    Emits a per-pair ``seed`` index (-1 for the LSH row, 0..max_seeds-1 for
+    winnow rows) so the merge-verify stage can align the a/b halves of each
+    unit after the attach exchange.
     """
     a = np.asarray(group["doc_a"], dtype=np.uint64)
     b = np.asarray(group["doc_b"], dtype=np.uint64)
     pos_a = np.asarray(group["pos_a"], dtype=np.int64)
     pos_b = np.asarray(group["pos_b"], dtype=np.int64)
-    origin = np.asarray(group["origin"], dtype=object)
-    is_win = (origin == "winnow").astype(np.int8)
+    origin = np.asarray(group["origin"], dtype=np.int8)
+    is_win = (origin == ORIGIN_WINNOW).astype(np.int8)
     order = np.lexsort((pos_a, is_win, b, a))
     a, b, pos_a, pos_b, origin, is_win = (
         a[order], b[order], pos_a[order], pos_b[order], origin[order], is_win[order]
@@ -216,235 +126,289 @@ def _consolidate_shard(group: dict, max_seeds: int = 4) -> dict:
         first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
     starts = np.nonzero(first)[0]
     ends = np.append(starts[1:], len(a))
-    has_lsh = is_win[starts] == 0  # lsh rows sort before winnow rows per pair
+    # LSH rows sort before winnow rows within a pair; a raw (non-deduped)
+    # candidate stream can hold MANY lsh rows per pair — keep the first only
+    n_lsh = (
+        np.add.reduceat((1 - is_win).astype(np.int64), starts)
+        if len(starts)
+        else np.empty(0, np.int64)
+    )
+    has_lsh = is_win[starts] == 0
     keep_parts = [starts[has_lsh]]
-    # winnow seed rows for EVERY pair (segment minus the lsh row if present)
-    w_starts = starts + has_lsh.astype(np.int64)
+    w_starts = starts + n_lsh.astype(np.int64)
     w_lens = ends - w_starts
     nonempty = w_lens > 0
     w_starts, w_lens = w_starts[nonempty], w_lens[nonempty]
     small = w_lens <= max_seeds
     if small.any():
         s, ln = w_starts[small], w_lens[small]
-        from ..functions.hashing import _ranges
-
         keep_parts.append(np.repeat(s, ln) + _ranges(ln))
     for s, ln in zip(w_starts[~small], w_lens[~small]):
         sel = s + np.unique((np.arange(max_seeds) * (ln - 1)) // (max_seeds - 1))
         keep_parts.append(sel)
-    keep = np.sort(np.concatenate(keep_parts))
+    keep = np.sort(np.concatenate(keep_parts)) if keep_parts else np.empty(0, np.int64)
+    ka, kb, kw = a[keep], b[keep], is_win[keep]
+    kfirst = np.ones(len(ka), dtype=bool)
+    if len(ka) > 1:
+        kfirst[1:] = (ka[1:] != ka[:-1]) | (kb[1:] != kb[:-1])
+    kstarts = np.nonzero(kfirst)[0]
+    seg_id = np.cumsum(kfirst) - 1
+    pos_in_seg = np.arange(len(ka), dtype=np.int64) - kstarts[seg_id]
+    # winnow seed index within its pair (0-based after the optional LSH row)
+    seg_has_lsh = (kw[kstarts] == 0).astype(np.int64) if len(kstarts) else np.empty(0, np.int64)
+    seed = np.where(kw == 1, pos_in_seg - seg_has_lsh[seg_id], -1).astype(np.int32)
     return {
-        "doc_a": a[keep],
-        "doc_b": b[keep],
+        "doc_a": ka,
+        "doc_b": kb,
         "origin": origin[keep],
         "pos_a": pos_a[keep],
         "pos_b": pos_b[keep],
+        "seed": seed,
     }
 
 
-def _ctx_attach(
-    rows: Dataset,
-    prof: Dataset,
-    key: str,
-    pos_col: str,
-    out_col: str,
-    window: int,
-    k: int,
-    num_shards: int,
-) -> Dataset:
-    """Attach a byte CONTEXT WINDOW of the document text around each seed.
+def consolidate_candidates(candidates: Dataset, cfg: DedupConfig) -> Dataset:
+    """Raw candidate stream -> distinct per-pair rows with seed indices."""
+    return sharded_group_map(
+        candidates, ["doc_a", "doc_b"], _consolidate_shard, num_shards=cfg.group_shards
+    )
 
-    A >= L common run through a shared k-gram is decidable from the bytes
-    within ``window`` (= L) of the seed on each side, so winnow verification
-    never needs the full text — this cuts the attach shuffle volume by ~50x
-    for long documents.  ``pos_col`` is rewritten to the window-local offset.
-    """
-    row_schema = rows.schema()
-    row_cols = list(row_schema.names)
-    row_types = {n: t for n, t in zip(row_schema.names, row_schema.types)}
 
-    def prep_rows(t: pa.Table) -> pa.Table:
-        cols = {c: t[c] for c in row_cols}
-        cols[out_col] = pa.nulls(len(t), type=pa.binary())
-        cols["__side"] = pa.array(np.ones(len(t), dtype=np.int8), pa.int8())
-        return pa.table(cols)
-
-    def filler(n: int, typ) -> pa.Array:
-        if isinstance(typ, pa.DataType) and (pa.types.is_integer(typ) or pa.types.is_floating(typ)):
-            return pa.array(np.zeros(n, dtype=typ.to_pandas_dtype()), typ)
-        if isinstance(typ, pa.DataType):
-            return pa.nulls(n, type=typ)
-        return pa.nulls(n, type=pa.string())  # pandas-backed object column
-
-    def prep_prof(t: pa.Table) -> pa.Table:
-        cols = {
-            c: (t["doc_id"] if c == key else filler(len(t), row_types[c])) for c in row_cols
+def _emit_halves(t: pa.Table) -> pa.Table:
+    """Consolidated rows -> two half-rows each (keyed by doc_a then doc_b)."""
+    n = len(t)
+    a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    origin = np.asarray(t["origin"].to_numpy(zero_copy_only=False), dtype=np.int8)
+    pos_a = np.asarray(t["pos_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    pos_b = np.asarray(t["pos_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
+    seed = np.asarray(t["seed"].to_numpy(zero_copy_only=False), dtype=np.int32)
+    return pa.table(
+        {
+            "key": pa.array(np.concatenate([a, b]), pa.uint64()),
+            "doc_a": pa.array(np.concatenate([a, a]), pa.uint64()),
+            "doc_b": pa.array(np.concatenate([b, b]), pa.uint64()),
+            "origin": pa.array(np.concatenate([origin, origin]), pa.int8()),
+            "half": pa.array(
+                np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]), pa.int8()
+            ),
+            "seed": pa.array(np.concatenate([seed, seed]), pa.int32()),
+            "pos": pa.array(np.concatenate([pos_a, pos_b]), pa.int64()),
+            "simhash": pa.array(np.zeros(2 * n, np.uint64), pa.uint64()),
+            "n_shingles": pa.array(np.zeros(2 * n, np.int64), pa.int64()),
+            "payload": pa.nulls(2 * n, type=pa.binary()),
         }
-        cols[out_col] = pc.cast(t["norm_text"], pa.binary())
-        cols["__side"] = pa.array(np.zeros(len(t), dtype=np.int8), pa.int8())
-        return pa.table(cols)
-
-    lt = rows.map_batches(prep_rows, batch_format="pyarrow", zero_copy_batch=True)
-    rt = prof.select_columns(["doc_id", "norm_text"]).map_batches(
-        prep_prof, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def join_shard(g: dict) -> dict:
-        side = np.asarray(g["__side"], dtype=np.int8)
-        keys = np.asarray(g[key]).astype(np.uint64)
-        texts = np.asarray(g[out_col], dtype=object)
-        pos = np.asarray(g[pos_col], dtype=np.int64)
-        prof_idx = np.nonzero(side == 0)[0]
-        pk = keys[prof_idx]
-        order = np.argsort(pk, kind="stable")
-        pk = pk[order]
-        prof_idx = prof_idx[order]
-        row_idx = np.nonzero(side == 1)[0]
-        lk = keys[row_idx]
-        if len(pk):
-            loc = np.minimum(np.searchsorted(pk, lk), len(pk) - 1)
-            matched = pk[loc] == lk
-        else:
-            loc = np.zeros(len(lk), dtype=np.int64)
-            matched = np.zeros(len(lk), dtype=bool)
-        row_idx = row_idx[matched]
-        loc = loc[matched]
-        ctx = np.empty(len(row_idx), dtype=object)
-        new_pos = np.empty(len(row_idx), dtype=np.int64)
-        for i in range(len(row_idx)):
-            data = texts[prof_idx[loc[i]]]
-            p = int(pos[row_idx[i]])
-            lo = max(0, p - window)
-            hi = min(len(data), p + k + window)
-            ctx[i] = data[lo:hi]
-            new_pos[i] = p - lo
-        out = {}
-        for c in row_cols:
-            out[c] = np.asarray(g[c])[row_idx]
-        out[pos_col] = new_pos
-        out[out_col] = ctx
-        return out
 
-    return sharded_group_map(lt.union(rt), [key], join_shard, num_shards=num_shards)
-
-
-def _drop_verified_shard(group: dict) -> dict:
-    """Anti-join: drop winnow seed rows whose pair already verified via LSH."""
-    a = np.asarray(group["doc_a"], dtype=np.uint64)
-    b = np.asarray(group["doc_b"], dtype=np.uint64)
-    origin = np.asarray(group["origin"], dtype=object)
-    pos_a = np.asarray(group["pos_a"], dtype=np.int64)
-    pos_b = np.asarray(group["pos_b"], dtype=np.int64)
-    is_marker = (origin == "verified").astype(np.int8)
-    order = np.lexsort((1 - is_marker, b, a))  # markers first within each pair
-    a, b, origin, pos_a, pos_b, is_marker = (
-        a[order], b[order], origin[order], pos_a[order], pos_b[order], is_marker[order]
+def _prep_profile(t: pa.Table) -> pa.Table:
+    n = len(t)
+    return pa.table(
+        {
+            "key": pc.cast(t["doc_id"], pa.uint64()),
+            "doc_a": pa.array(np.zeros(n, np.uint64), pa.uint64()),
+            "doc_b": pa.array(np.zeros(n, np.uint64), pa.uint64()),
+            "origin": pa.array(np.full(n, _SIDE_PROFILE, np.int8), pa.int8()),
+            "half": pa.array(np.full(n, -1, np.int8), pa.int8()),
+            "seed": pa.array(np.full(n, -1, np.int32), pa.int32()),
+            "pos": pa.array(np.full(n, -1, np.int64), pa.int64()),
+            "simhash": pc.cast(t["simhash"], pa.uint64()),
+            "n_shingles": pc.cast(t["n_shingles"], pa.int64()),
+            "payload": pc.cast(t["norm_text"], pa.binary()),
+        }
     )
-    first = np.ones(len(a), dtype=bool)
-    if len(a) > 1:
-        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
-    pair_id = np.cumsum(first) - 1
-    starts = np.nonzero(first)[0]
-    pair_has_marker = is_marker[starts] == 1
-    keep = (is_marker == 0) & ~pair_has_marker[pair_id]
+
+
+def _attach_shard(group: dict, window: int, k: int) -> dict:
+    """Fill each half-row's payload from its co-sharded profile row.
+
+    LSH halves receive (simhash, n_shingles, full text); winnow halves a
+    ``window``-byte context slice around the seed (``pos`` rewritten to the
+    slice-local offset).  Halves whose doc id has no profile row (impossible
+    for consistent inputs) are dropped, mirroring the old inner join.
+    """
+    side = np.asarray(group["origin"], dtype=np.int8)
+    keys = np.asarray(group["key"], dtype=np.uint64)
+    prof_idx = np.nonzero(side == _SIDE_PROFILE)[0]
+    order = np.argsort(keys[prof_idx], kind="stable")
+    prof_idx = prof_idx[order]
+    pk = keys[prof_idx]
+    half_idx = np.nonzero(side != _SIDE_PROFILE)[0]
+    hk = keys[half_idx]
+    if len(pk):
+        loc = np.minimum(np.searchsorted(pk, hk), len(pk) - 1)
+        matched = pk[loc] == hk
+    else:
+        loc = np.zeros(len(hk), dtype=np.int64)
+        matched = np.zeros(len(hk), dtype=bool)
+    half_idx, loc = half_idx[matched], loc[matched]
+    src = prof_idx[loc]
+    payload = np.asarray(group["payload"], dtype=object)
+    pos = np.asarray(group["pos"], dtype=np.int64)
+    origin = side[half_idx]
+    out_payload = payload[src]  # full text for every half (object ref copy)
+    out_pos = np.full(len(half_idx), -1, dtype=np.int64)
+    win_rows = np.nonzero(origin == ORIGIN_WINNOW)[0]
+    for i in win_rows:
+        data = out_payload[i]
+        p = int(pos[half_idx[i]])
+        lo = max(0, p - window)
+        out_payload[i] = data[lo : min(len(data), p + k + window)]
+        out_pos[i] = p - lo
     return {
-        "doc_a": a[keep],
-        "doc_b": b[keep],
-        "origin": origin[keep],
-        "pos_a": pos_a[keep],
-        "pos_b": pos_b[keep],
+        "doc_a": np.asarray(group["doc_a"], dtype=np.uint64)[half_idx],
+        "doc_b": np.asarray(group["doc_b"], dtype=np.uint64)[half_idx],
+        "origin": origin,
+        "half": np.asarray(group["half"], dtype=np.int8)[half_idx],
+        "seed": np.asarray(group["seed"], dtype=np.int32)[half_idx],
+        "pos": out_pos,
+        "simhash": np.asarray(group["simhash"], dtype=np.uint64)[src],
+        "n_shingles": np.asarray(group["n_shingles"], dtype=np.int64)[src],
+        "payload": out_payload,
     }
 
 
-def verify_stage(candidates: Dataset, profile: Dataset, cfg: DedupConfig) -> Dataset:
+def _merge_verify_shard(group: dict, cfg: DedupConfig) -> dict:
+    """Both halves of every pair meet here: gates, exact Jaccard, seed-extend,
+    and the per-pair combine — all local to one task."""
+    empty = {
+        "doc_a": np.empty(0, np.uint64),
+        "doc_b": np.empty(0, np.uint64),
+        "jaccard": np.empty(0, np.float64),
+        "simhash_hamming": np.empty(0, np.int32),
+        "match_len": np.empty(0, np.int64),
+        "origin": np.empty(0, object),
+    }
+    a = np.asarray(group["doc_a"], dtype=np.uint64)
+    if len(a) == 0:
+        return empty
+    b = np.asarray(group["doc_b"], dtype=np.uint64)
+    origin = np.asarray(group["origin"], dtype=np.int8)
+    half = np.asarray(group["half"], dtype=np.int8)
+    seed = np.asarray(group["seed"], dtype=np.int32)
+    pos = np.asarray(group["pos"], dtype=np.int64)
+    simhash = np.asarray(group["simhash"], dtype=np.uint64)
+    n_sh = np.asarray(group["n_shingles"], dtype=np.int64)
+    payload = np.asarray(group["payload"], dtype=object)
+    order = np.lexsort((half, seed, origin, b, a))
+    a, b, origin, half, seed, pos, simhash, n_sh, payload = (
+        a[order], b[order], origin[order], half[order], seed[order],
+        pos[order], simhash[order], n_sh[order], payload[order],
+    )
+    # a unit = consecutive (pair, origin, seed) rows with half 0 then half 1
+    same = np.zeros(len(a), dtype=bool)
+    if len(a) > 1:
+        same[:-1] = (
+            (a[1:] == a[:-1]) & (b[1:] == b[:-1]) & (origin[1:] == origin[:-1])
+            & (seed[1:] == seed[:-1]) & (half[:-1] == 0) & (half[1:] == 1)
+        )
+    ia = np.nonzero(same)[0]  # index of the a-half of each complete unit
+    if len(ia) == 0:
+        return empty
+    ib = ia + 1
+
+    # --- LSH units: gates then exact Jaccard ---
+    lsh_u = origin[ia] == ORIGIN_LSH
+    la, lb = ia[lsh_u], ib[lsh_u]
+    ham = hamming64(simhash[la], simhash[lb]) if len(la) else np.empty(0, np.int64)
+    ratio = (
+        np.minimum(n_sh[la], n_sh[lb]) / np.maximum(np.maximum(n_sh[la], n_sh[lb]), 1)
+        if len(la)
+        else np.empty(0)
+    )
+    gate_ok = (ham <= cfg.simhash_hamming_max) & (ratio >= cfg.length_ratio_min)
+    jacc = np.zeros(len(la), dtype=np.float64)
+    todo = np.nonzero(gate_ok)[0]
+    if len(todo):
+        ta = pa.array(list(payload[la[todo]]), pa.binary()).cast(pa.string())
+        tb = pa.array(list(payload[lb[todo]]), pa.binary()).cast(pa.string())
+        jacc[todo] = pairwise_jaccard_batch(ta, tb, cfg.shingle_k)
+    lsh_pass = jacc >= cfg.jaccard_threshold
+
+    # pairs confirmed via Jaccard skip their seed-extends (the old anti-join)
+    verified_keys = set(
+        zip(a[la[lsh_pass]].tolist(), b[la[lsh_pass]].tolist())
+    )
+
+    # --- winnow units: seed-extend in context windows ---
+    win_u = np.nonzero(origin[ia] == ORIGIN_WINNOW)[0]
+    wa, wb = ia[win_u], ib[win_u]
+    wlen = np.zeros(len(wa), dtype=np.int64)
+    k = cfg.winnow_kgram
+    for i in range(len(wa)):
+        if (int(a[wa[i]]), int(b[wa[i]])) in verified_keys:
+            continue
+        wlen[i] = extend_match(
+            payload[wa[i]], payload[wb[i]], int(pos[wa[i]]), int(pos[wb[i]]), k
+        )
+    win_pass = wlen >= cfg.min_substring_len
+
+    # --- combine: one output row per verified pair ---
+    out_a = np.concatenate([a[la[lsh_pass]], a[wa[win_pass]]])
+    out_b = np.concatenate([b[la[lsh_pass]], b[wa[win_pass]]])
+    out_j = np.concatenate([jacc[lsh_pass], np.zeros(int(win_pass.sum()))])
+    out_h = np.concatenate(
+        [ham[lsh_pass], np.full(int(win_pass.sum()), 64, dtype=np.int64)]
+    ).astype(np.int32)
+    out_m = np.concatenate([np.zeros(int(lsh_pass.sum()), np.int64), wlen[win_pass]])
+    out_o = np.concatenate(
+        [
+            np.full(int(lsh_pass.sum()), "lsh", dtype=object),
+            np.full(int(win_pass.sum()), "winnow", dtype=object),
+        ]
+    )
+    if len(out_a) == 0:
+        return empty
+    oorder = np.lexsort((out_b, out_a))
+    out_a, out_b, out_j, out_h, out_m, out_o = (
+        out_a[oorder], out_b[oorder], out_j[oorder], out_h[oorder], out_m[oorder], out_o[oorder]
+    )
+    first = np.ones(len(out_a), dtype=bool)
+    if len(out_a) > 1:
+        first[1:] = (out_a[1:] != out_a[:-1]) | (out_b[1:] != out_b[:-1])
+    starts = np.nonzero(first)[0]
+    seg_sizes = np.diff(np.append(starts, len(out_a)))
+    merged_o = out_o[starts].copy()
+    multi = np.nonzero(seg_sizes > 1)[0]
+    for m in multi:
+        names = set(out_o[starts[m] : starts[m] + seg_sizes[m]])
+        merged_o[m] = "lsh+winnow" if len(names) > 1 else names.pop()
+    return {
+        "doc_a": out_a[starts],
+        "doc_b": out_b[starts],
+        "jaccard": np.maximum.reduceat(out_j, starts),
+        "simhash_hamming": np.minimum.reduceat(out_h, starts),
+        "match_len": np.maximum.reduceat(out_m, starts),
+        "origin": merged_o,
+    }
+
+
+def verify_stage(
+    candidates: Dataset, profile: Dataset, cfg: DedupConfig, consolidated: bool = False
+) -> Dataset:
     """candidate_pairs x profile -> verified_pairs (distinct on doc_a, doc_b).
 
-    Two-phase, shuffle-volume-minimizing plan (the dominant cost is shipping
-    both documents' text per candidate pair through the attach exchange):
-
-    1. consolidate candidates per pair (1 LSH row + <= 4 spread winnow seeds);
-    2. attach profile payload to the LSH rows only and confirm by exact
-       Jaccard — near-dup clusters (where winnow seeds are most redundant)
-       resolve here;
-    3. anti-join the winnow seeds against the phase-2 verdicts: a pair already
-       confirmed needs no substring check — this is what keeps lightly-edited
-       copy clusters (hundreds of shared fingerprints per pair) from shipping
-       text hundreds of times;
-    4. attach text to the surviving winnow seeds and seed-extend;
-    5. one combine shuffle emits the distinct verified pair set.
+    ``consolidated=True`` skips exchange 1 (the caller already ran
+    :func:`consolidate_candidates`, e.g. because that boundary is a
+    checkpoint stage).  See the module docstring for the three-exchange plan.
     """
-    prof = profile.select_columns(["doc_id", "simhash", "n_shingles", "norm_text"])
-    prof_a = _rename(
-        prof,
-        {"doc_id": "doc_a", "simhash": "simhash_a", "n_shingles": "n_shingles_a", "norm_text": "text_a"},
+    if not consolidated:
+        candidates = consolidate_candidates(candidates, cfg)
+    halves = candidates.map_batches(
+        _emit_halves, batch_format="pyarrow", zero_copy_batch=True
     )
-    prof_b = _rename(
-        prof,
-        {"doc_id": "doc_b", "simhash": "simhash_b", "n_shingles": "n_shingles_b", "norm_text": "text_b"},
+    prof = profile.select_columns(["doc_id", "simhash", "n_shingles", "norm_text"]).map_batches(
+        _prep_profile, batch_format="pyarrow", zero_copy_batch=True
     )
-    candidates = sharded_group_map(
-        candidates, ["doc_a", "doc_b"], _consolidate_shard, num_shards=cfg.group_shards
-    ).materialize()  # consumed by both phases; tiny payload (ids + positions)
-
-    # --- phase 1: LSH rows -> exact Jaccard ---
-    lsh_rows = _filter_origin(candidates, "lsh", ["doc_a", "doc_b"])
-    j1 = shard_attach(
-        lsh_rows,
-        prof_a,
-        key="doc_a",
-        payload={"simhash_a": "simhash_a", "n_shingles_a": "n_shingles_a", "text_a": "text_a"},
+    attached = sharded_group_map(
+        halves.union(prof),
+        ["key"],
+        lambda g: _attach_shard(g, cfg.min_substring_len, cfg.winnow_kgram),
         num_shards=cfg.group_shards,
-    )
-    j1 = shard_attach(
-        j1,
-        prof_b,
-        key="doc_b",
-        payload={"simhash_b": "simhash_b", "n_shingles_b": "n_shingles_b", "text_b": "text_b"},
-        num_shards=cfg.group_shards,
-    )
-    v_lsh = j1.map_batches(
-        _verify_lsh_batch,
-        fn_args=(cfg,),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        zero_copy_batch=True,
-    ).materialize()  # consumed twice (anti-join markers + final union); small
-
-    # --- phase 2: anti-join winnow seeds, then seed-extend ---
-    win_rows = _filter_origin(
-        candidates, "winnow", ["doc_a", "doc_b", "origin", "pos_a", "pos_b"]
-    )
-    markers = v_lsh.map_batches(
-        lambda t: pa.table(
-            {
-                "doc_a": t["doc_a"],
-                "doc_b": t["doc_b"],
-                "origin": pa.array(["verified"] * len(t), pa.string()),
-                "pos_a": pa.array(np.full(len(t), -1, dtype=np.int64), pa.int64()),
-                "pos_b": pa.array(np.full(len(t), -1, dtype=np.int64), pa.int64()),
-            }
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    win_keep = sharded_group_map(
-        win_rows.union(markers), ["doc_a", "doc_b"], _drop_verified_shard, num_shards=cfg.group_shards
-    )
-    j2 = _ctx_attach(
-        win_keep, profile, key="doc_a", pos_col="pos_a", out_col="ctx_a",
-        window=cfg.min_substring_len, k=cfg.winnow_kgram, num_shards=cfg.group_shards,
-    )
-    j2 = _ctx_attach(
-        j2, profile, key="doc_b", pos_col="pos_b", out_col="ctx_b",
-        window=cfg.min_substring_len, k=cfg.winnow_kgram, num_shards=cfg.group_shards,
-    )
-    v_win = j2.map_batches(
-        _verify_winnow_batch,
-        fn_args=(cfg,),
-        batch_format="pyarrow",
-        batch_size=cfg.batch_size,
-        zero_copy_batch=True,
     )
     return sharded_group_map(
-        v_lsh.union(v_win), ["doc_a", "doc_b"], _combine_shard_pairs, num_shards=cfg.group_shards
+        attached,
+        ["doc_a", "doc_b"],
+        lambda g: _merge_verify_shard(g, cfg),
+        num_shards=cfg.group_shards,
     )

@@ -32,6 +32,7 @@ from ray.data import Dataset
 from ..config import DedupConfig
 from ..functions.hashing import winnow_fingerprints
 from ..util import segment_bounds, sharded_group_map
+from .verify import ORIGIN_WINNOW
 
 
 def _fingerprint_batch(batch: pa.Table, k: int, w: int) -> pa.Table:
@@ -121,7 +122,7 @@ def _emit_shard_fp_pairs(group: dict, cap: int) -> dict:
         return {
             "doc_a": np.empty(0, dtype=np.uint64),
             "doc_b": np.empty(0, dtype=np.uint64),
-            "origin": np.empty(0, dtype=object),
+            "origin": np.empty(0, dtype=np.int8),
             "pos_a": np.empty(0, dtype=np.int64),
             "pos_b": np.empty(0, dtype=np.int64),
         }
@@ -129,7 +130,7 @@ def _emit_shard_fp_pairs(group: dict, cap: int) -> dict:
     return {
         "doc_a": a,
         "doc_b": np.concatenate(b_p),
-        "origin": np.full(len(a), "winnow", dtype=object),
+        "origin": np.full(len(a), ORIGIN_WINNOW, dtype=np.int8),
         "pos_a": np.concatenate(pa_p),
         "pos_b": np.concatenate(pb_p),
     }

@@ -14,8 +14,7 @@ STAGES = [
     "docs",
     "exact_reps",
     "signatures",
-    "lsh_pairs",
-    "winnow_pairs",
+    "candidate_pairs",
     "verified_pairs",
     "clusters",
     "report",
@@ -45,7 +44,7 @@ def test_all_manifests_written(ckpt_setup):
         m = json.load(open(os.path.join(root, s, "manifest.json")))
         assert m["config_hash"] == CFG.config_hash()
         assert m["total_rows"] == sum(p["rows"] for p in m["partitions"])
-        assert m["total_rows"] > 0 or s in ("winnow_pairs",)
+        assert m["total_rows"] > 0
 
 
 def test_resume_is_noop_and_identical(ckpt_setup):
@@ -67,7 +66,7 @@ def test_kill_mid_stage_recomputes_only_that_stage(ckpt_setup):
     os.remove(os.path.join(vdir, "manifest.json"))
     early = {
         s: os.path.getmtime(os.path.join(root, s, "manifest.json"))
-        for s in ["docs", "exact_reps", "signatures", "lsh_pairs", "winnow_pairs"]
+        for s in ["docs", "exact_reps", "signatures", "candidate_pairs"]
     }
     again = _run(pages, root)
     for s, t in early.items():
