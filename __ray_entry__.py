@@ -197,8 +197,12 @@ def _q_suffix_pairs(sf_dir: str):
     from image_deduplication_3m_images_ray.config import DedupConfig
     from image_deduplication_3m_images_ray.extras.suffix import suffix_array_pairs_stage
 
+    # oracle mode: one partition + one batch makes the partition-local
+    # operator's semantics global, i.e. exactly the SQL L-gram self-join
     return suffix_array_pairs_stage(
-        _docs(sf_dir).select_columns(["doc_id", "text"]), DedupConfig()
+        _docs(sf_dir).select_columns(["doc_id", "text"]).repartition(1),
+        DedupConfig(),
+        batch_size=1 << 20,
     ).sort(["doc_a", "doc_b"])
 
 
@@ -234,15 +238,18 @@ def _q_sessions(sf_dir: str):
 
 
 def _q_media_decode(sf_dir: str):
-    import ray.data
-
     from image_deduplication_3m_images_ray.extras.multimodal import (
         decode_stage,
-        make_fake_media,
+        media_from_documents,
     )
 
-    media = ray.data.from_arrow(make_fake_media(64, seed=42))
-    return decode_stage(media, fake=True, concurrency=2).sort("media_id")
+    media = media_from_documents(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    out = decode_stage(media, fake=True, concurrency=2)
+    # scalar projection for the value-hash compare; the list<float64> feature
+    # column is pinned by tests/test_extras.py (deterministic nibble fake)
+    return out.select_columns(
+        ["media_id", "kind", "payload_bytes", "width", "height", "checksum"]
+    ).sort("media_id")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -277,6 +284,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # matches functions.text.normalize_array exactly: NFC, then lower, then
 # whitespace collapse, then trim
 _NORM = "trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))"
+
+# distinct 5-token shingles of a normalized text column ``nt`` (a doc with
+# fewer than 5 tokens contributes its whole text as its single shingle —
+# matches functions.hashing.shingle_hashes_flat's short-doc sentinel), plus
+# exact-Jaccard >= t edges over those shingle sets.  Shared by the
+# minhash_lsh_clusters and dedup_report oracles; ``src`` must expose
+# (id, nt) columns.
+def _shingle_jaccard_edges_sql(src: str, threshold: float) -> str:
+    return f"""
+    toks_ AS (SELECT id, nt, string_split(nt, ' ') AS toks FROM {src}),
+    sh_ AS (SELECT id,
+              CASE WHEN len(toks) >= 5
+                   THEN list_distinct(
+                        [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)])
+                   ELSE [nt] END AS sh
+            FROM toks_),
+    grams_ AS (SELECT id, unnest(sh) AS gram FROM sh_),
+    sz_ AS (SELECT id, count(*) AS sz FROM grams_ GROUP BY id),
+    inter_ AS (SELECT a.id AS da, b.id AS db, count(*) AS i
+               FROM grams_ a JOIN grams_ b ON a.gram = b.gram AND a.id < b.id
+               GROUP BY 1, 2),
+    jedges_ AS (SELECT da, db
+                FROM inter_
+                JOIN sz_ sa ON sa.id = da
+                JOIN sz_ sb ON sb.id = db
+                WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= {threshold})
+    """
+
+
+# pairs of ids whose ``nt`` texts share an identical length-L substring
+# (== "common substring >= L chars": every run >= L contains an L-window)
+def _lgram_edges_sql(src: str, L: int) -> str:
+    return f"""
+    lg_ AS (SELECT DISTINCT id, substr(nt, CAST(i AS INTEGER), {L}) AS gram
+            FROM (SELECT id, nt, unnest(range(1, length(nt) - {L - 2})) AS i
+                  FROM {src} WHERE length(nt) >= {L})),
+    sedges_ AS (SELECT DISTINCT a.id AS da, b.id AS db
+                FROM lg_ a JOIN lg_ b ON a.gram = b.gram AND a.id < b.id)
+    """
+
+
+# min-label connected components over ``edges_(da, db)`` with node set
+# ``nodes_(id)``: a label l propagates along every edge to any larger node id,
+# so min(l) per node is the component minimum (finite closure, UNION dedups)
+_CC_SQL = """
+    bidir_ AS (SELECT da AS a, db AS b FROM edges_
+               UNION ALL SELECT db, da FROM edges_),
+    cc_(nd, l) AS (
+        SELECT id, id FROM nodes_
+        UNION
+        SELECT bidir_.b, cc_.l FROM cc_ JOIN bidir_ ON bidir_.a = cc_.nd
+        WHERE cc_.l < bidir_.b
+    ),
+    labels_ AS (SELECT nd, min(l) AS cid FROM cc_ GROUP BY nd)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -405,7 +467,136 @@ def oracle_sql() -> dict[str, str]:
                    min(ts) AS session_start, max(ts) AS session_end
             FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
         """,
-        # minhash_lsh_clusters / simhash_pairs / lang_id / doc_fingerprints /
-        # suffix_pairs / dedup_report / media_decode: hash-seeded or
-        # model-style operators with no ANSI-SQL equivalent -> rows-only check.
+        "simhash_pairs": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tk FROM n),
+            th AS (SELECT doc_id, md5_number_lower(tk) AS h FROM tok),
+            bits AS (
+                SELECT doc_id, b AS bit,
+                       sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+                FROM th CROSS JOIN (SELECT unnest(range(64)) AS b)
+                GROUP BY doc_id, b
+            ),
+            sh AS (
+                SELECT doc_id,
+                       CAST(sum(CASE WHEN s > 0
+                                     THEN CAST(1 AS UBIGINT) << CAST(bit AS INTEGER)
+                                     ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS simhash
+                FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+            ORDER BY doc_a, doc_b
+        """,
+        "lang_id": _lang_id_sql(),
+        "doc_fingerprints": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            g AS (
+                SELECT DISTINCT doc_id, substr(nt, CAST(i AS INTEGER), 32) AS gram
+                FROM (SELECT doc_id, nt, unnest(range(1, length(nt) - 30)) AS i
+                      FROM n WHERE length(nt) >= 32)
+            ),
+            h AS (SELECT doc_id, md5_number_lower(gram) AS hv FROM g
+                  WHERE md5_number_lower(gram) % 8 = 0),
+            agg AS (SELECT doc_id, count(*) AS n_fingerprints, min(hv) AS fp_min,
+                           bit_xor(hv) AS fp_xor
+                    FROM h GROUP BY doc_id)
+            SELECT n.doc_id,
+                   COALESCE(agg.n_fingerprints, 0) AS n_fingerprints,
+                   COALESCE(agg.fp_min, CAST(0 AS UBIGINT)) AS fp_min,
+                   COALESCE(agg.fp_xor, CAST(0 AS UBIGINT)) AS fp_xor
+            FROM n LEFT JOIN agg USING (doc_id) ORDER BY doc_id
+        """,
+        "media_decode": """
+            WITH m AS (
+                SELECT doc_id AS media_id,
+                       CASE doc_id % 3 WHEN 0 THEN 'image'
+                                       WHEN 1 THEN 'audio'
+                                       ELSE 'video' END AS kind,
+                       md5_number_lower(text) AS h,
+                       strlen(text) AS payload_bytes
+                FROM documents
+            )
+            SELECT media_id, kind, payload_bytes,
+                   CAST(h % 1920 + 1 AS INTEGER) AS width,
+                   CAST((h >> 32) % 1080 + 1 AS INTEGER) AS height,
+                   h AS checksum
+            FROM m ORDER BY media_id
+        """,
+        "suffix_pairs": f"""
+            WITH n AS (SELECT doc_id AS id, {_NORM} AS nt FROM documents),
+            {_lgram_edges_sql("n", 200)}
+            SELECT da AS doc_a, db AS doc_b, 'suffix' AS origin
+            FROM sedges_ ORDER BY doc_a, doc_b
+        """,
+        "minhash_lsh_clusters": f"""
+            WITH RECURSIVE
+            nodes_ AS (SELECT doc_id AS id, {_NORM} AS nt FROM documents),
+            {_shingle_jaccard_edges_sql("nodes_", 0.7)},
+            edges_ AS (SELECT da, db FROM jedges_),
+            {_CC_SQL}
+            SELECT nd AS doc_id, cid AS cluster_id
+            FROM labels_ ORDER BY doc_id
+        """,
+        "dedup_report": f"""
+            WITH RECURSIVE
+            base AS (SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                            md5_number_lower('doc://' || CAST(doc_id AS VARCHAR)) AS did,
+                            {_NORM} AS nt,
+                            CAST(length(text) AS DOUBLE) AS quality
+                     FROM documents),
+            rep AS (SELECT url, did, nt, quality,
+                           min(did) OVER (PARTITION BY nt) AS rid
+                    FROM base),
+            nodes_ AS (SELECT DISTINCT rid AS id, nt FROM rep),
+            {_shingle_jaccard_edges_sql("nodes_", 0.7)},
+            {_lgram_edges_sql("nodes_", 200)},
+            edges_ AS (SELECT da, db FROM jedges_ UNION SELECT da, db FROM sedges_),
+            {_CC_SQL},
+            r AS (SELECT rep.url, rep.did AS doc_id, labels_.cid AS cluster_id,
+                         rep.quality
+                  FROM rep JOIN labels_ ON labels_.nd = rep.rid),
+            w AS (SELECT *,
+                         count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                         row_number() OVER (PARTITION BY cluster_id
+                                            ORDER BY quality DESC, url ASC) AS rn
+                  FROM r)
+            SELECT url, doc_id, cluster_id, cluster_size, quality,
+                   CASE WHEN cluster_size = 1 THEN 'Unique'
+                        WHEN rn = 1 THEN 'Best'
+                        ELSE 'Duplicate' END AS status
+            FROM w ORDER BY url
+        """,
     }
+
+
+def _lang_id_sql() -> str:
+    from image_deduplication_3m_images_ray.extras.textstats import stopword_sql_values
+
+    return f"""
+        WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+        tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tk FROM n),
+        ntok AS (SELECT doc_id, count(*) AS n_tokens FROM tok GROUP BY doc_id),
+        sw(lang, w) AS (VALUES {stopword_sql_values()}),
+        hit AS (
+            SELECT t.doc_id, s.lang, count(*) AS hits
+            FROM tok t JOIN sw s ON t.tk = s.w
+            GROUP BY t.doc_id, s.lang
+        ),
+        best AS (
+            SELECT doc_id, lang, hits,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY hits DESC, lang ASC) AS rn
+            FROM hit
+        ),
+        b1 AS (SELECT doc_id, lang, hits FROM best WHERE rn = 1)
+        SELECT ntok.doc_id,
+               CASE WHEN b1.hits IS NULL OR b1.hits * 20 < ntok.n_tokens
+                    THEN 'und' ELSE b1.lang END AS pred_lang,
+               COALESCE(b1.hits, 0) AS n_hits,
+               ntok.n_tokens
+        FROM ntok LEFT JOIN b1 USING (doc_id)
+        ORDER BY doc_id
+    """

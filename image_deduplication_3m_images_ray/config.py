@@ -30,7 +30,6 @@ class DedupConfig:
     num_perms: int = 128          # MinHash signature length
     bands: int = 32               # LSH bands
     rows_per_band: int = 4        # rows per band (bands * rows == num_perms)
-    simhash_bits: int = 64
 
     # --- verification thresholds ---
     jaccard_threshold: float = 0.7    # exact shingle-set Jaccard to confirm a pair
@@ -47,10 +46,14 @@ class DedupConfig:
 
     # --- skew handling ---
     bucket_pair_cap: int = 64         # bucket size above which pair emission is
-                                      # salted into chunks (chunk assignment is
-                                      # re-randomized per band, so a pair split
-                                      # in one band usually co-chunks in another)
-    salt_seed: int = 0x5A17           # deterministic member->salt assignment
+                                      # salted into chunks; the chunk split is
+                                      # deliberately CONSTANT across bands (a
+                                      # hot bucket recurring in many bands then
+                                      # emits the SAME pair set, which the
+                                      # downstream distinct collapses — see
+                                      # stages/banding.py emit_capped_pairs)
+    salt_seed: int = 0x5A17           # deterministic member->chunk assignment
+                                      # seed for the salted split
 
     # --- execution ---
     seed: int = 42                    # hash seeds (minhash seed derivation)
@@ -65,7 +68,9 @@ class DedupConfig:
                                       # driver (provably-small candidate set —
                                       # Ray guide's sanctioned fast path);
                                       # above, distributed label propagation
-    num_output_partitions: int = 16   # partitions for checkpointed stage outputs
+    num_output_partitions: int = 16   # deterministic hash-partition count for
+                                      # checkpointed stage outputs (the unit of
+                                      # per-partition lineage + resume)
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perms:

@@ -65,20 +65,44 @@ def exact_dedup_keep_first(docs: Dataset) -> Dataset:
 
 
 class SimHashActor:
-    """Compute 64-bit SimHash per document (stateful: seed table built once)."""
+    """64-bit SimHash per document over the normalized token multiset.
+
+    Token hashes use the md5 anchor (:func:`functions.hashing.md5_u64` ==
+    DuckDB ``md5_number_lower``) so the whole operator — simhash values AND
+    the Hamming-distance pair set — is exactly expressible as a DuckDB oracle:
+    bit b of the simhash is 1 iff the sum over token occurrences of
+    (+1 if bit b of the token hash else -1) is > 0.  Per-batch compute is
+    vectorized: md5 runs once per DISTINCT token, bit sums are one segmented
+    reduceat over the flat token stream.  (The flagship pipeline's simhash
+    gate keeps the fast splitmix hash — this standalone operator trades hash
+    throughput for oracle parity.)
+    """
 
     def __init__(self, cfg: DedupConfig):
         self.cfg = cfg
-        self.seeds = minhash_seeds(cfg.num_perms, cfg.seed)
+        self._bit_cols = np.arange(64, dtype=np.uint64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.hashing import md5_u64
+
         norm = normalize_array(batch["text"])
-        shingles, offsets = shingle_batch(norm, self.cfg.shingle_k)
-        _, simhashes, _ = minhash_simhash_batch(shingles, offsets, self.seeds[:1])
+        tokens_list = pc.split_pattern(norm, pattern=" ")
+        offsets = tokens_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = tokens_list.flatten().to_numpy(zero_copy_only=False)
+        uniq, inv = np.unique(flat, return_inverse=True)
+        h = md5_u64(list(uniq))[inv]  # one md5 per distinct token
+        # (n_tokens, 64) sign matrix, segment-summed per doc
+        bits = (((h[:, None] >> self._bit_cols) & np.uint64(1)).astype(np.int32) * 2 - 1)
+        csum = np.zeros((len(h) + 1, 64), dtype=np.int64)
+        np.cumsum(bits, axis=0, out=csum[1:])
+        sums = csum[offsets[1:]] - csum[offsets[:-1]]  # (n_docs, 64)
+        sim = ((sums > 0).astype(np.uint64) << self._bit_cols).sum(
+            axis=1, dtype=np.uint64
+        )
         return pa.table(
             {
                 "doc_id": batch["doc_id"],
-                "simhash": pa.array(simhashes, pa.uint64()),
+                "simhash": pa.array(sim, pa.uint64()),
             }
         )
 
@@ -176,33 +200,163 @@ def simhash_dedup_pairs(docs: Dataset, cfg: DedupConfig, max_hamming: int = 3) -
 
 
 def char_jaccard_pairs(
-    docs: Dataset, threshold: float = 0.5, block_col: str = "lang"
+    docs: Dataset, threshold: float = 0.5, block_col: str = "lang", tile: int = 2048
 ) -> Dataset:
     """All-pairs character-set Jaccard >= t within a blocking key.
 
-    Semantics chosen to be SQL-checkable: J = |chars(a) ∩ chars(b)| /
-    |chars(a) ∪ chars(b)| over distinct characters — DuckDB's ``jaccard()``.
-    The blocking column bounds the quadratic term per group (pick a
-    low-cardinality, high-selectivity key; lang/source for webtext).
+    Semantics (SQL-checkable): J = |chars(a) ∩ chars(b)| / |chars(a) ∪
+    chars(b)| over distinct characters — DuckDB's ``jaccard()``, blocked by
+    ``ON a.lang = b.lang``.  The semantics are inherently all-pairs; the
+    implementation makes that tractable at scale instead of looping Python
+    per pair (the round-1 design):
+
+    - the map stage reduces each doc to its sorted distinct-codepoint set
+      (vectorized segmented unique) — the shuffle ships <= ~100 uint32s per
+      doc, never the text;
+    - docs are bucketed by ``floor(log(set_size) / log(1/t))``: J >= t bounds
+      the size ratio by t (|A∩B| <= |A|, |A∪B| >= |B|), so only same-bucket
+      and adjacent-bucket pairs can pass — each doc is emitted into its home
+      bucket plus the next one (ghost rows), and ghost x ghost comparisons
+      are skipped so every candidate pair is compared exactly once;
+    - within a (block, bucket) group the comparison is a tiled 0/1-matrix
+      matmul over the group's alphabet (popcount intersection in BLAS),
+      with exact integer inter/union division — no per-pair Python.
     """
+    from ..functions.hashing import splitmix64, unique_per_doc
+    from ..util import sharded_group_map
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sets = [frozenset(t) for t in g["text"]]
-        rows_a, rows_b, sims = [], [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                inter = len(sets[i] & sets[j])
-                union = len(sets[i] | sets[j])
-                sim = inter / union if union else 1.0
-                if sim >= threshold:
-                    rows_a.append(ids[i])
-                    rows_b.append(ids[j])
-                    sims.append(sim)
-        return pd.DataFrame({"doc_a": rows_a, "doc_b": rows_b, "char_jaccard": sims})
+    if not (0 <= threshold <= 1):
+        raise ValueError("threshold must be in [0, 1]")
+    import math
 
-    return docs.groupby(block_col).map_groups(emit, batch_format="pandas")
+    # t == 0 (every pair passes) and t == 1 (size ratio 1) both collapse to a
+    # single bucket per block — no size-bucket pruning possible or needed
+    log_base = math.log(1.0 / threshold) if 0 < threshold < 1 else None
+
+    def prep(t: pa.Table) -> pa.Table:
+        texts = t["text"].to_pylist()
+        # flat codepoint stream + offsets -> vectorized per-doc distinct sets
+        offs = np.zeros(len(texts) + 1, dtype=np.int64)
+        np.cumsum([len(s) for s in texts], out=offs[1:])
+        flat = (
+            np.frombuffer("".join(texts).encode("utf-32-le"), dtype=np.uint32)
+            if offs[-1]
+            else np.empty(0, np.uint32)
+        )
+        uniq, uoffs = unique_per_doc(flat.astype(U64), offs)
+        sizes = np.diff(uoffs)
+        if log_base is None:
+            bucket = np.zeros(len(texts), dtype=np.int64)
+        else:
+            bucket = np.where(
+                sizes > 0, np.floor(np.log(np.maximum(sizes, 1)) / log_base), 0
+            ).astype(np.int64)
+        blk = np.asarray(t[block_col].to_pylist(), dtype=object)
+        blk_code = splitmix64(pd.util.hash_array(blk).astype(U64))
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        charset = pa.ListArray.from_arrays(
+            pa.array(uoffs, pa.int32()), pa.array(uniq.astype(np.uint32), pa.uint32())
+        )
+        home = pa.table(
+            {
+                "doc_id": pa.array(ids),
+                "blk": pa.array(blk_code, pa.uint64()),
+                "bucket": pa.array(bucket, pa.int64()),
+                "ghost": pa.array(np.zeros(len(ids), np.int8), pa.int8()),
+                "charset": charset,
+            }
+        )
+        if log_base is None:
+            return home
+        # ghosts go into bucket+1 AND bucket+2: J >= t bounds the bucket gap
+        # at 1 mathematically, the extra level absorbs any float rounding of
+        # the log at ratio == t exactly; ghost x ghost skipping still makes
+        # every candidate pair compare exactly once
+        ghosts = [
+            pa.table(
+                {
+                    "doc_id": pa.array(ids),
+                    "blk": pa.array(blk_code, pa.uint64()),
+                    "bucket": pa.array(bucket + d, pa.int64()),
+                    "ghost": pa.array(np.ones(len(ids), np.int8), pa.int8()),
+                    "charset": charset,
+                }
+            )
+            for d in (1, 2)
+        ]
+        return pa.concat_tables([home, *ghosts])
+
+    def compare(group: dict) -> dict:
+        blk = np.asarray(group["blk"], dtype=U64)
+        bucket = np.asarray(group["bucket"], dtype=np.int64)
+        ghost = np.asarray(group["ghost"], dtype=np.int8)
+        ids = np.asarray(group["doc_id"])
+        charsets = np.asarray(group["charset"], dtype=object)
+        order = np.lexsort((ids, ghost, bucket, blk))
+        blk, bucket, ghost, ids, charsets = (
+            blk[order], bucket[order], ghost[order], ids[order], charsets[order]
+        )
+        seg_key = splitmix64(blk * U64(0x9E3779B97F4A7C15) ^ bucket.astype(U64))
+        a_out, b_out, j_out = [], [], []
+        from ..util import segment_bounds
+
+        bounds = segment_bounds(seg_key)
+        for s_i in range(len(bounds) - 1):
+            lo, hi = bounds[s_i], bounds[s_i + 1]
+            n = hi - lo
+            if n < 2:
+                continue
+            g_ids = ids[lo:hi]
+            g_ghost = ghost[lo:hi]
+            sets = charsets[lo:hi]
+            lens = np.array([len(c) for c in sets], dtype=np.int64)
+            alphabet, inv = np.unique(
+                np.concatenate(sets).astype(np.uint32) if lens.sum() else np.empty(0, np.uint32),
+                return_inverse=True,
+            )
+            X = np.zeros((n, max(len(alphabet), 1)), dtype=np.float32)
+            row_idx = np.repeat(np.arange(n), lens)
+            X[row_idx, inv] = 1.0
+            sizes = lens
+            for t0 in range(0, n, tile):
+                t1 = min(t0 + tile, n)
+                inter = np.rint(X[t0:t1] @ X.T).astype(np.int64)  # (tile, n)
+                union = sizes[t0:t1, None] + sizes[None, :] - inter
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    sim = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
+                ia, ib = np.nonzero(sim >= threshold)
+                ia_g = ia + t0
+                keep = (g_ids[ia_g] < g_ids[ib]) & ~((g_ghost[ia_g] == 1) & (g_ghost[ib] == 1))
+                a_out.append(g_ids[ia_g][keep])
+                b_out.append(g_ids[ib][keep])
+                j_out.append(sim[ia, ib][keep])
+        if not a_out:
+            return {
+                "doc_a": np.empty(0, dtype=ids.dtype),
+                "doc_b": np.empty(0, dtype=ids.dtype),
+                "char_jaccard": np.empty(0, np.float64),
+            }
+        return {
+            "doc_a": np.concatenate(a_out),
+            "doc_b": np.concatenate(b_out),
+            "char_jaccard": np.concatenate(j_out).astype(np.float64),
+        }
+
+    def dedup(group: dict) -> dict:
+        a = np.asarray(group["doc_a"])
+        b = np.asarray(group["doc_b"])
+        order = np.lexsort((b, a))
+        keep = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            keep[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
+        idx = order[keep]
+        return {k: np.asarray(v)[idx] for k, v in group.items()}
+
+    prepped = docs.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = sharded_group_map(prepped, ["blk", "bucket"], compare)
+    # a home/ghost pair can coexist in two buckets only when sizes tie across
+    # the boundary; a cheap distinct keeps the contract exact
+    return sharded_group_map(pairs, ["doc_a", "doc_b"], dedup)
 
 
 def minhash_lsh_clusters(docs: Dataset, cfg: DedupConfig) -> Dataset:
@@ -303,21 +457,36 @@ class _CosinePairActor:
 
 
 def embedding_cosine_pairs(
-    embeddings: Dataset, threshold: float = 0.9, concurrency: int = 4, batch_size: int = 1024
+    embeddings: Dataset,
+    threshold: float = 0.9,
+    concurrency: int = 4,
+    batch_size: int = 1024,
+    broadcast_max_rows: int = 100_000,
 ) -> Dataset:
     """(vec_id, embedding list<float>) -> pairs with cosine >= t.
 
-    Brute-force with a broadcast comparison matrix: the (assumed
-    broadcastable) normalized matrix goes to the object store ONCE via
-    ``ray.put`` and every actor reads it in ``__init__``; each batch then does
-    one float64 matmul.  Reference analog: the dense cosine similarity matrix
-    of Stage 3 (/root/reference/modules/deduplication.py:1219-1283).  When the
-    matrix exceeds worker memory, use the hyperplane-LSH variant in
-    ``extras.similarity`` which buckets before comparing.
+    Two physical plans behind one contract:
+
+    - **small side** (row count <= ``broadcast_max_rows``): exact brute force.
+      The normalized matrix goes to the object store ONCE via ``ray.put`` and
+      every actor reads it in ``__init__``; each batch does one float64
+      matmul.  Reference analog: the dense cosine similarity matrix of
+      Stage 3 (/root/reference/modules/deduplication.py:1219-1283).
+    - **large side**: the driver never materializes the table; rows are
+      bucketed by a random-hyperplane LSH sketch
+      (``extras.similarity.hyperplane_cosine_pairs``) and compared within
+      buckets — the scale path, approximate by nature (recall controlled by
+      the number of hyperplane tables; the brute-force path remains the
+      oracle for correctness checks).
     """
     import ray as _ray
 
-    # single driver-side pass to assemble the broadcast side (small by contract)
+    if embeddings.count() > broadcast_max_rows:
+        from .similarity import hyperplane_cosine_pairs
+
+        return hyperplane_cosine_pairs(embeddings, threshold=threshold)
+
+    # single driver-side pass to assemble the broadcast side (bounded above)
     tbl = pa.concat_tables(_ray.get(embeddings.to_arrow_refs())).combine_chunks()
     ids, matrix = embeddings_to_matrix(tbl)
     ref = _ray.put((ids, _l2_normalize(matrix)))

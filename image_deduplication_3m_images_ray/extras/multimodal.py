@@ -22,7 +22,7 @@ import pyarrow as pa
 
 from ray.data import Dataset
 
-from ..functions.hashing import U64, splitmix64
+from ..functions.hashing import U64
 
 MEDIA_SCHEMA = pa.schema(
     [
@@ -35,13 +35,6 @@ MEDIA_SCHEMA = pa.schema(
         ("duration_ms", pa.int64()),
     ]
 )
-
-
-def _payload_hashes(payloads: list) -> np.ndarray:
-    import pandas as _pd
-
-    arr = np.asarray([p if p is not None else b"" for p in payloads], dtype=object)
-    return splitmix64(_pd.util.hash_array(arr).astype(U64))
 
 
 class DecodeActor:
@@ -62,17 +55,19 @@ class DecodeActor:
                 "this environment; construct DecodeActor(fake=True) for the "
                 "deterministic test double"
             )
+        from ..functions.hashing import md5_u64
+
         payloads = batch["payload"].to_pylist()
-        h = _payload_hashes(payloads)
+        # md5-anchored fake decode: every derived value is a pure function of
+        # the payload bytes that DuckDB can recompute (md5_number_lower), so
+        # the stub is oracle-checkable end to end
+        h = md5_u64(payloads)
         sizes = np.asarray([len(p) if p else 0 for p in payloads], dtype=np.int64)
         width = (h % U64(1920)).astype(np.int32) + 1
-        height = (splitmix64(h) % U64(1080)).astype(np.int32) + 1
-        # 16-d pseudo feature: splitmix chain scaled to [0, 1)
-        feats = np.empty((len(h), 16), dtype=np.float64)
-        x = h.copy()
-        for i in range(16):
-            x = splitmix64(x)
-            feats[:, i] = x / np.float64(2**64)
+        height = ((h >> U64(32)) % U64(1080)).astype(np.int32) + 1
+        # 16-d pseudo feature: nibbles of the checksum scaled to [0, 1]
+        nibbles = (h[:, None] >> (np.arange(16, dtype=U64) * U64(4))) & U64(0xF)
+        feats = nibbles.astype(np.float64) / 15.0
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -80,6 +75,7 @@ class DecodeActor:
                 "payload_bytes": pa.array(sizes, pa.int64()),
                 "width": pa.array(width, pa.int32()),
                 "height": pa.array(height, pa.int32()),
+                "checksum": pa.array(h, pa.uint64()),
                 "feature": pa.FixedSizeListArray.from_arrays(
                     pa.array(feats.reshape(-1), pa.float64()), 16
                 ).cast(pa.list_(pa.float64())),
@@ -148,3 +144,36 @@ def make_fake_media(n: int, seed: int = 42):
         "duration_ms": [int(rng.integers(0, 10_000)) if i % 3 == 2 else 0 for i in range(n)],
     }
     return pa.table(rows, schema=MEDIA_SCHEMA)
+
+
+def media_from_documents(docs: Dataset) -> Dataset:
+    """Adapt a documents table into the media shape (payload = utf-8 text bytes).
+
+    Gives the decode stage a deterministic, oracle-visible input: every field
+    is a pure function of (doc_id, text), so the DuckDB side can rebuild the
+    same media table from the ``documents`` view and check the fake decode
+    end to end.  Kind cycles image/audio/video by ``doc_id % 3``.
+    """
+    kinds = np.array(["image", "audio", "video"], dtype=object)
+    mimes = np.array(["image/jpeg", "audio/wav", "video/mp4"], dtype=object)
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        k = (ids % 3).astype(np.int64)
+        nc = pa.compute.binary_length(pa.compute.cast(t["text"], pa.binary())).cast(pa.int64())
+        return pa.table(
+            {
+                "media_id": pa.array(ids, pa.int64()),
+                "kind": pa.array(kinds[k], pa.string()),
+                "payload": pa.compute.cast(t["text"], pa.binary()),
+                "mime": pa.array(mimes[k], pa.string()),
+                "width": pa.array(np.full(len(ids), -1, np.int32), pa.int32()),
+                "height": pa.array(np.full(len(ids), -1, np.int32), pa.int32()),
+                # video rows report a pseudo duration of 1 ms per byte
+                "duration_ms": pa.compute.if_else(
+                    pa.array(k == 2), nc, pa.array(np.zeros(len(ids), np.int64), pa.int64())
+                ),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

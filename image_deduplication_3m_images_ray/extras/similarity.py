@@ -162,3 +162,92 @@ def ann_lsh_topk(
 
     partial = buckets.groupby("bucket").map_groups(scan, batch_format="pandas")
     return partial.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
+
+
+def hyperplane_cosine_pairs(
+    embeddings: Dataset,
+    threshold: float = 0.9,
+    n_bits: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    batch_size: int = 4096,
+    num_shards: int = 64,
+) -> Dataset:
+    """Approximate cosine >= t pairs without ever materializing the table.
+
+    The scale path behind ``extras.dedup_ops.embedding_cosine_pairs``: each
+    row is bucketed by ``n_tables`` independent random-hyperplane signatures;
+    within a bucket the comparison is one vectorized matmul; a distinct on
+    (vec_a, vec_b) collapses cross-table duplicates.  Recall rises with
+    ``n_tables`` (a pair at angle theta collides in one table w.p.
+    (1 - theta/pi)^n_bits); precision is exact — every emitted pair's cosine
+    is computed, so no false positives.
+    """
+    from ..util import segment_bounds, sharded_group_map
+
+    def sig_fn(t: pa.Table) -> pa.Table:
+        ids, rows = embeddings_to_matrix(t)
+        rn = _l2_normalize(rows)
+        parts = []
+        for tbl in range(n_tables):
+            sig = splitmix64(
+                hyperplane_signatures(rn, n_bits, seed + 7919 * tbl)
+                ^ (U64(tbl) << U64(48))
+            )
+            parts.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(sig, pa.uint64()),
+                        "vec_id": pa.array(ids, pa.int64()),
+                        "embedding": t["embedding"],
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def compare(group: dict) -> dict:
+        bucket = np.asarray(group["bucket"], dtype=U64)
+        ids = np.asarray(group["vec_id"], dtype=np.int64)
+        emb = np.asarray(group["embedding"], dtype=object)
+        order = np.lexsort((ids, bucket))
+        bucket, ids, emb = bucket[order], ids[order], emb[order]
+        bounds = segment_bounds(bucket)
+        a_p, b_p, c_p = [], [], []
+        for s in range(len(bounds) - 1):
+            lo, hi = bounds[s], bounds[s + 1]
+            if hi - lo < 2:
+                continue
+            rows = _l2_normalize(np.stack(emb[lo:hi]).astype(np.float64))
+            sim = rows @ rows.T
+            ia, ib = np.nonzero(sim >= threshold)
+            keep = ids[lo:hi][ia] < ids[lo:hi][ib]
+            a_p.append(ids[lo:hi][ia[keep]])
+            b_p.append(ids[lo:hi][ib[keep]])
+            c_p.append(sim[ia[keep], ib[keep]])
+        if not a_p:
+            return {
+                "vec_a": np.empty(0, np.int64),
+                "vec_b": np.empty(0, np.int64),
+                "cosine": np.empty(0, np.float64),
+            }
+        return {
+            "vec_a": np.concatenate(a_p),
+            "vec_b": np.concatenate(b_p),
+            "cosine": np.concatenate(c_p),
+        }
+
+    def dedup(group: dict) -> dict:
+        a = np.asarray(group["vec_a"])
+        b = np.asarray(group["vec_b"])
+        order = np.lexsort((b, a))
+        keep = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            keep[1:] = (a[order][1:] != a[order][:-1]) | (b[order][1:] != b[order][:-1])
+        idx = order[keep]
+        return {k: np.asarray(v)[idx] for k, v in group.items()}
+
+    buckets = embeddings.map_batches(
+        sig_fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    pairs = sharded_group_map(buckets, ["bucket"], compare, num_shards=num_shards)
+    return sharded_group_map(pairs, ["vec_a", "vec_b"], dedup, num_shards=num_shards)

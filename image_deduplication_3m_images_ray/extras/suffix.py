@@ -1,73 +1,82 @@
-"""Partition-local suffix-array pass for exact substring duplicates.
+"""Partition-local substring-duplicate pass (the suffix-ordering alternative).
 
 The alternative design from SURVEY.md §7.2 step 7 (the primary engine uses the
 global winnowing pass in ``stages.winnow``): within each batch/partition,
-build a suffix ordering over the concatenated docs and emit pairs of docs
-sharing a common substring >= L chars.  Partition-local BY DESIGN (the north
-rule's stated assumption): pairs across partitions are not found by this
-operator — co-partition related docs (e.g. by host) upstream, or rely on the
-winnowing pass for global coverage.
+find every pair of docs sharing an identical ``min_substring_len``-byte window
+of normalized text.  Partition-local BY DESIGN (the north rule's stated
+assumption): pairs across partitions are not found by this operator —
+co-partition related docs (e.g. by host) upstream, or rely on the winnowing
+pass for global coverage.
 
-Correctness argument: sort all suffixes (by a 4L/ mapped key of their first
-``key_bytes`` bytes); any two suffixes sharing a >= L-byte prefix are
-adjacent-or-connected in sorted order (every suffix between them shares the
-same prefix), so scanning ADJACENT pairs with common-prefix >= L and unioning
-transitively finds every such doc pair.  key_bytes >= L keeps the scan exact.
+Contract (SQL-checkable): emit every (doc_a < doc_b) pair whose normalized
+texts share at least one identical length-L substring — exactly the DuckDB
+self-join of the distinct L-gram sets.  Implementation is a rolling-hash
+suffix grouping, NOT a byte-matrix: every L-byte window is hashed in one
+vectorized pass (~8 bytes of state per window vs the L-byte key rows of the
+naive suffix sort — a 25x memory cut at L=200), windows are grouped by hash,
+and groups are verified byte-exactly before emitting pairs, so a 64-bit hash
+collision can never produce a false pair.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from ray.data import Dataset
 
 from ..config import DedupConfig
+from ..functions.hashing import U64, _char_kgram_hashes
 from ..functions.text import normalize_array
 
 
-def _common_prefix_len(a: bytes, b: bytes) -> int:
-    n = min(len(a), len(b))
-    lo = 0
-    while lo < n and a[lo] == b[lo]:
-        lo += 1
-    return lo
-
-
 def suffix_pairs_in_batch(texts: list, doc_ids: np.ndarray, min_len: int) -> set:
-    """Exact doc pairs sharing a substring >= min_len chars, within one batch."""
+    """Exact doc pairs sharing a >= min_len-byte substring, within one batch.
+
+    Hash every L-window of every doc (vectorized rolling hash), sort the flat
+    (hash, doc, start) stream once, then walk equal-hash runs: within a run,
+    windows are compared byte-exactly (collision guard) and every distinct
+    doc pair sharing identical bytes is emitted.
+    """
     datas = [t.encode("utf-8") for t in texts]
-    starts, owners = [], []
+    hash_parts, owner_parts, start_parts = [], [], []
     for i, d in enumerate(datas):
-        if len(d) >= min_len:
-            n_suf = len(d) - min_len + 1
-            starts.append(np.arange(n_suf, dtype=np.int64))
-            owners.append(np.full(n_suf, i, dtype=np.int64))
-    if not starts:
+        h = _char_kgram_hashes(d, min_len)
+        if len(h):
+            hash_parts.append(h)
+            owner_parts.append(np.full(len(h), i, dtype=np.int64))
+            start_parts.append(np.arange(len(h), dtype=np.int64))
+    if not hash_parts:
         return set()
-    starts = np.concatenate(starts)
-    owners = np.concatenate(owners)
-    # sort suffixes by their first min_len bytes via fixed-width void view
-    keys = np.zeros((len(starts), min_len), dtype=np.uint8)
-    for row, (o, s) in enumerate(zip(owners, starts)):
-        seg = datas[o][s : s + min_len]
-        keys[row, : len(seg)] = np.frombuffer(seg, dtype=np.uint8)
-    order = np.lexsort(keys.T[::-1])
-    k_sorted = keys[order]
-    o_sorted = owners[order]
-    pairs = set()
-    # adjacent suffixes with identical min_len-byte key and different docs
-    same = (k_sorted[1:] == k_sorted[:-1]).all(axis=1)
-    for idx in np.nonzero(same)[0]:
-        a, b = int(o_sorted[idx]), int(o_sorted[idx + 1])
-        if a != b:
-            pairs.add((min(a, b), max(a, b)))
-    # transitive closure through runs of identical keys with >2 suffixes is
-    # covered because every member of a run is adjacent to the next
+    hashes = np.concatenate(hash_parts)
+    owners = np.concatenate(owner_parts)
+    starts = np.concatenate(start_parts)
+    order = np.lexsort((starts, owners, hashes))
+    hashes, owners, starts = hashes[order], owners[order], starts[order]
+    run_first = np.ones(len(hashes), dtype=bool)
+    run_first[1:] = hashes[1:] != hashes[:-1]
+    run_starts = np.nonzero(run_first)[0]
+    run_ends = np.append(run_starts[1:], len(hashes))
+    pairs: set = set()
+    for lo, hi in zip(run_starts, run_ends):
+        if hi - lo < 2 or owners[lo] == owners[hi - 1]:
+            continue  # single window or all windows from one doc
+        # verify bytes within the run; group identical windows -> doc sets
+        by_bytes: dict = {}
+        for idx in range(lo, hi):
+            o = int(owners[idx])
+            s = int(starts[idx])
+            by_bytes.setdefault(datas[o][s : s + min_len], set()).add(o)
+        for docs in by_bytes.values():
+            if len(docs) > 1:
+                ds = sorted(docs)
+                for ai in range(len(ds)):
+                    for bi in range(ai + 1, len(ds)):
+                        pairs.add((ds[ai], ds[bi]))
     out = set()
     for a, b in pairs:
-        out.add((int(doc_ids[a]), int(doc_ids[b])) if doc_ids[a] < doc_ids[b] else (int(doc_ids[b]), int(doc_ids[a])))
+        da, db = int(doc_ids[a]), int(doc_ids[b])
+        out.add((da, db) if da < db else (db, da))
     return out
 
 
@@ -76,8 +85,8 @@ def suffix_array_pairs_stage(
 ) -> Dataset:
     """(doc_id, text) -> partition-local substring-dup pairs (doc_a, doc_b, origin).
 
-    ``batch_size`` bounds the per-task suffix table: batch_size x avg_len
-    suffixes x min_substring_len bytes of key material (SURVEY.md §7.4
+    ``batch_size`` bounds the per-task window table: batch_size x avg_len
+    windows x ~24 bytes of (hash, owner, start) state (SURVEY.md §7.4
     "suffix-array memory" cap).
     """
 

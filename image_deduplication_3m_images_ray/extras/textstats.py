@@ -97,55 +97,101 @@ _STOPWORDS = {
 
 
 class LangIdActor:
-    """Stopword-ratio language id — state (compiled vocab) built once per actor.
+    """Stopword-count language id — state (compiled vocab) built once per actor.
 
-    The n-gram-heuristic analog of fasttext-style lang id; deterministic
-    tie-break by language code.
+    The n-gram-heuristic analog of fasttext-style lang id.  Semantics are
+    deliberately integer-exact and SQL-expressible (the DuckDB oracle joins
+    the same stopword VALUES list): tokens = normalized text split on ' '
+    (an empty text yields the single empty token, matching SQL
+    ``string_split('', ' ')``); per language, n_hits counts token
+    OCCURRENCES in that language's stopword set; the prediction is the
+    alphabetically-first language with the maximum hits, demoted to 'und'
+    when ``n_hits * 20 < n_tokens`` (a 5% stopword-density floor, kept in
+    integers so both sides compare exactly).
     """
 
     def __init__(self):
-        self.vocab = {lang: frozenset(ws) for lang, ws in _STOPWORDS.items()}
+        self.langs = sorted(_STOPWORDS)
+        self.vocab = {lang: frozenset(_STOPWORDS[lang]) for lang in self.langs}
 
-    def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
-        toks = batch["text"].str.lower().str.split()
-        langs, scores = [], []
-        for ts in toks:
-            ts = ts or []
-            n = max(len(ts), 1)
-            best_lang, best = "und", 0.0
-            for lang in sorted(self.vocab):
-                r = sum(1 for w in ts if w in self.vocab[lang]) / n
-                if r > best:
-                    best_lang, best = lang, r
-            langs.append(best_lang if best >= 0.05 else "und")
-            scores.append(round(best, 6))
-        return pd.DataFrame(
-            {"doc_id": batch["doc_id"], "pred_lang": langs, "stopword_ratio": scores}
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        norm = normalize_array(batch["text"])
+        tokens_list = pc.split_pattern(norm, pattern=" ")
+        offsets = tokens_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = tokens_list.flatten().to_numpy(zero_copy_only=False)
+        n_docs = len(offsets) - 1
+        n_tokens = np.diff(offsets)
+        hits = np.zeros((len(self.langs), n_docs), dtype=np.int64)
+        for li, lang in enumerate(self.langs):
+            member = np.isin(flat, list(self.vocab[lang])).astype(np.int64)
+            if len(member):
+                # segmented sum per doc (empty docs contribute 0)
+                csum = np.concatenate([[0], np.cumsum(member)])
+                hits[li] = csum[offsets[1:]] - csum[offsets[:-1]]
+        best_idx = np.argmax(hits, axis=0)  # first max -> alphabetical tie-break
+        best_hits = hits[best_idx, np.arange(n_docs)]
+        pred = np.array(self.langs, dtype=object)[best_idx]
+        pred[(best_hits * 20) < n_tokens] = "und"
+        pred[best_hits == 0] = "und"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "pred_lang": pa.array(pred, pa.string()),
+                "n_hits": pa.array(best_hits, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+            }
         )
 
 
 def lang_id(docs: Dataset, concurrency: int = 4, batch_size: int = 4096) -> Dataset:
     return docs.map_batches(
-        LangIdActor, batch_format="pandas", batch_size=batch_size, concurrency=concurrency
+        LangIdActor,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
     )
 
 
-def doc_fingerprints(docs: Dataset, cfg: DedupConfig, batch_size: int = 1024) -> Dataset:
-    """(doc_id, text) -> (doc_id, n_fingerprints, fp_min, fp_xor): rolling-hash
-    winnowing fingerprint summary per doc (content-defined signature)."""
+def stopword_sql_values() -> str:
+    """The stopword vocabulary as a SQL VALUES list (shared with the oracle)."""
+    rows = [
+        f"('{lang}', '{w}')" for lang in sorted(_STOPWORDS) for w in sorted(_STOPWORDS[lang])
+    ]
+    return ", ".join(rows)
+
+
+def doc_fingerprints(
+    docs: Dataset, cfg: DedupConfig = None, k: int = 32, mod: int = 8, batch_size: int = 1024
+) -> Dataset:
+    """(doc_id, text) -> (doc_id, n_fingerprints, fp_min, fp_xor).
+
+    Content-defined document fingerprint: the set of DISTINCT character
+    ``k``-grams of the normalized text whose md5-derived 64-bit hash is
+    ``0 mod `mod``` (mod-p sketching — the content-defined sampling family
+    winnowing belongs to; the flagship pipeline's true winnowing selection
+    lives in ``stages.winnow`` and is pinned by property tests).  The
+    md5 anchor (:func:`functions.hashing.md5_u64` == DuckDB
+    ``md5_number_lower``) makes this exactly SQL-checkable; see its
+    docstring for the speed tradeoff vs the vectorized rolling hash.
+    ``cfg`` is accepted for signature compatibility and unused.
+    """
+    from ..functions.hashing import md5_u64
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t["doc_id"]
         texts = normalize_array(t["text"]).to_pylist()
         n, fmin, fxor = [], [], []
         for s in texts:
-            fps, _ = winnow_fingerprints(s, cfg.winnow_kgram, cfg.winnow_window)
-            n.append(len(fps))
-            fmin.append(int(fps.min()) if len(fps) else 0)
-            x = 0
-            for v in fps:
-                x ^= int(v)
-            fxor.append(x)
+            grams = {s[i : i + k] for i in range(len(s) - k + 1)}
+            if grams:
+                h = md5_u64(list(grams))
+                h = h[h % np.uint64(mod) == 0]
+            else:
+                h = np.empty(0, dtype=np.uint64)
+            n.append(len(h))
+            fmin.append(int(h.min()) if len(h) else 0)
+            fxor.append(int(np.bitwise_xor.reduce(h)) if len(h) else 0)
         return pa.table(
             {
                 "doc_id": ids,

@@ -59,24 +59,47 @@ def sessionize(events: Dataset, gap_sec: int = 1800) -> Dataset:
     A new session starts when the time since the user's previous event exceeds
     ``gap_sec``.  Output: (user_id, session_id (0-based per user), n_events,
     session_start, session_end) — deterministic via (ts, event_id) ordering.
+
+    One hash-sharded exchange on ``user_id`` with ONE vectorized Python call
+    per shard (``util.sharded_group_map``) — not one call per user, which at
+    10^8 users would mean 10^8 pandas-group invocations (the round-1 design).
+    Inside a shard, session boundaries for ALL users fall out of a single
+    sorted segmented pass.
     """
+    gap_us = gap_sec * 1_000_000
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts", "event_id"], kind="mergesort")
+    def shard_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["user_id", "ts", "event_id"], kind="mergesort")
+        uid = g["user_id"].to_numpy()
         ts = g["ts"].to_numpy()
-        gaps = np.diff(ts).astype("timedelta64[us]").astype(np.int64)
-        new_session = np.concatenate([[True], gaps > gap_sec * 1_000_000])
-        sid = np.cumsum(new_session) - 1
-        out = g.assign(session_id=sid)
-        agg = out.groupby("session_id", sort=True).agg(
-            n_events=("event_id", "size"),
-            session_start=("ts", "min"),
-            session_end=("ts", "max"),
+        n = len(g)
+        new_user = np.ones(n, dtype=bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        gaps = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            gaps[1:] = (ts[1:] - ts[:-1]).astype("timedelta64[us]").astype(np.int64)
+        new_session = new_user | (gaps > gap_us)
+        sess_global = np.cumsum(new_session) - 1
+        seg_id = np.cumsum(new_user) - 1
+        first_sess_of_user = sess_global[np.nonzero(new_user)[0]]
+        session_id = sess_global - first_sess_of_user[seg_id]
+        s_idx = np.nonzero(new_session)[0]
+        ends = np.append(s_idx[1:], n) - 1
+        return pd.DataFrame(
+            {
+                "user_id": uid[s_idx],
+                "session_id": session_id[s_idx],
+                "n_events": (np.append(s_idx[1:], n) - s_idx).astype(np.int64),
+                "session_start": ts[s_idx],
+                "session_end": ts[ends],
+            }
         )
-        agg = agg.reset_index()
-        agg.insert(0, "user_id", g["user_id"].iloc[0])
-        return agg
 
-    return events.select_columns(["event_id", "ts", "user_id"]).groupby("user_id").map_groups(
-        per_user, batch_format="pandas"
+    from ..util import sharded_group_map
+
+    return sharded_group_map(
+        events.select_columns(["event_id", "ts", "user_id"]),
+        ["user_id"],
+        shard_fn,
+        batch_format="pandas",
     )

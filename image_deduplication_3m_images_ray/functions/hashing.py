@@ -356,3 +356,27 @@ def winnow_fingerprints(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarr
     pos = order[idx]  # first position of each selected value
     o = np.argsort(pos, kind="stable")
     return sel_vals[o], pos[o].astype(np.int64)
+
+
+def md5_u64(values) -> np.ndarray:
+    """DuckDB-anchored 64-bit content hash: little-endian bytes [8:16) of MD5.
+
+    Equals DuckDB's ``md5_number_lower(s)`` for the same string/bytes, which
+    makes any operator built on it expressible as an ANSI-SQL oracle (the
+    driver's DuckDB correctness gate).  MD5 per value costs ~1 us — orders of
+    magnitude slower than the vectorized splitmix64 family used by the
+    flagship pipeline, so this hash is reserved for the standalone
+    sketch/fingerprint operators where oracle parity matters more than
+    per-byte throughput; a production deployment would swap in the fast hash
+    and drop the SQL anchor.
+    """
+    import hashlib
+
+    out = np.empty(len(values), dtype=U64)
+    for i, v in enumerate(values):
+        if v is None:
+            v = b""
+        elif isinstance(v, str):
+            v = v.encode("utf-8")
+        out[i] = int.from_bytes(hashlib.md5(v).digest()[8:16], "little")
+    return out

@@ -13,7 +13,6 @@ regex extractor) runs ONLY for rows whose ``text`` column is empty.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -21,7 +20,6 @@ from ray.data import Dataset
 
 from ..config import DedupConfig
 from ..functions.extract import extract_text
-from ..functions.hashing import U64, splitmix64
 from ..functions.text import normalize_array
 
 
@@ -35,9 +33,15 @@ def doc_ids_for_urls(urls: np.ndarray) -> np.ndarray:
     #docs — acceptable for dedup (a collision merges two docs' identities and
     is caught by verification emitting jaccard<t pairs that simply don't
     cluster); exact-key workloads should keep ``url``.
+
+    The id is the md5 anchor (== DuckDB ``md5_number_lower(url)``), which
+    makes every downstream id — cluster labels are min doc_ids — exactly
+    recomputable by the SQL oracle.  Cost is ~1 us per url, once per document
+    at ingest (never in a hot shuffle), i.e. noise against HTML extraction.
     """
-    h = pd.util.hash_array(np.asarray(urls, dtype=object)).astype(U64)
-    return splitmix64(h ^ U64(0xD0C1D5EED))
+    from ..functions.hashing import md5_u64
+
+    return md5_u64(np.asarray(urls, dtype=object))
 
 
 def _extract_batch(batch: pa.Table) -> pa.Table:

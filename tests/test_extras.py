@@ -51,7 +51,7 @@ def test_simhash_pairs_find_near_dup(ray_session):
     from image_deduplication_3m_images_ray.extras.dedup_ops import simhash_dedup_pairs
 
     ds = ray.data.from_arrow(_docs_table())
-    pairs = simhash_dedup_pairs(ds, CFG, max_hamming=3).to_pandas()
+    pairs = simhash_dedup_pairs(ds, CFG, max_hamming=4).to_pandas()
     got = {(int(a), int(b)) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
     assert (0, 1) in got  # exact dup: hamming 0
     assert (0, 3) in got and (1, 3) in got  # near dup: tiny tail difference
