@@ -370,7 +370,7 @@ def minhash_lsh_clusters(docs: Dataset, cfg: DedupConfig) -> Dataset:
 
     from ..stages.banding import band_postings_stage, lsh_pairs_stage
     from ..stages.cluster import cluster_stage
-    from ..stages.signatures import SignatureActor
+    from ..stages.signatures import SignatureKernel
     from ..stages.verify import verify_stage
     from ..util import rename_columns
 
@@ -388,11 +388,9 @@ def minhash_lsh_clusters(docs: Dataset, cfg: DedupConfig) -> Dataset:
 
     d = docs.map_batches(to_docs, batch_format="pyarrow", zero_copy_batch=True)
     profile = d.map_batches(
-        SignatureActor,
-        fn_constructor_args=(cfg,),
+        SignatureKernel(cfg),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.signature_concurrency,
         zero_copy_batch=True,
     ).materialize()
     pairs = lsh_pairs_stage(band_postings_stage(profile, cfg), cfg, dedup=False)

@@ -380,3 +380,87 @@ def md5_u64(values) -> np.ndarray:
             v = v.encode("utf-8")
         out[i] = int.from_bytes(hashlib.md5(v).digest()[8:16], "little")
     return out
+
+
+def oph_minhash_simhash_batch(
+    shingles: np.ndarray,
+    offsets: np.ndarray,
+    num_perms: int,
+    seed: int,
+):
+    """One-permutation MinHash + SimHash over a batch — O(n_shingles) total.
+
+    One-permutation hashing (Li, Owen & Zhang, NIPS'12): ONE bijective mix of
+    every shingle hash; the top log2(num_perms) bits pick the signature slot,
+    the min mixed value per (doc, slot) is the signature entry.  Empty slots
+    (short docs) are filled by rotation densification (Shrivastava & Li,
+    ICML'14): borrow the nearest filled slot to the left, circularly — keeps
+    the collision probability of any slot pair ~J with a deterministic fill.
+    Replaces the k-independent-permutation kernel (128 passes over every
+    shingle) with a single pass: ~100x less compute/bandwidth for the same
+    LSH banding behavior, which is what makes the signature stage scale.
+
+    SimHash runs over the raw shingle stream (multiset bit-majority) in
+    L2-resident chunks.  Returns ``(signatures (n_docs, num_perms) uint64,
+    simhash (n_docs,) uint64, n_shingles (n_docs,) int64)`` where
+    ``n_shingles`` counts the raw (with-multiplicity) shingles — used only as
+    a length-ratio gate downstream, where multiplicity is irrelevant.
+    """
+    x = np.asarray(shingles, dtype=U64)
+    offsets = np.asarray(offsets, dtype=np.int64)
+    n_docs = len(offsets) - 1
+    lengths = np.diff(offsets)
+    if num_perms & (num_perms - 1):
+        raise ValueError("num_perms must be a power of two for OPH slotting")
+    shift = U64(64 - num_perms.bit_length() + 1)
+
+    # seed-dependent bijection of the key space (xor + odd multiply)
+    seed_mix = splitmix64(np.array([seed], dtype=U64))[0]
+    mixed = (x ^ seed_mix) * _SM_C2
+
+    slot = (mixed >> shift).astype(np.int64)
+    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    flat = doc_idx * num_perms + slot
+    sigs_flat = np.full(n_docs * num_perms, np.iinfo(np.uint64).max, dtype=U64)
+    np.minimum.at(sigs_flat, flat, mixed)
+    sigs = sigs_flat.reshape(n_docs, num_perms)
+
+    # rotation densification, only for rows that have empty slots
+    MAX = np.iinfo(np.uint64).max
+    empty_rows = np.nonzero((sigs == MAX).any(axis=1) & (lengths > 0))[0]
+    if len(empty_rows):
+        sub = sigs[empty_rows]
+        step = 1
+        while step < num_perms:
+            holes = sub == MAX
+            if not holes.any():
+                break
+            donor = np.roll(sub, step, axis=1)
+            take = holes & (donor != MAX)
+            sub[take] = donor[take]
+            step <<= 1
+        sigs[empty_rows] = sub
+
+    # SWAR bit-majority SimHash over the raw shingle stream: 8 shift+and+
+    # reduceat passes with 8 bit-positions counted per uint64 byte lane —
+    # ~40x cheaper than unpacking a (n_shingles, 64) bit matrix.  Docs are
+    # split into <=255-shingle subsegments so byte-lane counts cannot carry;
+    # exact-match asserted against the naive unpackbits vote in tests.
+    votes = np.zeros((n_docs, 64), dtype=np.int64)
+    if len(x):
+        n_sub = (lengths + 254) // 255
+        sub_doc = np.repeat(np.arange(n_docs), n_sub)
+        intra = np.arange(len(sub_doc), dtype=np.int64) - np.repeat(
+            np.cumsum(n_sub) - n_sub, n_sub
+        )
+        sub_starts = offsets[:-1][sub_doc] + intra * 255
+        lane = U64(0x0101010101010101)
+        for b in range(8):
+            lanes = np.add.reduceat((x >> U64(b)) & lane, sub_starts)
+            lane_bytes = lanes.view(np.uint8).reshape(-1, 8).astype(np.int64)
+            acc = np.zeros((n_docs, 8), dtype=np.int64)
+            np.add.at(acc, sub_doc, lane_bytes)
+            votes[:, b::8] = acc
+    majority = (votes * 2 >= np.maximum(lengths, 1)[:, None]).astype(U64)
+    simhashes = (majority << np.arange(64, dtype=U64)[None, :]).sum(axis=1, dtype=U64)
+    return sigs, simhashes, lengths.astype(np.int64)

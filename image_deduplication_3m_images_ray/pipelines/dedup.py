@@ -100,9 +100,11 @@ def dedup_pipeline(
             ckpt.run(
                 "exact_reps",
                 lambda: exact_rep_stage(
-                    ckpt.run("docs", lambda: extract_stage(pages, cfg)), cfg
+                    ckpt.run("docs", lambda: extract_stage(pages, cfg), partition_key="doc_id"),
+                    cfg,
                 ),
                 parents=["docs"] if checkpoint_dir else [],
+                partition_key="doc_id",
             )
         )
         docs_for_report = docs_rep
@@ -110,10 +112,19 @@ def dedup_pipeline(
         sig_parents = ["exact_reps"]
     else:
         docs_rep = None
-        docs_for_report = pin(ckpt.run("docs", lambda: extract_stage(pages, cfg)))
+        docs_for_report = pin(
+            ckpt.run("docs", lambda: extract_stage(pages, cfg), partition_key="doc_id")
+        )
         reps = docs_for_report
         sig_parents = ["docs"]
-    profile = pin(ckpt.run("signatures", lambda: signature_stage(reps, cfg), parents=sig_parents))
+    profile = pin(
+        ckpt.run(
+            "signatures",
+            lambda: signature_stage(reps, cfg),
+            parents=sig_parents,
+            partition_key="doc_id",
+        )
+    )
     # Pair generation + verification run as ONE streaming DAG of exactly three
     # exchanges (consolidate / attach / merge-verify — see stages/verify.py).
     # No pins: every intermediate has a single consumer, and each exchange is
@@ -126,11 +137,19 @@ def dedup_pipeline(
         )
         return consolidate_candidates(raw, cfg)
 
-    candidates = ckpt.run("candidate_pairs", build_candidates, parents=["signatures"])
+    candidates = ckpt.run(
+        "candidate_pairs",
+        build_candidates,
+        parents=["signatures"],
+        partition_key="doc_a",
+        sort_keys=["doc_a", "doc_b", "origin", "seed", "pos_a", "pos_b"],
+    )
     verified = ckpt.run(
         "verified_pairs",
         lambda: verify_stage(candidates, profile, cfg, consolidated=True),
         parents=["candidate_pairs"],
+        partition_key="doc_a",
+        sort_keys=["doc_a", "doc_b"],
     )
     if checkpoint_dir:
         # key the mid-loop round checkpoints by config + upstream lineage so a
@@ -146,6 +165,7 @@ def dedup_pipeline(
         "clusters",
         lambda: cluster_stage(verified, cfg, round_checkpoint_dir=round_dir),
         parents=["verified_pairs"],
+        partition_key="doc_id",
     )
     if exact_prepass:
         # one attach: doc -> rep -> cluster (report_stage_from_reps)

@@ -8,7 +8,7 @@ transforms per SURVEY.md §7.
 
 from .extract import extract_stage
 from .exact import exact_rep_stage, reps_only
-from .signatures import SignatureActor, signature_stage
+from .signatures import SignatureActor, SignatureKernel, signature_stage
 from .banding import band_postings_stage, lsh_pairs_stage
 from .winnow import fingerprint_stage, winnow_pairs_stage
 from .verify import verify_stage
@@ -20,6 +20,7 @@ __all__ = [
     "exact_rep_stage",
     "reps_only",
     "SignatureActor",
+    "SignatureKernel",
     "signature_stage",
     "band_postings_stage",
     "lsh_pairs_stage",

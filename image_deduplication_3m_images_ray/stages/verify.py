@@ -42,7 +42,7 @@ from ray.data import Dataset
 
 from ..config import DedupConfig
 from ..functions.hashing import _ranges, hamming64
-from ..functions.text import pairwise_jaccard_batch
+from ..functions.text import pairwise_jaccard_from_sets  # noqa: F401  (re-export for tests)
 from ..util import sharded_group_map
 
 ORIGIN_LSH = 0
@@ -197,6 +197,7 @@ def _emit_halves(t: pa.Table) -> pa.Table:
             "simhash": pa.array(np.zeros(2 * n, np.uint64), pa.uint64()),
             "n_shingles": pa.array(np.zeros(2 * n, np.int64), pa.int64()),
             "payload": pa.nulls(2 * n, type=pa.binary()),
+            "sset": pa.nulls(2 * n, type=pa.binary()),
         }
     )
 
@@ -215,7 +216,26 @@ def _prep_profile(t: pa.Table) -> pa.Table:
             "simhash": pc.cast(t["simhash"], pa.uint64()),
             "n_shingles": pc.cast(t["n_shingles"], pa.int64()),
             "payload": pc.cast(t["norm_text"], pa.binary()),
+            "sset": _list_u64_to_binary(t["shingle_set"]),
         }
+    )
+
+
+def _list_u64_to_binary(col) -> pa.Array:
+    """list<uint64> column -> binary column of the raw little-endian bytes.
+
+    Zero-copy reinterpretation: the list offsets (elements) scale by 8 into
+    byte offsets over the same flat values buffer.  Binary is the only wire
+    type both the numpy group format and block unification handle untyped —
+    the consumer decodes with ``np.frombuffer`` (again zero-copy).
+    """
+    lst = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(lst.values.to_numpy(zero_copy_only=False), dtype=np.uint64)
+    offs = lst.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    byte_offs = ((offs - offs[0]) * 8).astype(np.int32)
+    data = flat[offs[0] : offs[-1]].tobytes()
+    return pa.Array.from_buffers(
+        pa.binary(), len(lst), [None, pa.py_buffer(byte_offs.tobytes()), pa.py_buffer(data)]
     )
 
 
@@ -244,9 +264,14 @@ def _attach_shard(group: dict, window: int, k: int) -> dict:
     half_idx, loc = half_idx[matched], loc[matched]
     src = prof_idx[loc]
     payload = np.asarray(group["payload"], dtype=object)
+    sset = np.asarray(group["sset"], dtype=object)
     pos = np.asarray(group["pos"], dtype=np.int64)
     origin = side[half_idx]
-    out_payload = payload[src]  # full text for every half (object ref copy)
+    # LSH halves carry the pre-computed unique shingle set (exact Jaccard is
+    # then pure set arithmetic downstream — no re-tokenization, no text);
+    # winnow halves carry only a context window around their seed position
+    out_payload = payload[src]  # object ref copy
+    out_sset = sset[src]
     out_pos = np.full(len(half_idx), -1, dtype=np.int64)
     win_rows = np.nonzero(origin == ORIGIN_WINNOW)[0]
     for i in win_rows:
@@ -255,6 +280,9 @@ def _attach_shard(group: dict, window: int, k: int) -> dict:
         lo = max(0, p - window)
         out_payload[i] = data[lo : min(len(data), p + k + window)]
         out_pos[i] = p - lo
+    lsh_rows = origin == ORIGIN_LSH
+    out_payload[lsh_rows] = None  # text never ships for LSH halves
+    out_sset[~lsh_rows] = None
     return {
         "doc_a": np.asarray(group["doc_a"], dtype=np.uint64)[half_idx],
         "doc_b": np.asarray(group["doc_b"], dtype=np.uint64)[half_idx],
@@ -265,6 +293,7 @@ def _attach_shard(group: dict, window: int, k: int) -> dict:
         "simhash": np.asarray(group["simhash"], dtype=np.uint64)[src],
         "n_shingles": np.asarray(group["n_shingles"], dtype=np.int64)[src],
         "payload": out_payload,
+        "sset": out_sset,
     }
 
 
@@ -290,10 +319,11 @@ def _merge_verify_shard(group: dict, cfg: DedupConfig) -> dict:
     simhash = np.asarray(group["simhash"], dtype=np.uint64)
     n_sh = np.asarray(group["n_shingles"], dtype=np.int64)
     payload = np.asarray(group["payload"], dtype=object)
+    sset = np.asarray(group["sset"], dtype=object)
     order = np.lexsort((half, seed, origin, b, a))
-    a, b, origin, half, seed, pos, simhash, n_sh, payload = (
+    a, b, origin, half, seed, pos, simhash, n_sh, payload, sset = (
         a[order], b[order], origin[order], half[order], seed[order],
-        pos[order], simhash[order], n_sh[order], payload[order],
+        pos[order], simhash[order], n_sh[order], payload[order], sset[order],
     )
     # a unit = consecutive (pair, origin, seed) rows with half 0 then half 1
     same = np.zeros(len(a), dtype=bool)
@@ -320,9 +350,20 @@ def _merge_verify_shard(group: dict, cfg: DedupConfig) -> dict:
     jacc = np.zeros(len(la), dtype=np.float64)
     todo = np.nonzero(gate_ok)[0]
     if len(todo):
-        ta = pa.array(list(payload[la[todo]]), pa.binary()).cast(pa.string())
-        tb = pa.array(list(payload[lb[todo]]), pa.binary()).cast(pa.string())
-        jacc[todo] = pairwise_jaccard_batch(ta, tb, cfg.shingle_k)
+        # exact Jaccard as pure set arithmetic over the pre-computed unique
+        # shingle sets shipped in the attach — no tokenization here at all
+        # (each document was shingled exactly once, in the signature stage)
+        def flat_sets(rows):
+            arrs = [np.frombuffer(sset[r], dtype=np.uint64) for r in rows]
+            n = np.array([len(v) for v in arrs], dtype=np.int64)
+            out_off = np.zeros(len(arrs) + 1, dtype=np.int64)
+            np.cumsum(n, out=out_off[1:])
+            vals = np.concatenate(arrs) if arrs else np.empty(0, np.uint64)
+            return vals, out_off
+
+        va, offa = flat_sets(la[todo])
+        vb, offb = flat_sets(lb[todo])
+        jacc[todo] = pairwise_jaccard_from_sets(va, offa, vb, offb)
     lsh_pass = jacc >= cfg.jaccard_threshold
 
     # pairs confirmed via Jaccard skip their seed-extends (the old anti-join)
@@ -397,7 +438,9 @@ def verify_stage(
     halves = candidates.map_batches(
         _emit_halves, batch_format="pyarrow", zero_copy_batch=True
     )
-    prof = profile.select_columns(["doc_id", "simhash", "n_shingles", "norm_text"]).map_batches(
+    prof = profile.select_columns(
+        ["doc_id", "simhash", "n_shingles", "norm_text", "shingle_set"]
+    ).map_batches(
         _prep_profile, batch_format="pyarrow", zero_copy_batch=True
     )
     attached = sharded_group_map(

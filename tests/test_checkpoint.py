@@ -86,3 +86,61 @@ def test_config_change_invalidates(ckpt_setup, tmp_path_factory):
     m = json.load(open(os.path.join(root, "docs", "manifest.json")))
     assert m["config_hash"] == other.config_hash()
     assert len(rep) == len(baseline)
+
+
+def test_partial_partition_resume(ckpt_setup, tmp_path_factory):
+    """North rule: per-partition lineage — a killed partitioned stage resumes
+    by recomputing ONLY the missing partitions; survivors are not rewritten
+    and recreated files are byte-identical to an uninterrupted run's."""
+    pages, _, _ = ckpt_setup
+    root = str(tmp_path_factory.mktemp("ckpt_part"))
+    first = _run(pages, root)
+    sdir = os.path.join(root, "signatures")
+    data = os.path.join(sdir, "data")
+    files = sorted(os.listdir(data))
+    assert files and all(f.startswith("part-") and f.endswith(".parquet") for f in files)
+    assert len(files) == CFG.num_output_partitions
+    # simulate a crash mid-stage: manifest missing, two partitions unwritten
+    os.remove(os.path.join(sdir, "manifest.json"))
+    removed = files[:2]
+    orig_bytes = {}
+    for f in removed:
+        with open(os.path.join(data, f), "rb") as fh:
+            orig_bytes[f] = fh.read()
+        os.remove(os.path.join(data, f))
+    survivors = {f: os.path.getmtime(os.path.join(data, f)) for f in files[2:]}
+    again = _run(pages, root)
+    for f, t in survivors.items():
+        assert os.path.getmtime(os.path.join(data, f)) == t, f"{f} was rewritten"
+    for f in removed:
+        with open(os.path.join(data, f), "rb") as fh:
+            assert fh.read() == orig_bytes[f], f"{f} not byte-identical after resume"
+    assert first.equals(again)
+
+
+def test_partial_stale_lineage_wipes(ckpt_setup, tmp_path_factory):
+    """A partial stage whose pending lineage mismatches (e.g. config changed
+    between the kill and the resume) is wiped, not merged."""
+    pages, _, _ = ckpt_setup
+    root = str(tmp_path_factory.mktemp("ckpt_stale"))
+    _run(pages, root)
+    sdir = os.path.join(root, "signatures")
+    os.remove(os.path.join(sdir, "manifest.json"))
+    # poison the pending lineage
+    pend = os.path.join(sdir, "pending.json")
+    j = json.load(open(pend))
+    j["config_hash"] = "deadbeef"
+    json.dump(j, open(pend, "w"))
+    mt_before = {
+        f: os.path.getmtime(os.path.join(sdir, "data", f))
+        for f in os.listdir(os.path.join(sdir, "data"))
+    }
+    again = _run(pages, root)
+    mt_after = {
+        f: os.path.getmtime(os.path.join(sdir, "data", f))
+        for f in os.listdir(os.path.join(sdir, "data"))
+    }
+    # every partition rewritten (full recompute), same file set
+    assert set(mt_before) == set(mt_after)
+    assert all(mt_after[f] > mt_before[f] for f in mt_after)
+    assert len(again) == len(pages)

@@ -195,3 +195,33 @@ def test_splitmix_deterministic_and_dispersive():
     y = splitmix64(np.arange(1000, dtype=U64))
     assert np.array_equal(x, y)
     assert len(np.unique(x)) == 1000
+
+
+def test_oph_minhash_batch_invariance_and_estimation():
+    """OPH signatures: per-doc results independent of batching; identical
+    shingle sets give identical signatures; slot-equality estimates Jaccard."""
+    from image_deduplication_3m_images_ray.functions.hashing import (
+        oph_minhash_simhash_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    pool = rng.integers(1, 2**63, 4000).astype(U64)
+    a = pool[:2000]
+    b = np.concatenate([pool[:1400], pool[2000:2600]])  # J = 1400/2600 ~ 0.538
+    docs = [a, b, a.copy()]
+    flat = np.concatenate(docs)
+    off = np.concatenate([[0], np.cumsum([len(d) for d in docs])]).astype(np.int64)
+    sigs, simh, nsh = oph_minhash_simhash_batch(flat, off, 128, 42)
+    assert np.array_equal(sigs[0], sigs[2])  # identical multiset, identical sig
+    assert simh[0] == simh[2]
+    assert nsh.tolist() == [2000, 2000, 2000]
+    # batching invariance: each doc alone produces the same signature row
+    for i, d in enumerate(docs):
+        s1, h1, _ = oph_minhash_simhash_batch(
+            d, np.array([0, len(d)], dtype=np.int64), 128, 42
+        )
+        assert np.array_equal(s1[0], sigs[i])
+        assert h1[0] == simh[i]
+    est = (sigs[0] == sigs[1]).mean()
+    true_j = 1400 / 2600
+    assert abs(est - true_j) < 0.12  # 128-slot estimator tolerance
