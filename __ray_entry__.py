@@ -215,6 +215,15 @@ def _q_dedup_report(sf_dir: str):
     return dedup_pipeline(documents_as_pages(sf_dir), cfg).sort("url")
 
 
+def _q_cluster_stats(sf_dir: str):
+    from image_deduplication_3m_images_ray.config import DedupConfig
+    from image_deduplication_3m_images_ray.pipelines import cluster_stats_pipeline
+    from image_deduplication_3m_images_ray.sources import documents_as_pages
+
+    cfg = DedupConfig(signature_concurrency=2, join_num_buckets=4)
+    return cluster_stats_pipeline(documents_as_pages(sf_dir), cfg).sort("cluster_id")
+
+
 def _q_window_agg(sf_dir: str):
     import ray.data
 
@@ -271,6 +280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "suffix_pairs": _q_suffix_pairs,
         "dedup_report": _q_dedup_report,
+        "cluster_stats": _q_cluster_stats,
         "window_agg": _q_window_agg,
         "sessions": _q_sessions,
         "media_decode": _q_media_decode,
@@ -305,7 +315,8 @@ def _shingle_jaccard_edges_sql(src: str, threshold: float) -> str:
     inter_ AS (SELECT a.id AS da, b.id AS db, count(*) AS i
                FROM grams_ a JOIN grams_ b ON a.gram = b.gram AND a.id < b.id
                GROUP BY 1, 2),
-    jedges_ AS (SELECT da, db
+    jedges_ AS (SELECT da, db,
+                       CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) AS j
                 FROM inter_
                 JOIN sz_ sa ON sa.id = da
                 JOIN sz_ sb ON sb.id = db
@@ -568,6 +579,31 @@ def oracle_sql() -> dict[str, str]:
                         WHEN rn = 1 THEN 'Best'
                         ELSE 'Duplicate' END AS status
             FROM w ORDER BY url
+        """,
+        "cluster_stats": f"""
+            WITH RECURSIVE
+            base AS (SELECT md5_number_lower('doc://' || CAST(doc_id AS VARCHAR)) AS did,
+                            {_NORM} AS nt
+                     FROM documents),
+            rep AS (SELECT did, nt, min(did) OVER (PARTITION BY nt) AS rid FROM base),
+            nodes_ AS (SELECT DISTINCT rid AS id, nt FROM rep),
+            {_shingle_jaccard_edges_sql("nodes_", 0.7)},
+            {_lgram_edges_sql("nodes_", 200)},
+            edges_ AS (SELECT da, db FROM jedges_ UNION SELECT da, db FROM sedges_),
+            {_CC_SQL},
+            doccl AS (SELECT rep.did, labels_.cid FROM rep
+                      JOIN labels_ ON labels_.nd = rep.rid),
+            sizes AS (SELECT cid AS cluster_id, count(*) AS cluster_size
+                      FROM doccl GROUP BY cid),
+            jp AS (SELECT labels_.cid AS cluster_id, jedges_.j
+                   FROM jedges_ JOIN labels_ ON labels_.nd = jedges_.da),
+            ps AS (SELECT cluster_id, count(*) AS n_pairs,
+                          round(avg(j), 6) AS mean_jaccard
+                   FROM jp GROUP BY cluster_id)
+            SELECT s.cluster_id, s.cluster_size,
+                   COALESCE(ps.n_pairs, 0) AS n_pairs,
+                   COALESCE(ps.mean_jaccard, 0.0) AS mean_jaccard
+            FROM sizes s LEFT JOIN ps USING (cluster_id) ORDER BY cluster_id
         """,
     }
 

@@ -1,5 +1,5 @@
 """End-to-end pipeline compositions."""
 
-from .dedup import dedup_pipeline
+from .dedup import cluster_stats_pipeline, dedup_pipeline, run_dedup_pipeline
 
-__all__ = ["dedup_pipeline"]
+__all__ = ["cluster_stats_pipeline", "dedup_pipeline", "run_dedup_pipeline"]

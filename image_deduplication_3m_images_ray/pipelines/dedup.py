@@ -180,6 +180,104 @@ def dedup_pipeline(
     return report
 
 
+def cluster_stats_pipeline(pages: Dataset, cfg: DedupConfig = DEFAULT_CONFIG) -> Dataset:
+    """pages -> per-cluster statistics (cluster_id, cluster_size, n_pairs,
+    mean_jaccard).
+
+    Reference analog: the stage-2 ``processing_report.csv`` with group sizes
+    and average intra-group similarity
+    (/root/reference/modules/deduplication.py:952-1017, 1397-1419).
+    ``cluster_size`` counts ALL member docs (exact copies included);
+    ``n_pairs`` / ``mean_jaccard`` cover the Jaccard-confirmed verified pairs
+    (winnow-only pairs carry no Jaccard evidence and are excluded from the
+    mean); singleton and substring-only clusters report 0 / 0.0.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ..util import sharded_group_map
+
+    docs_rep = exact_rep_stage(extract_stage(pages, cfg), cfg).materialize()
+    profile = signature_stage(reps_only(docs_rep), cfg).materialize()
+    raw = lsh_pairs_stage(band_postings_stage(profile, cfg), cfg, dedup=False).union(
+        winnow_pairs_stage(fingerprint_stage(profile, cfg), cfg)
+    )
+    verified = verify_stage(raw, profile, cfg).materialize()
+    rep_clusters = cluster_stage(verified, cfg)
+    clusters = _expand_clusters(docs_rep, rep_clusters, cfg)
+
+    # per-cluster member counts (one partial-aggregating exchange)
+    def count_members(g: dict) -> dict:
+        cid = np.asarray(g["cluster_id"], dtype=np.uint64)
+        u, c = np.unique(cid, return_counts=True)
+        return {"cluster_id": u, "cluster_size": c.astype(np.int64)}
+
+    sizes = sharded_group_map(
+        clusters.select_columns(["cluster_id"]), ["cluster_id"], count_members,
+        num_shards=cfg.group_shards,
+    )
+
+    # jaccard-confirmed pairs -> their cluster (doc_a is a rep; its label IS
+    # the pair's cluster), then per-cluster count + sum
+    jpairs = verified.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["jaccard"], cfg.jaccard_threshold)).select(
+            ["doc_a", "jaccard"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    attached = shard_attach(
+        jpairs,
+        rename_columns(rep_clusters, {"doc_id": "doc_a"}),
+        key="doc_a",
+        payload={"cluster_id": "cluster_id"},
+        num_shards=cfg.group_shards,
+    )
+
+    def pair_stats(g: dict) -> dict:
+        cid = np.asarray(g["cluster_id"], dtype=np.uint64)
+        j = np.asarray(g["jaccard"], dtype=np.float64)
+        order = np.argsort(cid, kind="stable")
+        cid, j = cid[order], j[order]
+        first = np.ones(len(cid), dtype=bool)
+        if len(cid) > 1:
+            first[1:] = cid[1:] != cid[:-1]
+        starts = np.nonzero(first)[0]
+        n = np.diff(np.append(starts, len(cid)))
+        # deterministic mean: sort each cluster's jaccards before summing so
+        # the float result is independent of shard arrival order
+        jsum = np.array(
+            [np.sort(j[s : s + c]).sum() for s, c in zip(starts, n)], dtype=np.float64
+        )
+        return {"cluster_id": cid[starts], "n_pairs": n.astype(np.int64), "jsum": jsum}
+
+    pstats = sharded_group_map(attached, ["cluster_id"], pair_stats, num_shards=cfg.group_shards)
+
+    merged = shard_attach(
+        sizes,
+        pstats,
+        key="cluster_id",
+        payload={"n_pairs": "n_pairs", "jsum": "jsum"},
+        num_shards=cfg.group_shards,
+        how="left_outer",
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        n_pairs = np.asarray(t["n_pairs"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        jsum = np.asarray(t["jsum"].to_numpy(zero_copy_only=False), dtype=np.float64)
+        mean = np.where(n_pairs > 0, np.round(jsum / np.maximum(n_pairs, 1), 6), 0.0)
+        return pa.table(
+            {
+                "cluster_id": t["cluster_id"],
+                "cluster_size": t["cluster_size"],
+                "n_pairs": pa.array(n_pairs, pa.int64()),
+                "mean_jaccard": pa.array(mean, pa.float64()),
+            }
+        )
+
+    return merged.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def run_dedup_pipeline(
     pages: Dataset,
     cfg: DedupConfig = DEFAULT_CONFIG,

@@ -103,7 +103,7 @@ def emit_capped_pairs(
     return np.concatenate(a_parts), np.concatenate(b_parts)
 
 
-def _emit_shard_pairs(group: dict, cap: int) -> dict:
+def _emit_shard_pairs(group: dict, cap: int, salt: int = 0) -> dict:
     """Vectorized pair emission for ALL buckets in one shard.
 
     lexsort by (doc_id, band_key) -> segment boundaries -> only buckets with
@@ -119,7 +119,7 @@ def _emit_shard_pairs(group: dict, cap: int) -> dict:
     multi = np.nonzero(counts >= 2)[0]
     a_parts, b_parts = [], []
     for m in multi:
-        a, b = emit_capped_pairs(doc[bounds[m] : bounds[m + 1]], cap)
+        a, b = emit_capped_pairs(doc[bounds[m] : bounds[m + 1]], cap, salt)
         if len(a):
             a_parts.append(a)
             b_parts.append(b)
@@ -163,7 +163,7 @@ def lsh_pairs_stage(postings: Dataset, cfg: DedupConfig, dedup: bool = True) -> 
     pairs = sharded_group_map(
         postings,
         ["band_key"],
-        lambda g: _emit_shard_pairs(g, cfg.bucket_pair_cap),
+        lambda g: _emit_shard_pairs(g, cfg.bucket_pair_cap, cfg.salt_seed),
         num_shards=cfg.group_shards,
     )
     return dedup_pairs(pairs, num_shards=cfg.group_shards) if dedup else pairs

@@ -79,3 +79,22 @@ def test_giant_cluster_single(report_df, tiny_corpus):
     giant_urls = [u for u, c in zip(urls, tcid) if c == giant_id]
     got = dict(zip(report_df["url"], report_df["cluster_id"]))
     assert len({got[u] for u in giant_urls}) == 1
+
+
+def test_cluster_stats_pipeline(ray_session, tiny_corpus):
+    """Per-cluster stats report: sizes partition the corpus; Jaccard-confirmed
+    pair means are in [threshold, 1]; singletons report 0 pairs."""
+    import ray.data
+    from image_deduplication_3m_images_ray.pipelines import cluster_stats_pipeline
+
+    pages, truth = tiny_corpus
+    cfg = DedupConfig(signature_concurrency=2, join_num_buckets=4)
+    stats = cluster_stats_pipeline(ray.data.from_arrow(pages), cfg).to_pandas()
+    assert stats["cluster_size"].sum() == len(pages)
+    assert (stats["cluster_size"] >= 1).all()
+    multi = stats[stats["n_pairs"] > 0]
+    assert (multi["mean_jaccard"] >= cfg.jaccard_threshold - 1e-9).all()
+    assert (multi["mean_jaccard"] <= 1.0).all()
+    singles = stats[stats["cluster_size"] == 1]
+    assert (singles["n_pairs"] == 0).all()
+    assert (singles["mean_jaccard"] == 0.0).all()
