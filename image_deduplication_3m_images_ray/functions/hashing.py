@@ -464,3 +464,28 @@ def oph_minhash_simhash_batch(
     majority = (votes * 2 >= np.maximum(lengths, 1)[:, None]).astype(U64)
     simhashes = (majority << np.arange(64, dtype=U64)[None, :]).sum(axis=1, dtype=U64)
     return sigs, simhashes, lengths.astype(np.int64)
+
+
+def md5_128(values) -> tuple[np.ndarray, np.ndarray]:
+    """128-bit MD5 content hash as two uint64 columns (lo = bytes [8:16) ==
+    :func:`md5_u64` == DuckDB ``md5_number_lower``; hi = bytes [0:8) ==
+    ``md5_number_upper``).
+
+    Used as the exact-duplicate identity key: treating md5-128 equality as
+    byte equality mis-groups two documents with probability < 1e-15 even at
+    10^12 docs (birthday bound), while shrinking the exact-dedup exchange
+    from full text (~KBs/row) to 24 bytes/row.
+    """
+    import hashlib
+
+    lo = np.empty(len(values), dtype=U64)
+    hi = np.empty(len(values), dtype=U64)
+    for i, v in enumerate(values):
+        if v is None:
+            v = b""
+        elif isinstance(v, str):
+            v = v.encode("utf-8")
+        d = hashlib.md5(v).digest()
+        lo[i] = int.from_bytes(d[8:16], "little")
+        hi[i] = int.from_bytes(d[0:8], "little")
+    return lo, hi

@@ -76,6 +76,7 @@ def dedup_pipeline(
     cfg: DedupConfig = DEFAULT_CONFIG,
     checkpoint_dir: Optional[str] = None,
     exact_prepass: bool = True,
+    progress: Optional[callable] = None,
 ) -> Dataset:
     """pages -> report(url, doc_id, cluster_id, cluster_size, quality, status).
 
@@ -83,8 +84,18 @@ def dedup_pipeline(
     partitioned Parquet + manifest and a rerun resumes at the first incomplete
     stage.  ``exact_prepass=False`` skips the exact-duplicate collapse (every
     doc goes through signatures/LSH — used by tests to cross-check both paths).
+
+    ``progress`` is the per-stage metrics callback (reference analog:
+    ``progress_callback``, /root/reference/modules/
+    memory_efficient_deduplication.py:45): called as ``progress(stage_name,
+    info)`` after each pinned/persisted stage completes, where ``info`` has
+    ``seconds`` (wall time of the stage boundary), ``rows`` (when known from
+    the manifest or materialized stage) and ``skipped`` (resume hit).  Lazy
+    unpinned intermediates stream through and report at the next boundary.
     """
-    ckpt = CheckpointManager(checkpoint_dir, cfg)
+    import time as _time
+
+    ckpt = CheckpointManager(checkpoint_dir, cfg, progress=progress)
     # Stage outputs referenced by MULTIPLE downstream consumers must be pinned,
     # or the lazy DAG re-executes the whole upstream chain once per consumer
     # (profile alone feeds banding, winnowing and both verify-join sides).  With
@@ -92,11 +103,27 @@ def dedup_pipeline(
     # materialize into the object store (spills when large).  Single-consumer
     # stages stay lazy so the streaming executor pipelines them — every
     # materialize barrier is ~1-2s of serial wall-time regardless of CPU count.
-    pin = (lambda ds: ds) if checkpoint_dir else (lambda ds: ds.materialize())
+    if checkpoint_dir:
+
+        def pin(ds, name=None):
+            return ds
+
+    else:
+
+        def pin(ds, name=None):
+            t0 = _time.time()
+            out = ds.materialize()
+            if progress and name:
+                progress(name, {"seconds": round(_time.time() - t0, 3), "rows": out.count(), "skipped": False})
+            return out
+
+    def pin_named(name):
+        return lambda ds: pin(ds, name)
+
     if exact_prepass:
         # extract feeds only the exact pre-pass, so it fuses into this
         # execution; docs_rep then serves BOTH the rep filter and the report
-        docs_rep = pin(
+        docs_rep = pin_named("exact_reps")(
             ckpt.run(
                 "exact_reps",
                 lambda: exact_rep_stage(
@@ -112,12 +139,12 @@ def dedup_pipeline(
         sig_parents = ["exact_reps"]
     else:
         docs_rep = None
-        docs_for_report = pin(
+        docs_for_report = pin_named("docs")(
             ckpt.run("docs", lambda: extract_stage(pages, cfg), partition_key="doc_id")
         )
         reps = docs_for_report
         sig_parents = ["docs"]
-    profile = pin(
+    profile = pin_named("signatures")(
         ckpt.run(
             "signatures",
             lambda: signature_stage(reps, cfg),
@@ -125,31 +152,41 @@ def dedup_pipeline(
             partition_key="doc_id",
         )
     )
-    # Pair generation + verification run as ONE streaming DAG of exactly three
-    # exchanges (consolidate / attach / merge-verify — see stages/verify.py).
-    # No pins: every intermediate has a single consumer, and each exchange is
-    # already an executor barrier, so extra materializations would only add
-    # serial wall-time (the round-1 scaling bottleneck: ~13 exchanges + 7 pins
-    # cost a fixed 1-2 s each regardless of CPU count).
+    # Pair generation / consolidation / verification each end in an
+    # all-to-all exchange.  MEASURED on this Ray version (2.49): several
+    # unpinned sort exchanges in one streaming DAG thrash each other
+    # (100k-doc run: 227 s unpinned vs 78 s with materialize pins at the
+    # exchange boundaries at 16 cpus) — the executor runs concurrent
+    # all-to-all operators with no inter-operator memory coordination.  So
+    # each exchange boundary IS pinned; the ~1 s serial cost per pin is an
+    # order of magnitude below what it buys.
     def build_candidates() -> Dataset:
-        raw = lsh_pairs_stage(band_postings_stage(profile, cfg), cfg, dedup=False).union(
-            winnow_pairs_stage(fingerprint_stage(profile, cfg), cfg)
-        )
-        return consolidate_candidates(raw, cfg)
+        # the LSH-pair sort and the winnow-fingerprint sort are pinned
+        # SEPARATELY before their union feeds the consolidate exchange:
+        # running them concurrently in one streaming DAG measured 1.7x slower
+        # (31.8 s vs 19.2 s at 16 cpus on 100k docs) — same concurrent
+        # all-to-all thrashing as the stage-boundary pins above
+        lsh = pin(lsh_pairs_stage(band_postings_stage(profile, cfg), cfg, dedup=False))
+        wp = pin(winnow_pairs_stage(fingerprint_stage(profile, cfg), cfg))
+        return consolidate_candidates(lsh.union(wp), cfg)
 
-    candidates = ckpt.run(
-        "candidate_pairs",
-        build_candidates,
-        parents=["signatures"],
-        partition_key="doc_a",
-        sort_keys=["doc_a", "doc_b", "origin", "seed", "pos_a", "pos_b"],
+    candidates = pin_named("candidate_pairs")(
+        ckpt.run(
+            "candidate_pairs",
+            build_candidates,
+            parents=["signatures"],
+            partition_key="doc_a",
+            sort_keys=["doc_a", "doc_b", "origin", "seed", "pos_a", "pos_b"],
+        )
     )
-    verified = ckpt.run(
-        "verified_pairs",
-        lambda: verify_stage(candidates, profile, cfg, consolidated=True),
-        parents=["candidate_pairs"],
-        partition_key="doc_a",
-        sort_keys=["doc_a", "doc_b"],
+    verified = pin_named("verified_pairs")(
+        ckpt.run(
+            "verified_pairs",
+            lambda: verify_stage(candidates, profile, cfg, consolidated=True),
+            parents=["candidate_pairs"],
+            partition_key="doc_a",
+            sort_keys=["doc_a", "doc_b"],
+        )
     )
     if checkpoint_dir:
         # key the mid-loop round checkpoints by config + upstream lineage so a

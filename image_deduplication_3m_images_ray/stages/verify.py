@@ -19,11 +19,14 @@ count, so exchange count is the scaling-efficiency budget):
    winnow seed rows per pair;
 2. **attach** (key = doc id): ONE tagged-union shard pass co-locates *both*
    half-rows of every pair with the profile rows they need — the LSH halves
-   pick up (simhash, n_shingles, full normalized text), the winnow halves a
-   byte context window around their seed position (>= L decidable within
-   +-L of the seed, ~50x less volume than full text for long docs);
+   pick up (simhash, n_shingles, the doc's pre-sorted unique shingle set —
+   never the text), the winnow halves a byte context window around their
+   seed position (>= L decidable within +-L of the seed, ~50x less volume
+   than full text for long docs);
 3. **merge-verify** (key = (doc_a, doc_b)): the two halves of each pair meet;
-   gates + exact Jaccard run for LSH units, seed-extend for winnow units
+   gates + exact Jaccard (a searchsorted merge of the two pre-sorted shingle
+   sets — no tokenization, no re-sort) run for LSH units, seed-extend for
+   winnow units
    (skipped when the pair already confirmed via Jaccard — the old anti-join,
    now a free local check), and the distinct verified pair set is emitted.
 
@@ -350,20 +353,24 @@ def _merge_verify_shard(group: dict, cfg: DedupConfig) -> dict:
     jacc = np.zeros(len(la), dtype=np.float64)
     todo = np.nonzero(gate_ok)[0]
     if len(todo):
-        # exact Jaccard as pure set arithmetic over the pre-computed unique
-        # shingle sets shipped in the attach — no tokenization here at all
-        # (each document was shingled exactly once, in the signature stage)
-        def flat_sets(rows):
-            arrs = [np.frombuffer(sset[r], dtype=np.uint64) for r in rows]
-            n = np.array([len(v) for v in arrs], dtype=np.int64)
-            out_off = np.zeros(len(arrs) + 1, dtype=np.int64)
-            np.cumsum(n, out=out_off[1:])
-            vals = np.concatenate(arrs) if arrs else np.empty(0, np.uint64)
-            return vals, out_off
-
-        va, offa = flat_sets(la[todo])
-        vb, offb = flat_sets(lb[todo])
-        jacc[todo] = pairwise_jaccard_from_sets(va, offa, vb, offb)
+        # exact Jaccard over the pre-computed unique shingle sets shipped in
+        # the attach — no tokenization here at all (each document was
+        # shingled exactly once, in the signature stage).  Both sets arrive
+        # SORTED, so |A ∩ B| is one binary-search pass of the smaller side
+        # into the larger (np.searchsorted) — no re-sort of the pair union
+        # (the sort was ~60x the cost of the searchsorted merge).
+        out = np.empty(len(todo), dtype=np.float64)
+        for i, t in enumerate(todo):
+            sa = np.frombuffer(sset[la[t]], dtype=np.uint64)
+            sb = np.frombuffer(sset[lb[t]], dtype=np.uint64)
+            if len(sa) > len(sb):
+                sa, sb = sb, sa
+            idx = np.searchsorted(sb, sa)
+            idx[idx == len(sb)] = len(sb) - 1 if len(sb) else 0
+            inter = int((sb[idx] == sa).sum()) if len(sb) else 0
+            union = len(sa) + len(sb) - inter
+            out[i] = inter / union if union else 1.0
+        jacc[todo] = out
     lsh_pass = jacc >= cfg.jaccard_threshold
 
     # pairs confirmed via Jaccard skip their seed-extends (the old anti-join)
@@ -425,13 +432,22 @@ def _merge_verify_shard(group: dict, cfg: DedupConfig) -> dict:
 
 
 def verify_stage(
-    candidates: Dataset, profile: Dataset, cfg: DedupConfig, consolidated: bool = False
+    candidates: Dataset,
+    profile: Dataset,
+    cfg: DedupConfig,
+    consolidated: bool = False,
+    pin_intermediate: bool = True,
 ) -> Dataset:
     """candidate_pairs x profile -> verified_pairs (distinct on doc_a, doc_b).
 
     ``consolidated=True`` skips exchange 1 (the caller already ran
     :func:`consolidate_candidates`, e.g. because that boundary is a
     checkpoint stage).  See the module docstring for the three-exchange plan.
+
+    ``pin_intermediate`` materializes the attach output before the
+    merge-verify exchange: two all-to-all operators in one streaming DAG
+    thrash each other on this Ray version (see pipelines/dedup.py), so the
+    ~1 s barrier is a net win at every measured scale.
     """
     if not consolidated:
         candidates = consolidate_candidates(candidates, cfg)
@@ -449,6 +465,8 @@ def verify_stage(
         lambda g: _attach_shard(g, cfg.min_substring_len, cfg.winnow_kgram),
         num_shards=cfg.group_shards,
     )
+    if pin_intermediate:
+        attached = attached.materialize()
     return sharded_group_map(
         attached,
         ["doc_a", "doc_b"],

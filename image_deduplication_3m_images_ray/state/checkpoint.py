@@ -60,11 +60,20 @@ class CheckpointManager:
     stages pass through lazily.
     """
 
-    def __init__(self, root: Optional[str], cfg: DedupConfig):
+    def __init__(self, root: Optional[str], cfg: DedupConfig, progress=None):
         self.root = root
         self.cfg = cfg
+        self.progress = progress  # per-stage metrics callback (stage, info)
         if root:
             os.makedirs(root, exist_ok=True)
+
+    def _report(self, name: str, t0: float, rows, skipped: bool) -> None:
+        if self.progress is not None:
+            import time
+
+            self.progress(
+                name, {"seconds": round(time.time() - t0, 3), "rows": rows, "skipped": skipped}
+            )
 
     def _stage_dir(self, name: str) -> str:
         return os.path.join(self.root, name)
@@ -105,9 +114,13 @@ class CheckpointManager:
         """
         if not self.root:
             return build()
+        import time
+
+        t0 = time.time()
         sdir = self._stage_dir(name)
         data_dir = os.path.join(sdir, "data")
         if self.is_complete(name, list(parents)):
+            self._report(name, t0, (self.manifest(name) or {}).get("total_rows"), True)
             return ray.data.read_parquet(data_dir)
         if partition_key is None:
             if os.path.exists(sdir):
@@ -117,8 +130,11 @@ class CheckpointManager:
             ds.write_parquet(data_dir)
             partitions, total_rows = self._scan_files(data_dir)
             self._finish(name, sdir, parents, partitions, total_rows)
+            self._report(name, t0, total_rows, False)
             return ray.data.read_parquet(data_dir)
-        return self._run_partitioned(name, build, list(parents), partition_key, sort_keys)
+        out = self._run_partitioned(name, build, list(parents), partition_key, sort_keys)
+        self._report(name, t0, (self.manifest(name) or {}).get("total_rows"), False)
+        return out
 
     # --- partitioned protocol -------------------------------------------------
 

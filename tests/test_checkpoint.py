@@ -144,3 +144,34 @@ def test_partial_stale_lineage_wipes(ckpt_setup, tmp_path_factory):
     assert set(mt_before) == set(mt_after)
     assert all(mt_after[f] > mt_before[f] for f in mt_after)
     assert len(again) == len(pages)
+
+
+def test_progress_callback(ckpt_setup, tmp_path_factory, ray_session):
+    """Per-stage metrics callback (reference progress_callback analog): fires
+    for every stage in both checkpoint and streaming modes; resume marks
+    stages skipped."""
+    import ray.data
+    from image_deduplication_3m_images_ray.pipelines import dedup_pipeline
+
+    pages, _, _ = ckpt_setup
+    root = str(tmp_path_factory.mktemp("ckpt_prog"))
+    events = []
+    cb = lambda stage, info: events.append((stage, info))  # noqa: E731
+    dedup_pipeline(ray.data.from_arrow(pages), CFG, checkpoint_dir=root, progress=cb).to_pandas()
+    seen = [s for s, _ in events]
+    for s in STAGES:
+        assert s in seen, f"no progress event for {s}"
+    assert all(not i["skipped"] for _, i in events)
+    assert all(i["seconds"] >= 0 for _, i in events)
+    rows = {s: i["rows"] for s, i in events}
+    assert rows["docs"] == len(pages)
+    # resume: every stage reports skipped
+    events.clear()
+    dedup_pipeline(ray.data.from_arrow(pages), CFG, checkpoint_dir=root, progress=cb).to_pandas()
+    assert all(i["skipped"] for _, i in events if i is not None)
+    # streaming mode fires at the pinned boundaries
+    events.clear()
+    dedup_pipeline(ray.data.from_arrow(pages), CFG, progress=cb).to_pandas()
+    stream_seen = [s for s, _ in events]
+    for s in ["exact_reps", "signatures", "candidate_pairs", "verified_pairs"]:
+        assert s in stream_seen
