@@ -111,28 +111,26 @@ def _driver_union_find(edges: Dataset) -> Dataset:
     b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), dtype=U64)
     nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
     ia, ib = inv[: len(a)], inv[len(a) :]
-    parent = np.arange(len(nodes), dtype=np.int64)
-
-    def find(x: int) -> int:
-        while parent[x] != x:
-            parent[x] = parent[parent[x]]
-            x = parent[x]
-        return x
-
-    for i, j in zip(ia, ib):
-        ri, rj = find(int(i)), find(int(j))
-        if ri != rj:
-            # union by smaller node id keeps labels = min doc_id deterministic
-            if nodes[ri] < nodes[rj]:
-                parent[rj] = ri
-            else:
-                parent[ri] = rj
-    roots = np.array([find(int(i)) for i in range(len(nodes))], dtype=np.int64)
+    # Vectorized min-label propagation with pointer jumping: labels are node
+    # INDICES (nodes is sorted, so min index == min doc_id); each round every
+    # node takes min(own, neighbors' labels, label-of-label).  Labels only
+    # decrease and stay inside the component, so the fixpoint is the
+    # component-min index in O(log n) rounds of O(E) numpy work.
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        m = np.minimum(label[ia], label[ib])
+        new = label.copy()
+        np.minimum.at(new, ia, m)
+        np.minimum.at(new, ib, m)
+        new = np.minimum(new, new[new])
+        if np.array_equal(new, label):
+            break
+        label = new
     return ray.data.from_arrow(
         pa.table(
             {
                 "doc_id": pa.array(nodes, pa.uint64()),
-                "cluster_id": pa.array(nodes[roots], pa.uint64()),
+                "cluster_id": pa.array(nodes[label], pa.uint64()),
             }
         )
     )
