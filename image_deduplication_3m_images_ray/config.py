@@ -71,6 +71,15 @@ class DedupConfig:
     num_output_partitions: int = 16   # deterministic hash-partition count for
                                       # checkpointed stage outputs (the unit of
                                       # per-partition lineage + resume)
+    attach_semijoin_max_ids: int = 20_000_000  # verify attach ships a profile row
+                                      # only for docs that appear in candidate
+                                      # pairs (a broadcast semi-join; measured
+                                      # 58% of profile rows dead at 200k docs).
+                                      # Above this many distinct ids the filter
+                                      # is skipped (still correct, ships all
+                                      # rows); the scale path beyond it is a
+                                      # Bloom filter with the same contract
+                                      # (false positives only ship extra rows)
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perms:
