@@ -98,3 +98,20 @@ def test_cluster_stats_pipeline(ray_session, tiny_corpus):
     singles = stats[stats["cluster_size"] == 1]
     assert (singles["n_pairs"] == 0).all()
     assert (singles["mean_jaccard"] == 0.0).all()
+
+
+def test_attach_semijoin_equivalent(ray_session, tiny_corpus):
+    """The broadcast semi-join in the verify attach is a pure optimization:
+    disabling it (attach_semijoin_max_ids=0 ships every profile row) must
+    yield a byte-identical report."""
+    import ray.data
+    from image_deduplication_3m_images_ray.pipelines import dedup_pipeline
+
+    pages, _ = tiny_corpus
+    base = DedupConfig(signature_concurrency=2, join_num_buckets=4)
+    off = DedupConfig(
+        signature_concurrency=2, join_num_buckets=4, attach_semijoin_max_ids=0
+    )
+    r_on = dedup_pipeline(ray.data.from_arrow(pages), base).to_pandas()
+    r_off = dedup_pipeline(ray.data.from_arrow(pages), off).to_pandas()
+    assert r_on.equals(r_off)

@@ -62,3 +62,29 @@ def test_cluster_round_checkpoint_resume(ray_session, tmp_path):
     b = resumed.sort_values("doc_id").reset_index(drop=True)
     assert a.equals(b)
     assert set(b["cluster_id"]) == {0}
+
+
+def test_write_report_csv(ray_session, tiny_corpus, tmp_path):
+    import csv
+
+    import ray.data
+    from image_deduplication_3m_images_ray.pipelines import dedup_pipeline
+    from image_deduplication_3m_images_ray.sources.report_sink import (
+        REPORT_COLUMNS,
+        write_report_csv,
+    )
+
+    pages, _ = tiny_corpus
+    cfg = DedupConfig(signature_concurrency=2, join_num_buckets=4)
+    report = dedup_pipeline(ray.data.from_arrow(pages), cfg).materialize()
+    out = str(tmp_path / "image_report.csv")
+    n = write_report_csv(report, out)
+    assert n == len(pages)
+    with open(out, newline="") as f:
+        rows = list(csv.reader(f))
+    assert rows[0] == REPORT_COLUMNS
+    assert len(rows) == n + 1
+    # csv content matches the report row-for-row (same sorted order)
+    df = report.to_pandas()
+    assert [r[0] for r in rows[1:]] == list(df["url"])
+    assert [r[5] for r in rows[1:]] == list(df["status"])
