@@ -67,6 +67,12 @@ def _q_token_stats(sf_dir: str):
     return token_stats(_docs(sf_dir).select_columns(["doc_id", "text"])).sort("doc_id")
 
 
+def _q_repetition_stats(sf_dir: str):
+    from image_deduplication_3m_images_ray.extras.textstats import repetition_stats
+
+    return repetition_stats(_docs(sf_dir).select_columns(["doc_id", "text"])).sort("doc_id")
+
+
 def _q_quality_scores(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.textstats import quality_scores
 
@@ -266,6 +272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "exact_dedup_survivors": _q_exact_dedup_survivors,
         "token_stats": _q_token_stats,
+        "repetition_stats": _q_repetition_stats,
         "quality_scores": _q_quality_scores,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "lang_counts": _q_lang_counts,
@@ -382,6 +389,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (n_chars_norm - n_spaces) / CAST(n_spaces + 1 AS DOUBLE)
                    END AS mean_token_len
             FROM s ORDER BY doc_id
+        """,
+        "repetition_stats": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            grams AS (
+                SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+                FROM base
+            )
+            SELECT b.doc_id,
+                   count(g.gram) AS n_grams,
+                   count(DISTINCT g.gram) AS n_distinct_grams,
+                   count(g.gram) - count(DISTINCT g.gram) AS n_repeated_grams
+            FROM base b LEFT JOIN grams g USING (doc_id)
+            GROUP BY b.doc_id ORDER BY b.doc_id
         """,
         "quality_scores": """
             WITH s AS (

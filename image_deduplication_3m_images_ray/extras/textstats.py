@@ -15,7 +15,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..config import DedupConfig
-from ..functions.hashing import winnow_fingerprints
+from ..functions.hashing import _ranges, winnow_fingerprints
 from ..functions.text import normalize_array
 
 
@@ -198,6 +198,63 @@ def doc_fingerprints(
                 "n_fingerprints": pa.array(n, pa.int64()),
                 "fp_min": pa.array(fmin, pa.uint64()),
                 "fp_xor": pa.array(fxor, pa.uint64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+def repetition_stats(docs: Dataset, n: int = 3, batch_size: int = 4096) -> Dataset:
+    """(doc_id, text) -> (doc_id, n_grams, n_distinct_grams, n_repeated_grams).
+
+    Gopher-style within-document repetition signal: the count of word
+    ``n``-grams (split on single space, RAW text — no normalization, matching
+    DuckDB ``string_split``) and how many of them are repeats of an earlier
+    gram.  Downstream filters drop docs whose ``n_repeated_grams / n_grams``
+    exceeds a budget (boilerplate, keyword stuffing, template spam).
+
+    Integer-exact by design so the DuckDB oracle compares without float
+    rounding hazards.  Fully vectorized: one global token-id factorization
+    per batch, then a segmented (doc, id1..idn) lexsort + boundary count —
+    no per-doc Python loop, no hashing (distinctness is exact string
+    distinctness, matching SQL ``count(DISTINCT ...)``).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+        n_docs = len(offs) - 1
+        lens = np.diff(offs)
+        n_grams = np.maximum(lens - (n - 1), 0)
+        # gram start positions: for doc d, offs[d] .. offs[d] + n_grams[d] - 1
+        # (_ranges requires strictly positive counts — drop gram-less docs)
+        pos = n_grams > 0
+        starts = np.repeat(offs[:-1][pos], n_grams[pos]) + _ranges(n_grams[pos])
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64)[pos], n_grams[pos])
+        _, tid = np.unique(flat, return_inverse=True)
+        cols = [tid[starts + i] for i in range(n)]
+        order = np.lexsort((*reversed(cols), doc_of))
+        dsorted = doc_of[order]
+        neq = np.zeros(len(order), dtype=bool)
+        if len(order):
+            neq[0] = True
+            prev, cur = order[:-1], order[1:]
+            diff = dsorted[1:] != dsorted[:-1]
+            for c in cols:
+                diff |= c[cur] != c[prev]
+            neq[1:] = diff
+        # distinct grams per doc = count of run starts within the doc segment
+        n_distinct = np.bincount(dsorted[neq], minlength=n_docs) if len(order) else np.zeros(n_docs, np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_grams": pa.array(n_grams, pa.int64()),
+                "n_distinct_grams": pa.array(n_distinct.astype(np.int64), pa.int64()),
+                "n_repeated_grams": pa.array((n_grams - n_distinct).astype(np.int64), pa.int64()),
             }
         )
 

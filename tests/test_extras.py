@@ -219,3 +219,36 @@ def test_suffix_array_pairs(ray_session):
     pairs = {(int(a), int(b)) for a, b in zip(out["doc_a"], out["doc_b"])}
     assert (0, 1) in pairs
     assert not any(2 in p for p in pairs)
+
+
+def test_repetition_stats(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import repetition_stats
+
+    import pyarrow as pa
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.uint64()),
+            "text": pa.array(
+                [
+                    "a b c a b c a b",   # grams: abc bca cab abc ab? -> 6 grams, 'a b c' twice
+                    "x y",                # too short: 0 grams
+                    "",                   # empty: 0 grams
+                    "w w w w w",          # 3 grams, all identical
+                ]
+            ),
+        }
+    )
+    out = (
+        repetition_stats(ray.data.from_arrow(t))
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_grams"] == 6
+    assert out.loc[1, "n_repeated_grams"] == 6 - out.loc[1, "n_distinct_grams"]
+    assert out.loc[2, "n_grams"] == 0 and out.loc[3, "n_grams"] == 0
+    assert out.loc[4, "n_grams"] == 3
+    assert out.loc[4, "n_distinct_grams"] == 1
+    assert out.loc[4, "n_repeated_grams"] == 2
