@@ -168,6 +168,26 @@ def _q_ann_topk(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_ann_ivf_topk(sf_dir: str):
+    """IVF with nprobe == n_lists scans every inverted list — exactly brute
+    force, so the exact top-k SQL oracle applies; the pruned-nprobe path is
+    pinned against brute force in tests/test_extras.py."""
+    import ray as _ray
+    import pyarrow as pa
+
+    from image_deduplication_3m_images_ray.extras.dedup_ops import embeddings_to_matrix
+    from image_deduplication_3m_images_ray.extras.similarity import ann_ivf_topk
+
+    emb = _embeddings(sf_dir).select_columns(["vec_id", "embedding"])
+    head = pa.concat_tables(
+        _ray.get(emb.sort("vec_id").limit(5).to_arrow_refs())
+    ).combine_chunks()
+    qids, qm = embeddings_to_matrix(head)
+    out = ann_ivf_topk(emb, qm, qids, k=10, n_lists=8, nprobe=8).to_pandas()
+    out["cosine"] = np.round(out["cosine"], 6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_minhash_lsh_clusters(sf_dir: str):
     from image_deduplication_3m_images_ray.config import DedupConfig
     from image_deduplication_3m_images_ray.extras.dedup_ops import minhash_lsh_clusters
@@ -281,6 +301,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_en_long": _q_filter_en_long,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "ann_topk": _q_ann_topk,
+        "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_lsh_clusters": _q_minhash_lsh_clusters,
         "simhash_pairs": _q_simhash_pairs,
         "lang_id": _q_lang_id,
@@ -452,6 +473,23 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY vec_a, vec_b
         """,
         "ann_topk": """
+            WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+                       ORDER BY vec_id LIMIT 5),
+            s AS (
+                SELECT q.query_id, e.vec_id,
+                       list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])) AS c
+                FROM q CROSS JOIN embeddings e
+            ),
+            r AS (
+                SELECT query_id, vec_id, c,
+                       row_number() OVER (PARTITION BY query_id ORDER BY c DESC, vec_id) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id, round(c, 6) AS cosine, rank
+            FROM r WHERE rank <= 10 ORDER BY query_id, rank
+        """,
+        "ann_ivf_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
                        ORDER BY vec_id LIMIT 5),
             s AS (

@@ -251,3 +251,179 @@ def hyperplane_cosine_pairs(
     )
     pairs = sharded_group_map(buckets, ["bucket"], compare, num_shards=num_shards)
     return sharded_group_map(pairs, ["vec_a", "vec_b"], dedup, num_shards=num_shards)
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def ivf_train_centroids(
+    embeddings: Dataset,
+    n_lists: int = 16,
+    sample_size: int = 8192,
+    iters: int = 10,
+    seed: int = 42,
+) -> np.ndarray:
+    """Deterministic spherical k-means coarse quantizer: (n_lists, d) unit rows.
+
+    The training sample is hash-selected (``splitmix64(vec_id)`` below a
+    fraction threshold) so it is independent of block order and identical
+    across cluster sizes, then sorted by vec_id on the driver — the whole
+    procedure is a pure function of (data, parameters).  Lloyd iterations are
+    one (sample x n_lists) matmul each; empty lists keep their previous
+    centroid.  Driver memory is O(sample_size x d), never the full table.
+    """
+    import ray as _ray
+
+    n = embeddings.count()
+    frac = min(1.0, (4 * sample_size) / max(n, 1))  # oversample, then cut
+    thresh = U64(int(frac * 2**64 - 1)) if frac < 1.0 else U64(2**64 - 1)
+
+    def pick(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep = splitmix64(ids.astype(U64) ^ U64(seed)) <= thresh
+        return t.filter(pa.array(keep))
+
+    sample = pa.concat_tables(
+        [
+            t
+            for t in _ray.get(
+                embeddings.map_batches(
+                    pick, batch_format="pyarrow", zero_copy_batch=True
+                ).to_arrow_refs()
+            )
+            if t.num_rows and t.num_columns
+        ]
+    )
+    ids, rows = embeddings_to_matrix(sample)
+    order = np.argsort(ids, kind="stable")[:sample_size]
+    x = _l2_normalize(rows[order].astype(np.float64))
+    if len(x) < n_lists:
+        raise ValueError(f"sample ({len(x)}) smaller than n_lists ({n_lists})")
+    # deterministic spread init: every (len/n_lists)-th sample row
+    cent = x[(np.arange(n_lists) * len(x)) // n_lists].copy()
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for l in range(n_lists):  # n_lists is small; the matmul dominates
+            m = assign == l
+            if m.any():
+                cent[l] = x[m].mean(axis=0)
+    norms = np.linalg.norm(cent, axis=1, keepdims=True)
+    return cent / np.maximum(norms, 1e-12)
+
+
+def ivf_assign(embeddings: Dataset, centroids: np.ndarray, batch_size: int = 4096) -> Dataset:
+    """Adds ``list_id`` (argmax centroid dot) — the IVF build step.
+
+    Writing the result partitioned by ``list_id`` yields the on-disk inverted
+    file; :func:`ann_ivf_topk` assigns on the fly instead to stay one-pass.
+    """
+    import ray as _ray
+
+    ref = _ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        ids, rows = embeddings_to_matrix(t)
+        assign = np.argmax(_l2_normalize(rows) @ c.T, axis=1)
+        return t.append_column("list_id", pa.array(assign.astype(np.int32), pa.int32()))
+
+    return embeddings.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+
+
+class _IvfTopKActor:
+    """Per-batch IVF scan: rows grouped by their list, only (list, query)
+    combinations where the query probes the list are compared."""
+
+    def __init__(self, state_ref, k: int):
+        import ray as _ray
+
+        self.q_ids, self.q, self.cent, self.probe = _ray.get(state_ref)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, rows = embeddings_to_matrix(batch)
+        rn = _l2_normalize(rows)
+        assign = np.argmax(rn @ self.cent.T, axis=1)
+        order = np.argsort(assign, kind="stable")
+        bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(assign[order]))[0] + 1, [len(order)]]
+        )
+        qi_p, vi_p, co_p = [], [], []
+        for s in range(len(bounds) - 1):
+            lo, hi = bounds[s], bounds[s + 1]
+            if hi <= lo:
+                continue
+            lst = assign[order[lo]]
+            qsel = np.nonzero(self.probe[lst])[0]
+            if not len(qsel):
+                continue
+            seg = order[lo:hi]
+            sim = self.q[qsel] @ rn[seg].T  # (nq_probing, seg)
+            kk = min(self.k, sim.shape[1])
+            part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk]
+            qi_p.append(np.repeat(self.q_ids[qsel], kk))
+            vi_p.append(ids[seg][part.reshape(-1)])
+            co_p.append(sim[np.repeat(np.arange(len(qsel)), kk), part.reshape(-1)])
+        if not qi_p:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(qi_p), pa.int64()),
+                "vec_id": pa.array(np.concatenate(vi_p), pa.int64()),
+                "cosine": pa.array(np.concatenate(co_p), pa.float64()),
+            }
+        )
+
+
+def ann_ivf_topk(
+    embeddings: Dataset,
+    queries: np.ndarray,
+    query_ids: np.ndarray,
+    k: int = 10,
+    n_lists: int = 16,
+    nprobe: int = 4,
+    centroids: np.ndarray = None,
+    seed: int = 42,
+    concurrency: int = 4,
+    batch_size: int = 4096,
+) -> Dataset:
+    """IVF top-k cosine: each query scans only its ``nprobe`` nearest lists.
+
+    ``nprobe == n_lists`` scans everything and is EXACTLY brute force (the
+    driver-contract oracle uses this); smaller ``nprobe`` trades recall for a
+    ~``n_lists / nprobe``-fold compute cut (pinned vs brute force in tests).
+    Pass ``centroids`` to reuse a trained quantizer; otherwise one is trained
+    from a deterministic hash sample.
+    """
+    import ray as _ray
+
+    if centroids is None:
+        centroids = ivf_train_centroids(embeddings, n_lists=n_lists, seed=seed)
+    n_lists = len(centroids)
+    q = _l2_normalize(np.asarray(queries, dtype=np.float64))
+    q_ids = np.asarray(query_ids, dtype=np.int64)
+    nprobe = min(nprobe, n_lists)
+    qc = q @ np.asarray(centroids, dtype=np.float64).T  # (nq, n_lists)
+    probed = np.argpartition(-qc, nprobe - 1, axis=1)[:, :nprobe]
+    probe = np.zeros((n_lists, len(q_ids)), dtype=bool)  # probe[list, query]
+    probe[probed.reshape(-1), np.repeat(np.arange(len(q_ids)), nprobe)] = True
+    ref = _ray.put((q_ids, q, np.asarray(centroids, dtype=np.float64), probe))
+    partial = embeddings.map_batches(
+        _IvfTopKActor,
+        fn_constructor_args=(ref, k),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+    return partial.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")

@@ -252,3 +252,67 @@ def test_repetition_stats(ray_session):
     assert out.loc[4, "n_grams"] == 3
     assert out.loc[4, "n_distinct_grams"] == 1
     assert out.loc[4, "n_repeated_grams"] == 2
+
+
+def test_ann_ivf_full_probe_equals_brute_force(ray_session):
+    """nprobe == n_lists scans every list: results must match brute force."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.similarity import (
+        ann_brute_force_topk,
+        ann_ivf_topk,
+        ivf_train_centroids,
+    )
+
+    tbl, _ = _embeddings(n=300)
+    ds = ray.data.from_arrow(tbl)
+    m = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    q, qids = m[:4], np.arange(4)
+    cent = ivf_train_centroids(ds, n_lists=8, sample_size=300)
+    assert cent.shape == (8, 16)
+    # training is deterministic
+    assert np.array_equal(cent, ivf_train_centroids(ds, n_lists=8, sample_size=300))
+    brute = ann_brute_force_topk(ds, q, qids, k=5, concurrency=2, batch_size=64).to_pandas()
+    ivf = ann_ivf_topk(
+        ds, q, qids, k=5, nprobe=8, centroids=cent, concurrency=2, batch_size=64
+    ).to_pandas()
+    for qi in range(4):
+        b = brute[brute["query_id"] == qi].sort_values("rank")
+        v = ivf[ivf["query_id"] == qi].sort_values("rank")
+        assert list(b["vec_id"]) == list(v["vec_id"])
+        assert np.allclose(b["cosine"], v["cosine"])
+
+
+def test_ann_ivf_pruned_probe_recall(ray_session):
+    """With clustered data, probing a quarter of the lists keeps high recall
+    for in-cluster neighbors while scanning a fraction of the rows."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.similarity import (
+        ann_brute_force_topk,
+        ann_ivf_topk,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 4
+    m = np.concatenate([c + 0.3 * rng.standard_normal((50, 16)) for c in centers])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(m)), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1), pa.float64()), 16
+            ).cast(pa.list_(pa.float64())),
+        }
+    )
+    ds = ray.data.from_arrow(tbl)
+    q, qids = m[::50][:4], np.arange(4)  # one query per cluster center area
+    cent = ivf_train_centroids(ds, n_lists=8, sample_size=400)
+    brute = ann_brute_force_topk(ds, q, qids, k=10, concurrency=2, batch_size=64).to_pandas()
+    ivf = ann_ivf_topk(
+        ds, q, qids, k=10, nprobe=2, centroids=cent, concurrency=2, batch_size=64
+    ).to_pandas()
+    recalls = []
+    for qi in range(4):
+        want = set(brute[brute["query_id"] == qi]["vec_id"])
+        got = set(ivf[ivf["query_id"] == qi]["vec_id"])
+        recalls.append(len(want & got) / len(want))
+    assert np.mean(recalls) >= 0.8, recalls
