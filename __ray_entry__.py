@@ -73,6 +73,18 @@ def _q_repetition_stats(sf_dir: str):
     return repetition_stats(_docs(sf_dir).select_columns(["doc_id", "text"])).sort("doc_id")
 
 
+def _q_contamination(sf_dir: str):
+    """Benchmark decontamination: bench set = the src0 docs; every doc
+    reports its distinct shared word-8-grams with that set."""
+    import pyarrow.compute as pc
+
+    from image_deduplication_3m_images_ray.extras.textstats import contamination_stats
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "source"])
+    bench = docs.filter(expr="source == 'src0'")
+    return contamination_stats(docs, bench, n=8).sort("doc_id")
+
+
 def _q_quality_scores(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.textstats import quality_scores
 
@@ -293,6 +305,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_survivors": _q_exact_dedup_survivors,
         "token_stats": _q_token_stats,
         "repetition_stats": _q_repetition_stats,
+        "contamination": _q_contamination,
         "quality_scores": _q_quality_scores,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "lang_counts": _q_lang_counts,
@@ -424,6 +437,19 @@ def oracle_sql() -> dict[str, str]:
                    count(g.gram) - count(DISTINCT g.gram) AS n_repeated_grams
             FROM base b LEFT JOIN grams g USING (doc_id)
             GROUP BY b.doc_id ORDER BY b.doc_id
+        """,
+        "contamination": """
+            WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+            g AS (SELECT doc_id, source, unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS gram FROM toks),
+            bench AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+            hits AS (SELECT d.doc_id, count(DISTINCT d.gram) AS n_contaminated
+                     FROM g d JOIN bench b USING (gram) GROUP BY d.doc_id)
+            SELECT t.doc_id,
+                   CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+                   CAST(CASE WHEN coalesce(h.n_contaminated, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
+            FROM toks t LEFT JOIN hits h USING (doc_id)
+            ORDER BY doc_id
         """,
         "quality_scores": """
             WITH s AS (

@@ -259,3 +259,83 @@ def repetition_stats(docs: Dataset, n: int = 3, batch_size: int = 4096) -> Datas
         )
 
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+def _word_ngram_strings(text_col, n: int):
+    """Flat word-``n``-gram strings (space-joined) for a string column.
+
+    Returns (grams: np.ndarray[str], doc_of: int64 gram->row map, n_rows).
+    Vectorized: one split, one unicode upcast, n-1 np.char.add passes — no
+    per-doc loop.  The U-dtype upcast pads every token to the batch's longest
+    token; fine for word tokens, a rolling-hash variant would replace it for
+    adversarially long tokens.
+    """
+    toks = pc.split_pattern(text_col, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+    n_rows = len(offs) - 1
+    n_grams = np.maximum(np.diff(offs) - (n - 1), 0)
+    pos = n_grams > 0
+    starts = np.repeat(offs[:-1][pos], n_grams[pos]) + _ranges(n_grams[pos])
+    doc_of = np.repeat(np.arange(n_rows, dtype=np.int64)[pos], n_grams[pos])
+    if len(starts) == 0:
+        return np.empty(0, dtype=np.str_), doc_of, n_rows
+    arr = flat.astype(np.str_)
+    g = arr[starts]
+    for i in range(1, n):
+        g = np.char.add(np.char.add(g, " "), arr[starts + i])
+    return g, doc_of, n_rows
+
+
+def contamination_stats(
+    docs: Dataset, bench: Dataset, n: int = 8, batch_size: int = 4096
+) -> Dataset:
+    """Benchmark decontamination: flag docs sharing any word ``n``-gram with
+    a (small) benchmark set.
+
+    The standard LLM-training hygiene step: ``bench`` is the eval/benchmark
+    corpus (tiny by construction — broadcast via ``ray.put`` as a sorted
+    string array); each training doc reports how many of its DISTINCT
+    ``n``-grams appear in the benchmark set.  Matching is exact string
+    equality (np.isin against the broadcast set — no hashing, no collision
+    caveat), so the DuckDB oracle is a verbatim join on the same gram
+    strings.  Output: (doc_id, n_contaminated, contaminated); filtering
+    survivors is ``filter(contaminated == 0)`` downstream.
+    """
+    import ray as _ray
+
+    bench_tbl = pa.concat_tables(
+        [
+            t
+            for t in _ray.get(bench.select_columns(["text"]).to_arrow_refs())
+            if t.num_rows and t.num_columns
+        ]
+    )
+    bg, _, _ = _word_ngram_strings(bench_tbl["text"].combine_chunks(), n)
+    bench_ref = _ray.put(np.unique(bg))
+
+    def fn(t: pa.Table) -> pa.Table:
+        bset = _ray.get(bench_ref)
+        g, doc_of, n_rows = _word_ngram_strings(t["text"], n)
+        hits = np.zeros(n_rows, dtype=np.int64)
+        if len(g) and len(bset):
+            m = np.isin(g, bset)
+            gh, dh = g[m], doc_of[m]
+            if len(gh):
+                order = np.lexsort((gh, dh))
+                gh, dh = gh[order], dh[order]
+                first = np.ones(len(gh), dtype=bool)
+                first[1:] = (dh[1:] != dh[:-1]) | (gh[1:] != gh[:-1])
+                hits = np.bincount(dh[first], minlength=n_rows)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_contaminated": pa.array(hits.astype(np.int64), pa.int64()),
+                "contaminated": pa.array((hits > 0).astype(np.int32), pa.int32()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)

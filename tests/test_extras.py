@@ -316,3 +316,34 @@ def test_ann_ivf_pruned_probe_recall(ray_session):
         got = set(ivf[ivf["query_id"] == qi]["vec_id"])
         recalls.append(len(want & got) / len(want))
     assert np.mean(recalls) >= 0.8, recalls
+
+
+def test_contamination_stats(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import contamination_stats
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.uint64()),
+            "text": pa.array(
+                [
+                    "the quick brown fox jumps",   # shares the bench 3-grams
+                    "totally different words here now",
+                    "quick brown fox",              # 1 shared 3-gram
+                ]
+            ),
+        }
+    )
+    bench = pa.table({"text": pa.array(["the quick brown fox sleeps"])})
+    out = (
+        contamination_stats(
+            ray.data.from_arrow(docs), ray.data.from_arrow(bench), n=3
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # bench grams: {the quick brown, quick brown fox, brown fox sleeps}
+    assert out.loc[1, "n_contaminated"] == 2 and out.loc[1, "contaminated"] == 1
+    assert out.loc[2, "n_contaminated"] == 0 and out.loc[2, "contaminated"] == 0
+    assert out.loc[3, "n_contaminated"] == 1 and out.loc[3, "contaminated"] == 1
