@@ -67,6 +67,12 @@ def _q_token_stats(sf_dir: str):
     return token_stats(_docs(sf_dir).select_columns(["doc_id", "text"])).sort("doc_id")
 
 
+def _q_bpe_token_stats(sf_dir: str):
+    from image_deduplication_3m_images_ray.extras.textstats import bpe_token_stats
+
+    return bpe_token_stats(_docs(sf_dir).select_columns(["doc_id", "text"])).sort("doc_id")
+
+
 def _q_repetition_stats(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.textstats import repetition_stats
 
@@ -304,6 +310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": _q_exact_dedup,
         "exact_dedup_survivors": _q_exact_dedup_survivors,
         "token_stats": _q_token_stats,
+        "bpe_token_stats": _q_bpe_token_stats,
         "repetition_stats": _q_repetition_stats,
         "contamination": _q_contamination,
         "quality_scores": _q_quality_scores,
@@ -423,6 +430,20 @@ def oracle_sql() -> dict[str, str]:
                         ELSE (n_chars_norm - n_spaces) / CAST(n_spaces + 1 AS DOUBLE)
                    END AS mean_token_len
             FROM s ORDER BY doc_id
+        """,
+        "bpe_token_stats": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            c AS (SELECT doc_id,
+                         len(regexp_extract_all(nt, '[a-z]+')) AS w,
+                         len(regexp_extract_all(nt, '[0-9]+')) AS d,
+                         len(regexp_extract_all(nt, '[^a-z0-9 ]+')) AS p
+                  FROM n)
+            SELECT doc_id,
+                   CAST(w + d + p AS BIGINT) AS n_bpe_tokens,
+                   CAST(w AS BIGINT) AS n_word_tokens,
+                   CAST(d AS BIGINT) AS n_num_tokens,
+                   CAST(p AS BIGINT) AS n_punct_tokens
+            FROM c ORDER BY doc_id
         """,
         "repetition_stats": """
             WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

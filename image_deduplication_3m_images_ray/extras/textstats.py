@@ -51,6 +51,69 @@ def token_stats(docs: Dataset, batch_size: int = 4096) -> Dataset:
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
 
 
+# byte -> character class for the BPE-ish pretokenizer: 0 = space,
+# 1 = [a-z], 2 = [0-9], 3 = everything else (all UTF-8 bytes >= 0x80 are
+# class 3, so a run of non-ASCII characters is ONE punct-class token — the
+# same grouping ``[^a-z0-9 ]+`` produces over codepoints).
+_BPE_CLS = np.full(256, 3, dtype=np.uint8)
+_BPE_CLS[ord(" ")] = 0
+_BPE_CLS[ord("a") : ord("z") + 1] = 1
+_BPE_CLS[ord("0") : ord("9") + 1] = 2
+
+
+def bpe_token_stats(docs: Dataset, batch_size: int = 4096) -> Dataset:
+    """(doc_id, text) -> GPT-2-style pretokenizer token counts.
+
+    A "BPE-ish" token over the normalized text (NFC + lower + \\s-collapse)
+    is one match of `` ?[a-z]+| ?[0-9]+| ?[^a-z0-9 ]+`` — the shape of the
+    GPT-2 pretokenization regex restricted to the lowercased alphabet.  The
+    optional leading space never changes match COUNTS (normalization leaves
+    single spaces, each absorbed by the following token), so counting
+    maximal same-class runs is exact.  Implemented without regex: one
+    vectorized byte-class run-length pass over the batch's flat UTF-8
+    buffer (class changes + doc boundaries mark token starts), so the hot
+    path is a handful of numpy ops per batch, not a per-row ``re.findall``.
+
+    Output: ``doc_id, n_bpe_tokens, n_word_tokens, n_num_tokens,
+    n_punct_tokens`` (int64; word/num/punct partition the total).
+    Reference analog M9 (cheap per-doc stats,
+    /root/reference/modules/feature_extraction.py:108-126).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"])
+        arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+        offs = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        cls = _BPE_CLS[data]
+        start = np.ones(len(cls), dtype=bool)
+        if len(cls) > 1:
+            start[1:] = cls[1:] != cls[:-1]
+        start[offs[:-1][offs[:-1] < len(cls)]] = True  # doc boundary resets runs
+
+        def per_doc(tok_start: np.ndarray) -> np.ndarray:
+            cum = np.concatenate(([0], np.cumsum(tok_start, dtype=np.int64)))
+            return cum[offs[1:]] - cum[offs[:-1]]
+
+        word = per_doc(start & (cls == 1))
+        num = per_doc(start & (cls == 2))
+        punct = per_doc(start & (cls == 3))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bpe_tokens": pa.array(word + num + punct, pa.int64()),
+                "n_word_tokens": pa.array(word, pa.int64()),
+                "n_num_tokens": pa.array(num, pa.int64()),
+                "n_punct_tokens": pa.array(punct, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
 def quality_scores(docs: Dataset, batch_size: int = 4096) -> Dataset:
     """(doc_id, text) -> per-doc quality features + composite score.
 

@@ -151,6 +151,40 @@ def test_token_stats_and_quality(ray_session):
     assert qs.loc[1, "quality"] == 0.0
 
 
+def test_bpe_token_stats(ray_session):
+    """Byte-class run-length counts must equal the pretokenizer regex counts
+    over the normalized text, including multi-byte UTF-8 runs."""
+    import re
+    import unicodedata
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import bpe_token_stats
+
+    texts = [
+        "Hello, world! 123 foo-bar",
+        "",
+        "   ",
+        "héllo wörld — naïve café 42x",
+        "日本語のテキスト and english",
+        "a1b2c3",
+        "!!! ??? ...",
+        "The  quick   BROWN fox no.9 jumps-over 10,000 lazy dogs!",
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    out = bpe_token_stats(ray.data.from_arrow(t)).to_pandas().set_index("doc_id").sort_index()
+    for i, txt in enumerate(texts):
+        nt = re.sub(r"[ \t\n\r\f\v]+", " ", unicodedata.normalize("NFC", txt).lower()).strip()
+        w = len(re.findall(r"[a-z]+", nt))
+        d = len(re.findall(r"[0-9]+", nt))
+        p = len(re.findall(r"[^a-z0-9 ]+", nt))
+        assert out.loc[i, "n_word_tokens"] == w, (i, nt)
+        assert out.loc[i, "n_num_tokens"] == d, (i, nt)
+        assert out.loc[i, "n_punct_tokens"] == p, (i, nt)
+        assert out.loc[i, "n_bpe_tokens"] == w + d + p
+
+
 def test_lang_id(ray_session):
     import ray.data
     from image_deduplication_3m_images_ray.extras.textstats import lang_id
