@@ -290,6 +290,22 @@ def _q_sessions(sf_dir: str):
     return sessionize(events, gap_sec=1800).sort(["user_id", "session_id"])
 
 
+def _q_asof_join(sf_dir: str):
+    """Each purchase event joined to the user's latest at-or-before click."""
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.windows import asof_join_latest
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    left = events.filter(expr="event_type == 'purchase'").select_columns(
+        ["event_id", "ts", "user_id"]
+    )
+    right = events.filter(expr="event_type == 'click'")
+    return asof_join_latest(left, right, payload={"value": "ref_value"}).sort("event_id")
+
+
 def _q_media_decode(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.multimodal import (
         decode_stage,
@@ -331,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_stats": _q_cluster_stats,
         "window_agg": _q_window_agg,
         "sessions": _q_sessions,
+        "asof_join": _q_asof_join,
         "media_decode": _q_media_decode,
     }
 
@@ -583,6 +600,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, session_id, count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id
+        """,
+        "asof_join": """
+            WITH l AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'purchase'),
+            r AS (SELECT event_id, ts, user_id, value FROM events
+                  WHERE event_type = 'click'),
+            m AS (SELECT l.event_id, r.event_id AS ref_event_id, r.value AS ref_value,
+                         date_diff('microsecond', r.ts, l.ts) AS lag_us,
+                         row_number() OVER (PARTITION BY l.event_id
+                                            ORDER BY r.ts DESC, r.event_id DESC) AS rn
+                  FROM l JOIN r ON l.user_id = r.user_id AND r.ts <= l.ts)
+            SELECT l.event_id, l.ts, l.user_id,
+                   COALESCE(m.ref_value, 0.0) AS ref_value,
+                   CAST(COALESCE(m.ref_event_id, -1) AS BIGINT) AS ref_event_id,
+                   CAST(COALESCE(m.lag_us, -1) AS BIGINT) AS lag_us
+            FROM l LEFT JOIN m ON m.event_id = l.event_id AND m.rn = 1
+            ORDER BY l.event_id
         """,
         "simhash_pairs": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),

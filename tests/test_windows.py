@@ -42,6 +42,76 @@ def test_tumbling_window_agg(ray_session):
     assert out.loc[("view", w0 + 3600), "n_events"] == 1
 
 
+def test_asof_join_latest(ray_session):
+    """Hand-built expectations + pandas.merge_asof as an independent oracle."""
+    import pandas as pd
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.windows import asof_join_latest
+
+    ev = ray.data.from_arrow(_events())
+    left = ev.filter(expr="event_type == 'view'").select_columns(
+        ["event_id", "ts", "user_id"]
+    )
+    right = ev.filter(expr="event_type == 'click'")
+    out = (
+        asof_join_latest(left, right, payload={"value": "ref_value"})
+        .to_pandas()
+        .set_index("event_id")
+    )
+    # user 1's view at base+3600s matches their click at base+60s
+    assert out.loc[2, "ref_event_id"] == 1
+    assert out.loc[2, "ref_value"] == 2.50
+    assert out.loc[2, "lag_us"] == 3_600_000_000 - 60_000_000
+
+    # randomized cross-check vs pandas.merge_asof (backward, inclusive);
+    # duplicate timestamps exercise the largest-event_id tie-break
+    rng = np.random.default_rng(7)
+    n = 600
+    base = 1_700_000_000_000_000
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": pd.to_datetime(
+                base + rng.integers(0, 50, n).astype(np.int64) * 1_000_000, unit="us"
+            ),
+            "user_id": rng.integers(0, 8, n).astype(np.int64),
+            "side": rng.integers(0, 2, n),
+            "value": np.round(rng.uniform(0, 10, n), 2),
+        }
+    )
+    lpd = df[df["side"] == 1][["event_id", "ts", "user_id"]].reset_index(drop=True)
+    rpd = df[df["side"] == 0][["event_id", "ts", "user_id", "value"]].reset_index(drop=True)
+    got = (
+        asof_join_latest(
+            ray.data.from_pandas(lpd),
+            ray.data.from_pandas(rpd),
+            payload={"value": "ref_value"},
+            num_shards=5,
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        lpd.sort_values(["ts", "event_id"], kind="mergesort"),
+        rpd.sort_values(["ts", "event_id"], kind="mergesort"),
+        on="ts",
+        by="user_id",
+        direction="backward",
+        allow_exact_matches=True,
+        suffixes=("", "_r"),
+    ).sort_values("event_id")
+    exp["ref_event_id"] = exp["event_id_r"].fillna(-1).astype(np.int64)
+    exp["ref_value"] = exp["value"].fillna(0.0)
+    exp = exp.reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert list(got["ref_event_id"]) == list(exp["ref_event_id"])
+    assert list(got["ref_value"]) == list(exp["ref_value"])
+    unmatched = got["ref_event_id"] == -1
+    assert (got.loc[unmatched, "lag_us"] == -1).all()
+    assert (got.loc[~unmatched, "lag_us"] >= 0).all()
+
+
 def test_sessionize(ray_session):
     import ray.data
     from image_deduplication_3m_images_ray.extras.windows import sessionize
