@@ -306,6 +306,35 @@ def _q_asof_join(sf_dir: str):
     return asof_join_latest(left, right, payload={"value": "ref_value"}).sort("event_id")
 
 
+def _q_group_topk(sf_dir: str):
+    """Top-3 longest docs per language (rank by n_chars desc, doc_id asc)."""
+    from image_deduplication_3m_images_ray.extras.relational import group_topk
+
+    return group_topk(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        key="lang",
+        value="n_chars",
+        k=3,
+        tiebreak="doc_id",
+    ).sort(["lang", "rank"])
+
+
+def _q_range_join(sf_dir: str):
+    """Every click within one hour AFTER a purchase by the same user."""
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.relational import range_join_window
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    left = events.filter(expr="event_type == 'click'")
+    right = events.filter(expr="event_type == 'purchase'")
+    return range_join_window(left, right, width_sec=3600).sort(
+        ["event_id", "ref_event_id"]
+    )
+
+
 def _q_media_decode(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.multimodal import (
         decode_stage,
@@ -348,6 +377,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "window_agg": _q_window_agg,
         "sessions": _q_sessions,
         "asof_join": _q_asof_join,
+        "group_topk": _q_group_topk,
+        "range_join": _q_range_join,
         "media_decode": _q_media_decode,
     }
 
@@ -617,6 +648,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(m.lag_us, -1) AS BIGINT) AS lag_us
             FROM l LEFT JOIN m ON m.event_id = l.event_id AND m.rn = 1
             ORDER BY l.event_id
+        """,
+        "group_topk": """
+            SELECT doc_id, lang, n_chars, rank FROM (
+                SELECT doc_id, lang, n_chars,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY n_chars DESC, doc_id ASC) AS rank
+                FROM documents
+            ) WHERE rank <= 3 ORDER BY lang, rank
+        """,
+        "range_join": """
+            WITH l AS (SELECT event_id, ts, user_id FROM events
+                       WHERE event_type = 'click'),
+            r AS (SELECT event_id, ts, user_id FROM events
+                  WHERE event_type = 'purchase')
+            SELECT l.event_id, l.user_id,
+                   epoch_us(l.ts) AS ts_us,
+                   r.event_id AS ref_event_id,
+                   date_diff('microsecond', r.ts, l.ts) AS offset_us
+            FROM l JOIN r ON l.user_id = r.user_id
+                         AND r.ts <= l.ts
+                         AND l.ts <= r.ts + INTERVAL 3600 SECOND
+            ORDER BY l.event_id, ref_event_id
         """,
         "simhash_pairs": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),

@@ -1,0 +1,187 @@
+"""Relational custom operators the brief names explicitly: grouped top-k and
+a (fixed-width) range join.
+
+Both follow the repo's standard scale shape: a per-batch vectorized partial
+pass (combiner) where semantics allow, then ONE hash-sharded exchange with one
+vectorized Python call per shard (``util.sharded_group_map``) — never one call
+per group, never a driver-side materialization.  Reference analogs: O2/O3
+top-k selection (/root/reference/modules/deduplication.py best-of-cluster
+selection) and the J1 key->features lookup family (SURVEY.md §2.4), extended
+to inequality predicates as the task brief's "range join" custom operator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from ..functions.hashing import _ranges, hash_tokens
+from ..util import segment_bounds, sharded_group_map
+
+
+def _topk_select(
+    kcode: np.ndarray, value: np.ndarray, tiebreak: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Row indices of the top-``k`` rows per key (value desc, tiebreak asc),
+    plus each kept row's 1-based rank.  One lexsort, no per-group loop."""
+    if np.issubdtype(value.dtype, np.unsignedinteger):
+        value = value.astype(np.int64)
+    order = np.lexsort((tiebreak, -value, kcode))
+    ks = kcode[order]
+    n = len(ks)
+    if n == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    starts = segment_bounds(ks)
+    is_start = np.zeros(n, dtype=bool)
+    is_start[starts[:-1]] = True
+    seg_id = np.cumsum(is_start) - 1
+    rank = np.arange(n, dtype=np.int64) - starts[:-1][seg_id]
+    keep = rank < k
+    return order[keep], rank[keep] + 1
+
+
+def group_topk(
+    ds: Dataset,
+    key: str,
+    value: str,
+    k: int,
+    tiebreak: str,
+    num_shards: int = 64,
+) -> Dataset:
+    """Top-``k`` rows per ``key`` group by ``value`` desc (``tiebreak`` asc).
+
+    Equivalent to SQL ``row_number() OVER (PARTITION BY key ORDER BY value
+    DESC, tiebreak ASC) <= k``; the output keeps the input columns and adds
+    the 1-based ``rank``.  ``value`` and ``tiebreak`` must be numeric and
+    NaN-free (ordering with NaN is undefined); ``key`` may be string or int.
+
+    Scale shape: a vectorized per-batch partial top-k first (each batch
+    forwards at most ``k`` rows per key it contains — a valid combiner because
+    the global top-k is a subset of the union of per-batch top-ks under the
+    same total order), so the single ``key``-sharded exchange moves
+    O(k * n_keys) rows, not the whole table.
+    """
+    def add_kcode(t: pa.Table) -> pa.Table:
+        col = t[key]
+        if pa.types.is_integer(col.type):
+            kc = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
+        else:
+            kc = hash_tokens(
+                np.asarray(col.to_numpy(zero_copy_only=False), dtype=object)
+            ).astype(np.int64)
+        return t.append_column("__k", pa.array(kc, pa.int64()))
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = add_kcode(t)
+        kc = np.asarray(t["__k"].to_numpy(zero_copy_only=False))
+        val = np.asarray(t[value].to_numpy(zero_copy_only=False))
+        tb = np.asarray(t[tiebreak].to_numpy(zero_copy_only=False))
+        keep, _ = _topk_select(kc, val, tb, k)
+        return t.take(np.sort(keep))
+
+    def final_shard(g: pd.DataFrame) -> pd.DataFrame:
+        kc = g["__k"].to_numpy()
+        val = g[value].to_numpy()
+        tb = g[tiebreak].to_numpy()
+        keep, rank = _topk_select(kc, val, tb, k)
+        out = g.iloc[keep].drop(columns="__k").reset_index(drop=True)
+        out["rank"] = rank
+        return out
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded_group_map(
+        pruned, ["__k"], final_shard, num_shards=num_shards, batch_format="pandas"
+    )
+
+
+def range_join_window(
+    left: Dataset,
+    right: Dataset,
+    by: str = "user_id",
+    on: str = "ts",
+    width_sec: int = 3600,
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    num_shards: int = 64,
+) -> Dataset:
+    """Fixed-width range join: ALL (left, right) pairs with the same ``by`` key
+    and ``right.on <= left.on <= right.on + width_sec`` (a trailing window).
+
+    Unlike :func:`asof_join_latest` (latest match only), this emits every
+    match — SQL ``l JOIN r ON l.by = r.by AND r.on <= l.on AND l.on <= r.on +
+    width``.  Output: (left_id, by, ``ts_us`` = left epoch microseconds,
+    ``ref_<right_id>``, ``offset_us`` = microseconds since the matched right
+    row).
+
+    One ``by``-sharded exchange; per shard, both sides are encoded into a
+    single int64 key (user-code * span + relative-time) so BOTH window bounds
+    resolve with two global ``searchsorted`` calls and the matches emit with
+    one ``np.repeat`` — no per-user loop.  The encode needs
+    n_keys_in_shard * (time_span + width) < 2**63 us; a shard that exceeds it
+    raises (pick a larger ``num_shards``) rather than silently truncating.
+    """
+    width_us = width_sec * 1_000_000
+
+    def prep(side: int):
+        id_col = left_id if side else right_id
+
+        def fn(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "__id": pc.cast(t[id_col], pa.int64()),
+                    by: t[by],
+                    "__ts": pc.cast(pc.cast(t[on], pa.timestamp("us")), pa.int64()),
+                    "__side": pa.array(np.full(len(t), side, dtype=np.int8), pa.int8()),
+                }
+            )
+
+        return fn
+
+    lt = left.map_batches(prep(1), batch_format="pyarrow", zero_copy_batch=True)
+    rt = right.map_batches(prep(0), batch_format="pyarrow", zero_copy_batch=True)
+
+    def shard_fn(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g["__id"].to_numpy()
+        key = g[by].to_numpy()
+        ts = g["__ts"].to_numpy().astype(np.int64)
+        side = g["__side"].to_numpy()
+        _, kcode = np.unique(key, return_inverse=True)
+        t0 = int(ts.min()) if len(ts) else 0
+        trel = ts - t0 + width_us  # >= width so the low bound never bleeds
+        span = int(trel.max()) + 1 if len(ts) else 1
+        n_keys = int(kcode.max()) + 1 if len(ts) else 1
+        if n_keys * span >= 2**62:
+            raise ValueError(
+                f"range_join_window shard too wide to encode "
+                f"({n_keys} keys x {span} us span); raise num_shards"
+            )
+        enc = kcode.astype(np.int64) * span + trel
+        is_r = side == 0
+        rorder = np.argsort(enc[is_r], kind="stable")
+        renc = enc[is_r][rorder]
+        rids = ids[is_r][rorder]
+        rts = ts[is_r][rorder]
+        li = np.nonzero(~is_r)[0]
+        lo = np.searchsorted(renc, enc[li] - width_us, side="left")
+        hi = np.searchsorted(renc, enc[li], side="right")
+        counts = hi - lo
+        pos = counts > 0  # _ranges requires strictly positive counts
+        take_l = np.repeat(li[pos], counts[pos])
+        take_r = np.repeat(lo[pos], counts[pos]) + _ranges(counts[pos])
+        return pd.DataFrame(
+            {
+                left_id: ids[take_l],
+                by: key[take_l],
+                "ts_us": ts[take_l],
+                f"ref_{right_id}": rids[take_r],
+                "offset_us": ts[take_l] - rts[take_r],
+            }
+        )
+
+    return sharded_group_map(
+        lt.union(rt), [by], shard_fn, num_shards=num_shards, batch_format="pandas"
+    )

@@ -1,0 +1,126 @@
+"""Unit tests for grouped top-k and the fixed-width range join."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def test_group_topk_matches_pandas(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import group_topk
+
+    rng = np.random.default_rng(3)
+    n = 500
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "fr", "es"], n),
+            "n_chars": rng.integers(0, 50, n).astype(np.int64),  # many ties
+        }
+    )
+    got = (
+        group_topk(
+            # small blocks force the partial combiner to run per batch
+            ray.data.from_pandas(df).repartition(8),
+            key="lang",
+            value="n_chars",
+            k=3,
+            tiebreak="doc_id",
+            num_shards=4,
+        )
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+        .reset_index(drop=True)
+    )
+    exp = df.sort_values(
+        ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+    ).groupby("lang", as_index=False).head(3)
+    exp["rank"] = exp.groupby("lang").cumcount() + 1
+    exp = exp.sort_values(["lang", "rank"]).reset_index(drop=True)
+    assert list(got["doc_id"]) == list(exp["doc_id"])
+    assert list(got["rank"]) == list(exp["rank"])
+    assert list(got["n_chars"]) == list(exp["n_chars"])
+
+
+def test_group_topk_int_key(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import group_topk
+
+    df = pd.DataFrame(
+        {
+            "g": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+            "v": np.array([5, 9, 9, 1, 2], dtype=np.int64),
+            "id": np.arange(5, dtype=np.int64),
+        }
+    )
+    got = (
+        group_topk(ray.data.from_pandas(df), key="g", value="v", k=1, tiebreak="id")
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    # tie on v=9 breaks to the smaller id
+    assert list(got["id"]) == [1, 4]
+    assert list(got["rank"]) == [1, 1]
+
+
+def test_range_join_window_matches_bruteforce(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import range_join_window
+
+    rng = np.random.default_rng(11)
+    base = 1_700_000_000_000_000
+    width_sec = 40
+
+    def mk(n, id0):
+        return pd.DataFrame(
+            {
+                "event_id": np.arange(id0, id0 + n, dtype=np.int64),
+                "ts": pd.to_datetime(
+                    base + rng.integers(0, 200, n).astype(np.int64) * 1_000_000,
+                    unit="us",
+                ),
+                "user_id": rng.integers(0, 6, n).astype(np.int64),
+            }
+        )
+
+    lpd, rpd = mk(300, 0), mk(300, 1000)
+    got = (
+        range_join_window(
+            ray.data.from_pandas(lpd),
+            ray.data.from_pandas(rpd),
+            width_sec=width_sec,
+            num_shards=3,
+        )
+        .to_pandas()
+        .sort_values(["event_id", "ref_event_id"])
+        .reset_index(drop=True)
+    )
+    m = lpd.merge(rpd, on="user_id", suffixes=("_l", "_r"))
+    m = m[(m["ts_r"] <= m["ts_l"]) & (m["ts_l"] <= m["ts_r"] + pd.Timedelta(seconds=width_sec))]
+    exp = m.sort_values(["event_id_l", "event_id_r"]).reset_index(drop=True)
+    assert len(got) == len(exp)
+    assert list(got["event_id"]) == list(exp["event_id_l"])
+    assert list(got["ref_event_id"]) == list(exp["event_id_r"])
+    off = (exp["ts_l"] - exp["ts_r"]).dt.total_seconds() * 1e6
+    assert list(got["offset_us"]) == [int(x) for x in off]
+    assert (got["offset_us"] >= 0).all()
+    assert (got["offset_us"] <= width_sec * 1_000_000).all()
+
+
+def test_range_join_window_no_rights(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import range_join_window
+
+    lpd = pd.DataFrame(
+        {
+            "event_id": np.array([1, 2], dtype=np.int64),
+            "ts": pd.to_datetime([1_700_000_000_000_000] * 2, unit="us"),
+            "user_id": np.array([1, 2], dtype=np.int64),
+        }
+    )
+    rpd = lpd.head(0)
+    out = range_join_window(
+        ray.data.from_pandas(lpd), ray.data.from_pandas(rpd), num_shards=2
+    ).to_pandas()
+    assert len(out) == 0
