@@ -279,6 +279,19 @@ def _q_window_agg(sf_dir: str):
     return tumbling_window_agg(events, window_sec=3600).sort(["event_type", "window_start"])
 
 
+def _q_sliding_window_agg(sf_dir: str):
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.windows import sliding_window_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["ts", "event_type", "value"]
+    )
+    return sliding_window_agg(events, window_sec=3600, hop_sec=900).sort(
+        ["event_type", "window_start"]
+    )
+
+
 def _q_sessions(sf_dir: str):
     import ray.data
 
@@ -375,6 +388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_report": _q_dedup_report,
         "cluster_stats": _q_cluster_stats,
         "window_agg": _q_window_agg,
+        "sliding_window_agg": _q_sliding_window_agg,
         "sessions": _q_sessions,
         "asof_join": _q_asof_join,
         "group_topk": _q_group_topk,
@@ -607,6 +621,15 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events
+            GROUP BY event_type, window_start
+            ORDER BY event_type, window_start
+        """,
+        "sliding_window_agg": """
+            SELECT event_type,
+                   ((CAST(floor(epoch(ts)) AS BIGINT) // 900) - i) * 900 AS window_start,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+            FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start
         """,

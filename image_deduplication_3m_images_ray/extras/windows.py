@@ -53,6 +53,50 @@ def tumbling_window_agg(
     )
 
 
+def sliding_window_agg(
+    events: Dataset,
+    window_sec: int = 3600,
+    hop_sec: int = 900,
+    key: str = "event_type",
+) -> Dataset:
+    """Sliding (hopping) window aggregate: per (key, window) count + cents sum.
+
+    Windows start at every multiple of ``hop_sec`` and span ``window_sec``
+    (which must be a multiple of ``hop_sec``); an event at epoch-second ``t``
+    therefore lands in exactly ``window_sec / hop_sec`` windows.  The fan-out
+    happens inside ``map_batches`` with one ``np.repeat`` (a constant,
+    known-at-plan-time expansion — no per-row loop), and the aggregation is
+    the same single ``groupby`` exchange as the tumbling case, so the shuffle
+    volume is (fan-out x) the PRE-aggregated per-batch rows, not raw events.
+    """
+    if window_sec % hop_sec:
+        raise ValueError("window_sec must be a multiple of hop_sec")
+    nwin = window_sec // hop_sec
+
+    def prep(t: pa.Table) -> pa.Table:
+        epoch_us = np.asarray(pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False))
+        base = (epoch_us // 1_000_000) // hop_sec * hop_sec
+        cents = np.asarray(
+            pc.round(pc.multiply(t["value"], 100.0)).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        n = len(t)
+        idx = np.repeat(np.arange(n, dtype=np.int64), nwin)
+        offs = np.tile(np.arange(nwin, dtype=np.int64) * hop_sec, n)
+        return pa.table(
+            {
+                key: pc.take(t[key], pa.array(idx, pa.int64())),
+                "window_start": pa.array(np.repeat(base, nwin) - offs, pa.int64()),
+                "value_cents": pa.array(np.repeat(cents, nwin), pa.int64()),
+            }
+        )
+
+    return (
+        events.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby([key, "window_start"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_cents", alias_name="sum_cents"))
+    )
+
+
 def asof_join_latest(
     left: Dataset,
     right: Dataset,

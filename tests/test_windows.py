@@ -42,6 +42,28 @@ def test_tumbling_window_agg(ray_session):
     assert out.loc[("view", w0 + 3600), "n_events"] == 1
 
 
+def test_sliding_window_agg(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.windows import sliding_window_agg
+
+    out = (
+        sliding_window_agg(ray.data.from_arrow(_events()), window_sec=3600, hop_sec=900)
+        .to_pandas()
+        .set_index(["event_type", "window_start"])
+        .sort_index()
+    )
+    # every event appears in exactly 4 windows
+    assert int(out["n_events"].sum()) == 4 * 5
+    t0 = 1_700_000_000
+    w = t0 // 900 * 900
+    # the window containing all 4 clicks (they span < 900s starting at t0)
+    assert out.loc[("click", w), "n_events"] == 4
+    assert out.loc[("click", w), "sum_cents"] == 100 + 250 + 425 + 75
+    # the same 4 clicks also count in the 3 preceding hop windows
+    for i in (1, 2, 3):
+        assert out.loc[("click", w - 900 * i), "n_events"] == 4
+
+
 def test_asof_join_latest(ray_session):
     """Hand-built expectations + pandas.merge_asof as an independent oracle."""
     import pandas as pd
