@@ -168,6 +168,17 @@ def _q_embedding_cosine_pairs(sf_dir: str):
     )
 
 
+def _q_semantic_dedup(sf_dir: str):
+    from image_deduplication_3m_images_ray.config import DedupConfig
+    from image_deduplication_3m_images_ray.extras.dedup_ops import semantic_dedup
+
+    return semantic_dedup(
+        _embeddings(sf_dir).select_columns(["vec_id", "embedding"]),
+        threshold=0.3,
+        cfg=DedupConfig(join_num_buckets=4),
+    ).sort("vec_id")
+
+
 def _q_ann_topk(sf_dir: str):
     import pandas as pd
     import ray as _ray
@@ -378,6 +389,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_sources": _q_distinct_sources,
         "filter_en_long": _q_filter_en_long,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
+        "semantic_dedup": _q_semantic_dedup,
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_lsh_clusters": _q_minhash_lsh_clusters,
@@ -580,6 +592,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.3
             ORDER BY vec_a, vec_b
+        """,
+        "semantic_dedup": f"""
+            WITH RECURSIVE
+            nodes_ AS (SELECT vec_id AS id FROM embeddings),
+            edges_ AS (
+                SELECT a.vec_id AS da, b.vec_id AS db
+                FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+                WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                             CAST(b.embedding AS DOUBLE[])) >= 0.3
+            ),
+            {_CC_SQL}
+            SELECT nd AS vec_id, cid AS cluster_id,
+                   CAST(nd = cid AS INTEGER) AS keep
+            FROM labels_ ORDER BY vec_id
         """,
         "ann_topk": """
             WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

@@ -415,6 +415,77 @@ def minhash_lsh_clusters(docs: Dataset, cfg: DedupConfig) -> Dataset:
     return j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def semantic_dedup(
+    embeddings: Dataset,
+    threshold: float = 0.9,
+    cfg: DedupConfig | None = None,
+    **pair_kwargs,
+) -> Dataset:
+    """SemDeDup-style semantic dedup over an embedding column.
+
+    (vec_id, embedding) -> (vec_id, cluster_id, keep): edges are cosine >=
+    ``threshold`` pairs (:func:`embedding_cosine_pairs` — broadcast brute
+    force under the row bound, hyperplane-LSH buckets above it), components
+    come from the same distributed min-label propagation the flagship text
+    pipeline uses (``stages.cluster.cluster_stage``), ``cluster_id`` is the
+    component's min vec_id and ``keep`` marks the one survivor per cluster
+    (the min id — deterministic; a quality-ranked variant would order by a
+    score column instead).  Singletons keep themselves.  Reference analog:
+    the global cosine refinement + BFS components of Stage 3
+    (/root/reference/modules/deduplication.py:1219-1283).
+    """
+    from ..stages.cluster import cluster_stage
+
+    cfg = cfg or DedupConfig()
+    pairs = embedding_cosine_pairs(embeddings, threshold=threshold, **pair_kwargs)
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": pc.cast(t["vec_a"], pa.uint64()),
+                "doc_b": pc.cast(t["vec_b"], pa.uint64()),
+            }
+        )
+
+    edges = pairs.map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+
+    def to_i64(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": pc.cast(t["doc_id"], pa.int64()),
+                "min_cluster": pc.cast(t["cluster_id"], pa.int64()),
+            }
+        )
+
+    clusters = cluster_stage(edges, cfg).map_batches(
+        to_i64, batch_format="pyarrow", zero_copy_batch=True
+    )
+    j = embeddings.select_columns(["vec_id"]).join(
+        clusters,
+        join_type="left_outer",
+        num_partitions=cfg.join_num_buckets,
+        on=("vec_id",),
+    )
+
+    def fill(t: pa.Table) -> pa.Table:
+        vid = t["vec_id"]
+        if isinstance(vid, pa.ChunkedArray):
+            vid = vid.combine_chunks()
+        mc = t["min_cluster"]
+        if isinstance(mc, pa.ChunkedArray):
+            mc = mc.combine_chunks()
+        cid = pc.coalesce(pc.cast(mc, pa.int64()), pc.cast(vid, pa.int64()))
+        return pa.table(
+            {
+                "vec_id": pc.cast(vid, pa.int64()),
+                "cluster_id": cid,
+                "keep": pc.cast(pc.equal(pc.cast(vid, pa.int64()), cid), pa.int32()),
+            }
+        )
+
+    return j.map_batches(fill, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def embeddings_to_matrix(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     """(vec_id, embedding list<float>) Arrow batch -> (ids int64, rows float64)."""
     ids = np.asarray(t["vec_id"].to_numpy(zero_copy_only=False), dtype=np.int64)

@@ -151,6 +151,39 @@ def test_token_stats_and_quality(ray_session):
     assert qs.loc[1, "quality"] == 0.0
 
 
+def test_semantic_dedup_planted_clusters(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.dedup_ops import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    a = rng.normal(size=8)
+    b = rng.normal(size=8)
+    rows = [
+        a,
+        a + rng.normal(scale=0.01, size=8),  # near-dup of a
+        a + rng.normal(scale=0.01, size=8),  # near-dup of a
+        b,
+        -a,  # anti-correlated: NOT a dup
+        rng.normal(size=8),
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(6), pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in rows], pa.list_(pa.float32())),
+        }
+    )
+    out = (
+        semantic_dedup(ray.data.from_arrow(t), threshold=0.95)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert list(out.loc[[0, 1, 2], "cluster_id"]) == [0, 0, 0]
+    assert out.loc[0, "keep"] == 1 and out.loc[1, "keep"] == 0 and out.loc[2, "keep"] == 0
+    for v in (3, 4, 5):  # singletons survive as their own cluster
+        assert out.loc[v, "cluster_id"] == v and out.loc[v, "keep"] == 1
+
+
 def test_bpe_token_stats(ray_session):
     """Byte-class run-length counts must equal the pretokenizer regex counts
     over the normalized text, including multi-byte UTF-8 runs."""
