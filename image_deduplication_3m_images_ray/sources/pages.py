@@ -28,6 +28,41 @@ def read_pages(
     return ray.data.read_parquet(path, columns=list(columns) if columns else None, filter=filt)
 
 
+def read_documents(
+    path: str,
+    format: str = "parquet",
+    columns: Optional[Sequence[str]] = None,
+    lang: Optional[str] = None,
+) -> Dataset:
+    """Format-agnostic documents reader: Parquet (the scale path), CSV, JSONL.
+
+    Parquet gets true read-level pruning (columns + lang row-filter pushed
+    into the fragment scan); CSV/JSONL are row-oriented text formats with no
+    column projection at the storage layer, so pruning happens in the first
+    ``map_batches`` after parse — correct, but ships whole rows off disk,
+    which is why Parquet is the recommended interchange format at scale
+    (SURVEY.md §2.1; reference CSV feature I/O S8 is n/a-by-design for the
+    same reason).
+    """
+    cols = list(columns) if columns else None
+    if format == "parquet":
+        filt = (pc.field("lang") == lang) if lang is not None else None
+        return ray.data.read_parquet(path, columns=cols, filter=filt)
+    if format == "csv":
+        ds = ray.data.read_csv(path)
+    elif format in ("json", "jsonl"):
+        ds = ray.data.read_json(path)
+    else:
+        raise ValueError(f"unknown format {format!r} (parquet|csv|jsonl)")
+
+    def prune(t: pa.Table) -> pa.Table:
+        if lang is not None:
+            t = t.filter(pc.equal(t["lang"], lang))
+        return t.select(cols) if cols else t
+
+    return ds.map_batches(prune, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def documents_as_pages(sf_dir: str, num_blocks: int | None = None) -> Dataset:
     """Adapt the driver testdata ``documents`` table (doc_id, text, lang, source,
     n_chars) into the pages shape so the dedup pipeline can run on it.

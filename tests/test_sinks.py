@@ -88,3 +88,42 @@ def test_write_report_csv(ray_session, tiny_corpus, tmp_path):
     df = report.to_pandas()
     assert [r[0] for r in rows[1:]] == list(df["url"])
     assert [r[5] for r in rows[1:]] == list(df["status"])
+
+
+def test_read_documents_formats_agree(ray_session, tmp_path):
+    """CSV and JSONL reads must yield the same rows as the Parquet read."""
+    import pandas as pd
+
+    from image_deduplication_3m_images_ray.sources import read_documents
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(6, dtype=np.int64),
+            "text": ["alpha beta", "gamma", "delta", "eps", "zeta", "eta"],
+            "lang": ["en", "en", "de", "en", "fr", "de"],
+        }
+    )
+    pq = str(tmp_path / "d.parquet")
+    csv = str(tmp_path / "d.csv")
+    jl = str(tmp_path / "d.jsonl")
+    pa.parquet.write_table(pa.Table.from_pandas(df), pq)
+    df.to_csv(csv, index=False)
+    df.to_json(jl, orient="records", lines=True)
+
+    def load(fmt, path):
+        return (
+            read_documents(path, format=fmt, columns=["doc_id", "text"], lang="en")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+
+    base = load("parquet", pq)
+    assert list(base["doc_id"]) == [0, 1, 3]
+    assert list(base.columns) == ["doc_id", "text"]
+    for fmt, path in (("csv", csv), ("jsonl", jl)):
+        got = load(fmt, path)
+        assert got.equals(base), fmt
+
+    with pytest.raises(ValueError):
+        read_documents(pq, format="xml")
