@@ -91,6 +91,18 @@ def _q_contamination(sf_dir: str):
     return contamination_stats(docs, bench, n=8).sort("doc_id")
 
 
+def _q_clean_corpus(sf_dir: str):
+    """Fused hygiene filter: lang=en + quality floor + repetition budget +
+    decontamination vs the src0 bench set, in one map_batches pass."""
+    from image_deduplication_3m_images_ray.extras.textstats import clean_corpus
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang", "source"])
+    bench = docs.filter(expr="source == 'src0'")
+    return clean_corpus(
+        docs, bench, lang="en", min_quality=10.0, max_rep_ratio=0.05
+    ).sort("doc_id")
+
+
 def _q_quality_scores(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.textstats import quality_scores
 
@@ -382,6 +394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_token_stats": _q_bpe_token_stats,
         "repetition_stats": _q_repetition_stats,
         "contamination": _q_contamination,
+        "clean_corpus": _q_clean_corpus,
         "quality_scores": _q_quality_scores,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "lang_counts": _q_lang_counts,
@@ -544,6 +557,42 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated,
                    CAST(CASE WHEN coalesce(h.n_contaminated, 0) > 0 THEN 1 ELSE 0 END AS INTEGER) AS contaminated
             FROM toks t LEFT JOIN hits h USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "clean_corpus": """
+            WITH q AS (
+                SELECT doc_id, lang,
+                       CAST(length(text) AS DOUBLE) AS nc,
+                       CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) AS nd
+                FROM documents
+            ),
+            qs AS (SELECT doc_id, lang,
+                          least(nc, 2000.0) / 2000.0 * 100.0 * (1.0 - nd / greatest(nc, 1.0)) AS quality
+                   FROM q),
+            base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            grams AS (
+                SELECT doc_id, unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+                FROM base
+            ),
+            rep AS (SELECT b.doc_id,
+                           count(g.gram) AS n_grams,
+                           count(DISTINCT g.gram) AS n_distinct
+                    FROM base b LEFT JOIN grams g USING (doc_id) GROUP BY b.doc_id),
+            toks8 AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+            g8 AS (SELECT doc_id, source, unnest(list_transform(range(1, greatest(len(t) - 6, 1)),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7])) AS gram FROM toks8),
+            bench AS (SELECT DISTINCT gram FROM g8 WHERE source = 'src0'),
+            hits AS (SELECT d.doc_id, count(DISTINCT d.gram) AS n_contaminated
+                     FROM g8 d JOIN bench b USING (gram) GROUP BY d.doc_id),
+            sel AS (SELECT qs.doc_id, qs.quality,
+                           CAST(rep.n_grams - rep.n_distinct AS DOUBLE)
+                               / greatest(rep.n_grams, 1) AS rep_ratio,
+                           CAST(coalesce(h.n_contaminated, 0) AS BIGINT) AS n_contaminated
+                    FROM qs JOIN rep USING (doc_id) LEFT JOIN hits h USING (doc_id)
+                    WHERE qs.lang = 'en')
+            SELECT doc_id, quality, rep_ratio, n_contaminated FROM sel
+            WHERE quality >= 10.0 AND rep_ratio <= 0.05 AND n_contaminated = 0
             ORDER BY doc_id
         """,
         "quality_scores": """

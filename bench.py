@@ -142,6 +142,48 @@ def run_bench() -> dict:
     embedding_cosine_pairs(emb, threshold=0.3).count()
     queries["embedding_cosine_pairs"] = round(time.time() - t0, 3)
 
+    from image_deduplication_3m_images_ray.extras.dedup_ops import semantic_dedup
+    from image_deduplication_3m_images_ray.extras.relational import (
+        group_topk,
+        range_join_window,
+    )
+    from image_deduplication_3m_images_ray.extras.windows import asof_join_latest
+
+    t0 = time.time()
+    semantic_dedup(emb, threshold=0.3, cfg=cfg).count()
+    queries["semantic_dedup"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    group_topk(
+        docs.select_columns(["doc_id", "lang", "n_chars"]),
+        key="lang",
+        value="n_chars",
+        k=3,
+        tiebreak="doc_id",
+    ).count()
+    queries["group_topk"] = round(time.time() - t0, 3)
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "event_type", "value"]
+    )
+    t0 = time.time()
+    asof_join_latest(
+        events.filter(expr="event_type == 'purchase'").select_columns(
+            ["event_id", "ts", "user_id"]
+        ),
+        events.filter(expr="event_type == 'click'"),
+        payload={"value": "ref_value"},
+    ).count()
+    queries["asof_join"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    range_join_window(
+        events.filter(expr="event_type == 'click'"),
+        events.filter(expr="event_type == 'purchase'"),
+        width_sec=3600,
+    ).count()
+    queries["range_join"] = round(time.time() - t0, 3)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "webtext dedup + operator suite wall time",

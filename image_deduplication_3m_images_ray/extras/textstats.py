@@ -114,6 +114,24 @@ def bpe_token_stats(docs: Dataset, batch_size: int = 4096) -> Dataset:
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
 
 
+def _quality_arrays(text: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """RAW-text quality features: (n_chars f64, digit_ratio, space_ratio, score)."""
+    n_chars = np.asarray(
+        pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+    digits = np.asarray(
+        pc.count_substring_regex(text, "[0-9]").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+    spaces = np.asarray(
+        pc.count_substring(text, " ").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    ).astype(np.float64)
+    denom = np.maximum(n_chars, 1.0)
+    digit_ratio = digits / denom
+    space_ratio = spaces / denom
+    score = np.minimum(n_chars, 2000.0) / 2000.0 * 100.0 * (1.0 - digit_ratio)
+    return n_chars, digit_ratio, space_ratio, score
+
+
 def quality_scores(docs: Dataset, batch_size: int = 4096) -> Dataset:
     """(doc_id, text) -> per-doc quality features + composite score.
 
@@ -124,20 +142,7 @@ def quality_scores(docs: Dataset, batch_size: int = 4096) -> Dataset:
     """
 
     def fn(t: pa.Table) -> pa.Table:
-        text = t["text"]
-        n_chars = np.asarray(
-            pc.utf8_length(text).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ).astype(np.float64)
-        digits = np.asarray(
-            pc.count_substring_regex(text, "[0-9]").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ).astype(np.float64)
-        spaces = np.asarray(
-            pc.count_substring(text, " ").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        ).astype(np.float64)
-        denom = np.maximum(n_chars, 1.0)
-        digit_ratio = digits / denom
-        space_ratio = spaces / denom
-        score = np.minimum(n_chars, 2000.0) / 2000.0 * 100.0 * (1.0 - digit_ratio)
+        n_chars, digit_ratio, space_ratio, score = _quality_arrays(t["text"])
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -267,6 +272,48 @@ def doc_fingerprints(
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
 
 
+def _repetition_arrays(text: pa.Array, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """RAW-text word-``n``-gram counts: (n_grams, n_distinct_grams) int64 per row.
+
+    One global token-id factorization, then a segmented (doc, id1..idn)
+    lexsort + boundary count — no per-doc Python loop, no hashing
+    (distinctness is exact string distinctness, matching SQL
+    ``count(DISTINCT ...)``)."""
+    toks = pc.split_pattern(text, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+    n_docs = len(offs) - 1
+    lens = np.diff(offs)
+    n_grams = np.maximum(lens - (n - 1), 0)
+    # gram start positions: for doc d, offs[d] .. offs[d] + n_grams[d] - 1
+    # (_ranges requires strictly positive counts — drop gram-less docs)
+    pos = n_grams > 0
+    starts = np.repeat(offs[:-1][pos], n_grams[pos]) + _ranges(n_grams[pos])
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64)[pos], n_grams[pos])
+    _, tid = np.unique(flat, return_inverse=True)
+    cols = [tid[starts + i] for i in range(n)]
+    order = np.lexsort((*reversed(cols), doc_of))
+    dsorted = doc_of[order]
+    neq = np.zeros(len(order), dtype=bool)
+    if len(order):
+        neq[0] = True
+        prev, cur = order[:-1], order[1:]
+        diff = dsorted[1:] != dsorted[:-1]
+        for c in cols:
+            diff |= c[cur] != c[prev]
+        neq[1:] = diff
+    # distinct grams per doc = count of run starts within the doc segment
+    n_distinct = (
+        np.bincount(dsorted[neq], minlength=n_docs)
+        if len(order)
+        else np.zeros(n_docs, np.int64)
+    )
+    return n_grams.astype(np.int64), n_distinct.astype(np.int64)
+
+
 def repetition_stats(docs: Dataset, n: int = 3, batch_size: int = 4096) -> Dataset:
     """(doc_id, text) -> (doc_id, n_grams, n_distinct_grams, n_repeated_grams).
 
@@ -284,34 +331,7 @@ def repetition_stats(docs: Dataset, n: int = 3, batch_size: int = 4096) -> Datas
     """
 
     def fn(t: pa.Table) -> pa.Table:
-        toks = pc.split_pattern(t["text"], pattern=" ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offs = offs - offs[0]
-        flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
-        n_docs = len(offs) - 1
-        lens = np.diff(offs)
-        n_grams = np.maximum(lens - (n - 1), 0)
-        # gram start positions: for doc d, offs[d] .. offs[d] + n_grams[d] - 1
-        # (_ranges requires strictly positive counts — drop gram-less docs)
-        pos = n_grams > 0
-        starts = np.repeat(offs[:-1][pos], n_grams[pos]) + _ranges(n_grams[pos])
-        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64)[pos], n_grams[pos])
-        _, tid = np.unique(flat, return_inverse=True)
-        cols = [tid[starts + i] for i in range(n)]
-        order = np.lexsort((*reversed(cols), doc_of))
-        dsorted = doc_of[order]
-        neq = np.zeros(len(order), dtype=bool)
-        if len(order):
-            neq[0] = True
-            prev, cur = order[:-1], order[1:]
-            diff = dsorted[1:] != dsorted[:-1]
-            for c in cols:
-                diff |= c[cur] != c[prev]
-            neq[1:] = diff
-        # distinct grams per doc = count of run starts within the doc segment
-        n_distinct = np.bincount(dsorted[neq], minlength=n_docs) if len(order) else np.zeros(n_docs, np.int64)
+        n_grams, n_distinct = _repetition_arrays(t["text"], n)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -353,6 +373,38 @@ def _word_ngram_strings(text_col, n: int):
     return g, doc_of, n_rows
 
 
+def _bench_gram_ref(bench: Dataset, n: int):
+    """Distinct word-``n``-grams of the (small) benchmark corpus, put ONCE
+    into the object store (ray.put) for broadcast reads in every task."""
+    import ray as _ray
+
+    bench_tbl = pa.concat_tables(
+        [
+            t
+            for t in _ray.get(bench.select_columns(["text"]).to_arrow_refs())
+            if t.num_rows and t.num_columns
+        ]
+    )
+    bg, _, _ = _word_ngram_strings(bench_tbl["text"].combine_chunks(), n)
+    return _ray.put(np.unique(bg))
+
+
+def _contamination_hits(text: pa.Array, bset: np.ndarray, n: int) -> np.ndarray:
+    """Per-row count of DISTINCT word-``n``-grams present in ``bset``."""
+    g, doc_of, n_rows = _word_ngram_strings(text, n)
+    hits = np.zeros(n_rows, dtype=np.int64)
+    if len(g) and len(bset):
+        m = np.isin(g, bset)
+        gh, dh = g[m], doc_of[m]
+        if len(gh):
+            order = np.lexsort((gh, dh))
+            gh, dh = gh[order], dh[order]
+            first = np.ones(len(gh), dtype=bool)
+            first[1:] = (dh[1:] != dh[:-1]) | (gh[1:] != gh[:-1])
+            hits = np.bincount(dh[first], minlength=n_rows)
+    return hits.astype(np.int64)
+
+
 def contamination_stats(
     docs: Dataset, bench: Dataset, n: int = 8, batch_size: int = 4096
 ) -> Dataset:
@@ -370,29 +422,10 @@ def contamination_stats(
     """
     import ray as _ray
 
-    bench_tbl = pa.concat_tables(
-        [
-            t
-            for t in _ray.get(bench.select_columns(["text"]).to_arrow_refs())
-            if t.num_rows and t.num_columns
-        ]
-    )
-    bg, _, _ = _word_ngram_strings(bench_tbl["text"].combine_chunks(), n)
-    bench_ref = _ray.put(np.unique(bg))
+    bench_ref = _bench_gram_ref(bench, n)
 
     def fn(t: pa.Table) -> pa.Table:
-        bset = _ray.get(bench_ref)
-        g, doc_of, n_rows = _word_ngram_strings(t["text"], n)
-        hits = np.zeros(n_rows, dtype=np.int64)
-        if len(g) and len(bset):
-            m = np.isin(g, bset)
-            gh, dh = g[m], doc_of[m]
-            if len(gh):
-                order = np.lexsort((gh, dh))
-                gh, dh = gh[order], dh[order]
-                first = np.ones(len(gh), dtype=bool)
-                first[1:] = (dh[1:] != dh[:-1]) | (gh[1:] != gh[:-1])
-                hits = np.bincount(dh[first], minlength=n_rows)
+        hits = _contamination_hits(t["text"], _ray.get(bench_ref), n)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
@@ -400,5 +433,52 @@ def contamination_stats(
                 "contaminated": pa.array((hits > 0).astype(np.int32), pa.int32()),
             }
         )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+def clean_corpus(
+    docs: Dataset,
+    bench: Dataset,
+    lang: str | None = "en",
+    min_quality: float = 30.0,
+    max_rep_ratio: float = 0.2,
+    rep_n: int = 3,
+    contam_n: int = 8,
+    batch_size: int = 4096,
+) -> Dataset:
+    """The composed LLM-training-data hygiene filter, fused into ONE pass.
+
+    Keeps docs that clear four gates at once: ``lang`` match (column
+    equality), composite quality >= ``min_quality`` (same formula as
+    :func:`quality_scores`), word-``rep_n``-gram repetition ratio <=
+    ``max_rep_ratio`` (same counts as :func:`repetition_stats`), and ZERO
+    shared word-``contam_n``-grams with the broadcast ``bench`` corpus (same
+    matching as :func:`contamination_stats`).  All four signals compute
+    inside a single ``map_batches`` over the same batch — one read of the
+    text, zero shuffles, instead of four separate passes joined on doc_id —
+    the operator-fusion shape a 100 TB corpus pass needs.  Output:
+    (doc_id, quality, rep_ratio, n_contaminated) for the survivors.
+    """
+    import ray as _ray
+
+    bench_ref = _bench_gram_ref(bench, contam_n)
+
+    def fn(t: pa.Table) -> pa.Table:
+        if lang is not None:
+            t = t.filter(pc.equal(t["lang"], lang))
+        _, _, _, score = _quality_arrays(t["text"])
+        n_grams, n_distinct = _repetition_arrays(t["text"], rep_n)
+        rep_ratio = (n_grams - n_distinct) / np.maximum(n_grams, 1)
+        hits = _contamination_hits(t["text"], _ray.get(bench_ref), contam_n)
+        keep = (score >= min_quality) & (rep_ratio <= max_rep_ratio) & (hits == 0)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "quality": pa.array(score, pa.float64()),
+                "rep_ratio": pa.array(rep_ratio, pa.float64()),
+                "n_contaminated": pa.array(hits, pa.int64()),
+            }
+        ).filter(pa.array(keep))
 
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)

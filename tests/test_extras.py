@@ -151,6 +151,43 @@ def test_token_stats_and_quality(ray_session):
     assert qs.loc[1, "quality"] == 0.0
 
 
+def test_clean_corpus_gates(ray_session):
+    """Each gate (lang, quality, repetition, contamination) drops its doc."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import clean_corpus
+
+    good = "unique words " + " ".join(f"tok{i}" for i in range(200))  # long, varied
+    repeated = "spam ham eggs " * 80  # 3-gram repetition ratio ~1
+    bench_text = " ".join(f"bench{i}" for i in range(20))
+    contaminated = good + " " + " ".join(f"bench{i}" for i in range(8))
+    short = "tiny"
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "text": pa.array([good, repeated, contaminated, good, short], pa.string()),
+            "lang": pa.array(["en", "en", "en", "de", "en"], pa.string()),
+        }
+    )
+    bench = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([99], pa.int64()),
+                "text": pa.array([bench_text], pa.string()),
+            }
+        )
+    )
+    out = (
+        clean_corpus(
+            ray.data.from_arrow(t), bench, lang="en", min_quality=10.0, max_rep_ratio=0.05
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # doc 0 survives; 1 = repetitive, 2 = contaminated, 3 = wrong lang, 4 = low quality
+    assert list(out["doc_id"]) == [0]
+    assert (out["n_contaminated"] == 0).all()
+
+
 def test_semantic_dedup_planted_clusters(ray_session):
     import ray.data
     from image_deduplication_3m_images_ray.extras.dedup_ops import semantic_dedup
