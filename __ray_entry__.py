@@ -371,6 +371,22 @@ def _q_range_join(sf_dir: str):
     )
 
 
+def _q_sample_uniform(sf_dir: str):
+    from image_deduplication_3m_images_ray.extras.relational import sample_uniform
+
+    return sample_uniform(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]), mod=10, keep=3
+    ).sort("doc_id")
+
+
+def _q_sample_per_group(sf_dir: str):
+    from image_deduplication_3m_images_ray.extras.relational import sample_per_group
+
+    return sample_per_group(
+        _docs(sf_dir).select_columns(["doc_id", "lang"]), key="lang", k=5
+    ).sort(["lang", "rank"])
+
+
 def _q_media_decode(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.multimodal import (
         decode_stage,
@@ -418,6 +434,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": _q_asof_join,
         "group_topk": _q_group_topk,
         "range_join": _q_range_join,
+        "sample_uniform": _q_sample_uniform,
+        "sample_per_group": _q_sample_per_group,
         "media_decode": _q_media_decode,
     }
 
@@ -768,6 +786,19 @@ def oracle_sql() -> dict[str, str]:
                          AND r.ts <= l.ts
                          AND l.ts <= r.ts + INTERVAL 3600 SECOND
             ORDER BY l.event_id, ref_event_id
+        """,
+        "sample_uniform": """
+            SELECT doc_id, lang FROM documents
+            WHERE md5_number_lower(CAST(doc_id AS VARCHAR)) % 10 < 3
+            ORDER BY doc_id
+        """,
+        "sample_per_group": """
+            SELECT doc_id, lang, rank FROM (
+                SELECT doc_id, lang,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)), doc_id) AS rank
+                FROM documents
+            ) WHERE rank <= 5 ORDER BY lang, rank
         """,
         "simhash_pairs": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),

@@ -24,13 +24,22 @@ from ..util import segment_bounds, sharded_group_map
 
 
 def _topk_select(
-    kcode: np.ndarray, value: np.ndarray, tiebreak: np.ndarray, k: int
+    kcode: np.ndarray,
+    value: np.ndarray,
+    tiebreak: np.ndarray,
+    k: int,
+    ascending: bool = False,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """Row indices of the top-``k`` rows per key (value desc, tiebreak asc),
-    plus each kept row's 1-based rank.  One lexsort, no per-group loop."""
-    if np.issubdtype(value.dtype, np.unsignedinteger):
-        value = value.astype(np.int64)
-    order = np.lexsort((tiebreak, -value, kcode))
+    """Row indices of the top-``k`` rows per key (value desc — or asc with
+    ``ascending`` — then tiebreak asc), plus each kept row's 1-based rank.
+    One lexsort, no per-group loop.  Descending negates the value, so it
+    requires an int64-safe numeric; ascending sorts the raw values and is
+    safe for full-range uint64 (hash) keys."""
+    if not ascending:
+        if np.issubdtype(value.dtype, np.unsignedinteger):
+            value = value.astype(np.int64)
+        value = -value
+    order = np.lexsort((tiebreak, value, kcode))
     ks = kcode[order]
     n = len(ks)
     if n == 0:
@@ -51,6 +60,7 @@ def group_topk(
     k: int,
     tiebreak: str,
     num_shards: int = 64,
+    ascending: bool = False,
 ) -> Dataset:
     """Top-``k`` rows per ``key`` group by ``value`` desc (``tiebreak`` asc).
 
@@ -80,14 +90,14 @@ def group_topk(
         kc = np.asarray(t["__k"].to_numpy(zero_copy_only=False))
         val = np.asarray(t[value].to_numpy(zero_copy_only=False))
         tb = np.asarray(t[tiebreak].to_numpy(zero_copy_only=False))
-        keep, _ = _topk_select(kc, val, tb, k)
+        keep, _ = _topk_select(kc, val, tb, k, ascending)
         return t.take(np.sort(keep))
 
     def final_shard(g: pd.DataFrame) -> pd.DataFrame:
         kc = g["__k"].to_numpy()
         val = g[value].to_numpy()
         tb = g[tiebreak].to_numpy()
-        keep, rank = _topk_select(kc, val, tb, k)
+        keep, rank = _topk_select(kc, val, tb, k, ascending)
         out = g.iloc[keep].drop(columns="__k").reset_index(drop=True)
         out["rank"] = rank
         return out
@@ -185,3 +195,57 @@ def range_join_window(
     return sharded_group_map(
         lt.union(rt), [by], shard_fn, num_shards=num_shards, batch_format="pandas"
     )
+
+
+def _md5_id_column(t: pa.Table, id_col: str) -> np.ndarray:
+    """Content hash of the stringified id — equals DuckDB
+    ``md5_number_lower(CAST(id AS VARCHAR))``, so every sampling decision
+    built on it is exactly SQL-checkable (and stable across runs, machines
+    and partitionings, unlike a seeded RNG over nondeterministic row order)."""
+    from ..functions.hashing import md5_u64
+
+    ids = pc.cast(t[id_col], pa.string()).to_pylist()
+    return md5_u64(ids)
+
+
+def sample_uniform(ds: Dataset, id_col: str = "doc_id", mod: int = 10, keep: int = 3) -> Dataset:
+    """Deterministic ``keep``/``mod`` uniform sample: keep rows whose id-hash
+    residue mod ``mod`` is < ``keep``.
+
+    Embarrassingly parallel (one stateless map_batches, no shuffle, no
+    driver state) and exactly reproducible — the property a 100 TB curation
+    pipeline needs for resumable / auditable sampling.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = _md5_id_column(t, id_col)
+        return t.filter(pa.array(h % np.uint64(mod) < np.uint64(keep)))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def sample_per_group(
+    ds: Dataset, key: str, k: int, id_col: str = "doc_id", num_shards: int = 64
+) -> Dataset:
+    """Deterministic stratified sample: the ``k`` rows with the smallest
+    id-hash per ``key`` group (+ 1-based ``rank`` in hash order).
+
+    A hash-ordered top-k is a uniform-without-replacement sample per group
+    (each id's rank is a fixed pseudo-random draw), so this reuses
+    :func:`group_topk`'s combiner + single sharded exchange verbatim —
+    ascending over the full-range uint64 hash.
+    """
+
+    def add_h(t: pa.Table) -> pa.Table:
+        return t.append_column("__h", pa.array(_md5_id_column(t, id_col), pa.uint64()))
+
+    withh = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    out = group_topk(
+        withh, key=key, value="__h", k=k, tiebreak=id_col,
+        num_shards=num_shards, ascending=True,
+    )
+
+    def drop_h(t: pa.Table) -> pa.Table:
+        return t.drop_columns(["__h"])
+
+    return out.map_batches(drop_h, batch_format="pyarrow", zero_copy_batch=True)

@@ -124,3 +124,47 @@ def test_range_join_window_no_rights(ray_session):
         ray.data.from_pandas(lpd), ray.data.from_pandas(rpd), num_shards=2
     ).to_pandas()
     assert len(out) == 0
+
+
+def test_sampling_deterministic(ray_session):
+    import hashlib
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import (
+        sample_per_group,
+        sample_uniform,
+    )
+
+    n = 200
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": np.repeat(["en", "de", "fr", "es"], n // 4),
+        }
+    )
+
+    def md5_64(i):
+        return int.from_bytes(hashlib.md5(str(i).encode()).digest()[8:16], "little")
+
+    ds = ray.data.from_pandas(df).repartition(4)
+    uni = sample_uniform(ds, mod=10, keep=3).to_pandas()
+    exp = {i for i in range(n) if md5_64(i) % 10 < 3}
+    assert set(uni["doc_id"]) == exp
+
+    per = (
+        sample_per_group(ds, key="lang", k=5, num_shards=3)
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+    )
+    assert list(per.groupby("lang").size()) == [5, 5, 5, 5]
+    for lang, grp in df.groupby("lang"):
+        want = sorted(grp["doc_id"], key=md5_64)[:5]
+        got = list(per[per["lang"] == lang].sort_values("rank")["doc_id"])
+        assert got == want, lang
+    # identical across a second run (determinism)
+    per2 = (
+        sample_per_group(ds, key="lang", k=5, num_shards=3)
+        .to_pandas()
+        .sort_values(["lang", "rank"])
+    )
+    assert list(per2["doc_id"]) == list(per["doc_id"])
