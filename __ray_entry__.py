@@ -103,6 +103,14 @@ def _q_clean_corpus(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_tfidf_top_terms(sf_dir: str):
+    from image_deduplication_3m_images_ray.extras.textstats import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(sf_dir).select_columns(["doc_id", "text"]), k=3).sort(
+        ["doc_id", "rank"]
+    )
+
+
 def _q_quality_scores(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.textstats import quality_scores
 
@@ -411,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_stats": _q_repetition_stats,
         "contamination": _q_contamination,
         "clean_corpus": _q_clean_corpus,
+        "tfidf_top_terms": _q_tfidf_top_terms,
         "quality_scores": _q_quality_scores,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "lang_counts": _q_lang_counts,
@@ -612,6 +621,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, quality, rep_ratio, n_contaminated FROM sel
             WHERE quality >= 10.0 AND rep_ratio <= 0.05 AND n_contaminated = 0
             ORDER BY doc_id
+        """,
+        "tfidf_top_terms": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM n),
+            tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+            df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY term),
+            r AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                         row_number() OVER (PARTITION BY tf.doc_id
+                             ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+                  FROM tf JOIN df USING (term))
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, rank
+            FROM r WHERE rank <= 3 ORDER BY doc_id, rank
         """,
         "quality_scores": """
             WITH s AS (

@@ -482,3 +482,76 @@ def clean_corpus(
         ).filter(pa.array(keep))
 
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+def tfidf_top_terms(
+    docs: Dataset, k: int = 3, num_shards: int = 64, join_num_buckets: int = 8,
+    batch_size: int = 4096,
+) -> Dataset:
+    """Top-``k`` most distinctive terms per doc — TF-IDF by exact ordering.
+
+    Terms are ranked per doc by (tf DESC, corpus df ASC, term ASC): frequent
+    in the doc, rare in the corpus — the TF-IDF ordering without the float
+    ``ln`` (integer-exact, so the DuckDB oracle hash-matches bit-for-bit).
+    Output: (doc_id, term, tf, df, rank), rank 1-based.
+
+    Shape: one tokenize pass emits pre-aggregated (doc_id, term, tf) rows
+    (vectorized composite-key unique — the per-batch combiner), df is ONE
+    ``groupby(term).count()`` over those already-unique rows, the df
+    attach is a native hash-shuffle join on the term string, and the final
+    per-doc top-k is one ``doc_id``-sharded vectorized selection.
+    """
+    from ray.data.aggregate import Count
+
+    from ..util import sharded_group_map
+
+    def tf_batch(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"])
+        toks = pc.split_pattern(norm, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(offs))
+        uniq, tid = np.unique(flat, return_inverse=True)
+        key = doc_of * len(uniq) + tid
+        ukey, counts = np.unique(key, return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[ukey // len(uniq)]),
+                "term": pa.array(uniq[ukey % len(uniq)], pa.string()),
+                "tf": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    tf = docs.map_batches(
+        tf_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    # tf rows are unique on (doc_id, term), so df = row count per term
+    df = tf.groupby("term").aggregate(Count(alias_name="df"))
+    joined = tf.join(df, join_type="inner", num_partitions=join_num_buckets, on=("term",))
+
+    def shard_fn(g: pd.DataFrame) -> pd.DataFrame:
+        did = g["doc_id"].to_numpy()
+        order = np.lexsort(
+            (g["term"].to_numpy(), g["df"].to_numpy(), -g["tf"].to_numpy(), did)
+        )
+        ds_ = did[order]
+        n = len(ds_)
+        if n == 0:
+            return g.head(0).assign(rank=np.zeros(0, np.int64))
+        new = np.ones(n, dtype=bool)
+        new[1:] = ds_[1:] != ds_[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[seg]
+        keep = rank < k
+        out = g.iloc[order[keep]].reset_index(drop=True)
+        out["rank"] = rank[keep] + 1
+        return out
+
+    return sharded_group_map(
+        joined, ["doc_id"], shard_fn, num_shards=num_shards, batch_format="pandas"
+    )

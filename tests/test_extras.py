@@ -151,6 +151,41 @@ def test_token_stats_and_quality(ray_session):
     assert qs.loc[1, "quality"] == 0.0
 
 
+def test_tfidf_top_terms_ordering(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import tfidf_top_terms
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "apple apple banana common",   # apple tf=2; banana rare
+                    "banana common common",        # common tf=2 but df=3
+                    "common cherry",
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        tfidf_top_terms(ray.data.from_arrow(t), k=2, num_shards=2, join_num_buckets=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rank"])
+        .reset_index(drop=True)
+    )
+    d0 = out[out["doc_id"] == 0]
+    # tf desc first: apple (tf=2, df=1); then df asc: banana (df=2) beats common (df=3)
+    assert list(d0["term"]) == ["apple", "banana"]
+    d1 = out[out["doc_id"] == 1]
+    assert list(d1["term"]) == ["common", "banana"]
+    assert list(d1["tf"]) == [2, 1]
+    d2 = out[out["doc_id"] == 2]
+    # tie tf=1: cherry df=1 beats common df=3
+    assert list(d2["term"]) == ["cherry", "common"]
+    assert (out.groupby("doc_id")["rank"].max() == 2).all()
+
+
 def test_clean_corpus_gates(ray_session):
     """Each gate (lang, quality, repetition, contamination) drops its doc."""
     import ray.data
