@@ -379,6 +379,29 @@ def _q_range_join(sf_dir: str):
     )
 
 
+def _q_group_quantiles(sf_dir: str):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.relational import group_quantiles
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "value"])
+
+    def cents(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "value_cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+            }
+        )
+
+    prepped = events.map_batches(cents, batch_format="pyarrow", zero_copy_batch=True)
+    return group_quantiles(
+        prepped, key="event_type", value="value_cents", qs=(0.25, 0.5, 0.9, 0.99)
+    ).sort("event_type")
+
+
 def _q_sample_uniform(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.relational import sample_uniform
 
@@ -445,6 +468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_join": _q_range_join,
         "sample_uniform": _q_sample_uniform,
         "sample_per_group": _q_sample_per_group,
+        "group_quantiles": _q_group_quantiles,
         "media_decode": _q_media_decode,
     }
 
@@ -807,6 +831,14 @@ def oracle_sql() -> dict[str, str]:
                          AND r.ts <= l.ts
                          AND l.ts <= r.ts + INTERVAL 3600 SECOND
             ORDER BY l.event_id, ref_event_id
+        """,
+        "group_quantiles": """
+            SELECT event_type, count(*) AS n_rows,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.25) AS p25,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)  AS p50,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9)  AS p90,
+                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS p99
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "sample_uniform": """
             SELECT doc_id, lang FROM documents

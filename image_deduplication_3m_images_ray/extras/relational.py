@@ -249,3 +249,60 @@ def sample_per_group(
         return t.drop_columns(["__h"])
 
     return out.map_batches(drop_h, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def group_quantiles(
+    ds: Dataset,
+    key: str,
+    value: str,
+    qs: tuple = (0.25, 0.5, 0.9, 0.99),
+    num_shards: int = 64,
+) -> Dataset:
+    """Exact per-group discrete quantiles (+ count) of an integer column.
+
+    Discrete (type-1) quantiles — the element at sorted index
+    ``ceil(q*n) - 1`` — match DuckDB ``quantile_disc`` exactly and stay in
+    integers, so there is no float-interpolation hazard (``quantile_cont``
+    differs from numpy in final-bit rounding).  Exact quantiles are not
+    combinable, so the single ``key``-sharded exchange ships the (key, value)
+    pairs — two int64 columns, nothing else; per shard one lexsort + one
+    vectorized gather per q computes every group at once.  An approximate
+    mergeable-sketch variant (t-digest / KLL) would replace this where
+    shipping the value column is too dear; exactness is the contract here.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        col = t[key]
+        if pa.types.is_integer(col.type):
+            kc = np.asarray(col.to_numpy(zero_copy_only=False), dtype=np.int64)
+        else:
+            kc = hash_tokens(
+                np.asarray(col.to_numpy(zero_copy_only=False), dtype=object)
+            ).astype(np.int64)
+        return pa.table(
+            {
+                key: col,
+                "__k": pa.array(kc, pa.int64()),
+                value: pc.cast(t[value], pa.int64()),
+            }
+        )
+
+    def shard_fn(g: pd.DataFrame) -> pd.DataFrame:
+        kc = g["__k"].to_numpy()
+        keys = g[key].to_numpy()
+        vals = g[value].to_numpy()
+        order = np.lexsort((vals, kc))
+        kc, keys, vals = kc[order], keys[order], vals[order]
+        starts = segment_bounds(kc)
+        lo, hi = starts[:-1], starts[1:]
+        n = (hi - lo).astype(np.int64)
+        out = {key: keys[lo], "n_rows": n}
+        for q in qs:
+            idx = lo + np.maximum(np.ceil(q * n).astype(np.int64) - 1, 0)
+            out[f"p{int(q * 100)}"] = vals[idx]
+        return pd.DataFrame(out)
+
+    prepped = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded_group_map(
+        prepped, ["__k"], shard_fn, num_shards=num_shards, batch_format="pandas"
+    )

@@ -168,3 +168,33 @@ def test_sampling_deterministic(ray_session):
         .sort_values(["lang", "rank"])
     )
     assert list(per2["doc_id"]) == list(per["doc_id"])
+
+
+def test_group_quantiles_exact(ray_session):
+    import math
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import group_quantiles
+
+    rng = np.random.default_rng(21)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c"], 500),
+            "v": rng.integers(-1000, 1000, 500).astype(np.int64),
+        }
+    )
+    got = (
+        group_quantiles(
+            ray.data.from_pandas(df).repartition(4), key="g", value="v",
+            qs=(0.5, 0.9), num_shards=2,
+        )
+        .to_pandas()
+        .set_index("g")
+        .sort_index()
+    )
+    for g, grp in df.groupby("g"):
+        a = np.sort(grp["v"].to_numpy())
+        n = len(a)
+        assert got.loc[g, "n_rows"] == n
+        for q, col in ((0.5, "p50"), (0.9, "p90")):
+            assert got.loc[g, col] == a[max(math.ceil(q * n) - 1, 0)], (g, q)
