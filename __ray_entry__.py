@@ -111,6 +111,12 @@ def _q_tfidf_top_terms(sf_dir: str):
     )
 
 
+def _q_inverted_index(sf_dir: str):
+    from image_deduplication_3m_images_ray.extras.textstats import inverted_index
+
+    return inverted_index(_docs(sf_dir).select_columns(["doc_id", "text"])).sort("term")
+
+
 def _q_quality_scores(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.textstats import quality_scores
 
@@ -443,6 +449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination": _q_contamination,
         "clean_corpus": _q_clean_corpus,
         "tfidf_top_terms": _q_tfidf_top_terms,
+        "inverted_index": _q_inverted_index,
         "quality_scores": _q_quality_scores,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "lang_counts": _q_lang_counts,
@@ -657,6 +664,14 @@ def oracle_sql() -> dict[str, str]:
                   FROM tf JOIN df USING (term))
             SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, rank
             FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "inverted_index": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            tok AS (SELECT DISTINCT * FROM
+                    (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM n))
+            SELECT term, count(*) AS df,
+                   string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+            FROM tok GROUP BY term ORDER BY term
         """,
         "quality_scores": """
             WITH s AS (

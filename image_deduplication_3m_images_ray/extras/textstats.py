@@ -555,3 +555,67 @@ def tfidf_top_terms(
     return sharded_group_map(
         joined, ["doc_id"], shard_fn, num_shards=num_shards, batch_format="pandas"
     )
+
+
+def inverted_index(docs: Dataset, num_shards: int = 64, batch_size: int = 4096) -> Dataset:
+    """(doc_id, text) -> (term, df, postings): a search-style inverted index.
+
+    ``postings`` is the comma-joined ascending doc_id list (string — exact,
+    order-canonical, and SQL-checkable via ``string_agg(... ORDER BY)``);
+    ``df`` its length.  One tokenize pass emits DISTINCT (term, doc_id) pairs
+    per batch (the combiner — within-doc duplicates never leave the task),
+    then ONE term-sharded exchange assembles each term's sorted posting list
+    vectorized (lexsort + segment joins).  At 100 TB the posting strings for
+    stop-words get long — cap or skip-list them in a real deployment; the
+    operator keeps exact semantics here.
+    """
+    from ..functions.hashing import hash_tokens
+    from ..util import sharded_group_map
+
+    def pairs(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"])
+        toks = pc.split_pattern(norm, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), np.diff(offs))
+        uniq, tid = np.unique(flat, return_inverse=True)
+        key = doc_of * len(uniq) + tid
+        ukey = np.unique(key)
+        term = uniq[ukey % len(uniq)]
+        return pa.table(
+            {
+                "term": pa.array(term, pa.string()),
+                "doc_id": pa.array(ids[ukey // len(uniq)]),
+                "__t": pa.array(hash_tokens(term).astype(np.int64), pa.int64()),
+            }
+        )
+
+    def assemble(g: pd.DataFrame) -> pd.DataFrame:
+        terms = g["term"].to_numpy()
+        dids = g["doc_id"].to_numpy()
+        order = np.lexsort((dids, terms))
+        terms, dids = terms[order], dids[order]
+        new = np.ones(len(terms), dtype=bool)
+        new[1:] = terms[1:] != terms[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(terms))
+        strs = dids.astype(np.str_)
+        postings = [",".join(strs[s:e]) for s, e in zip(starts, ends)]
+        return pd.DataFrame(
+            {
+                "term": terms[starts],
+                "df": (ends - starts).astype(np.int64),
+                "postings": postings,
+            }
+        )
+
+    prepped = docs.map_batches(
+        pairs, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    return sharded_group_map(
+        prepped, ["__t"], assemble, num_shards=num_shards, batch_format="pandas"
+    )

@@ -186,6 +186,28 @@ def test_tfidf_top_terms_ordering(ray_session):
     assert (out.groupby("doc_id")["rank"].max() == 2).all()
 
 
+def test_inverted_index(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import inverted_index
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([3, 1, 2], pa.int64()),
+            "text": pa.array(["b a a", "a c", "c a"], pa.string()),
+        }
+    )
+    out = (
+        inverted_index(ray.data.from_arrow(t), num_shards=2)
+        .to_pandas()
+        .set_index("term")
+        .sort_index()
+    )
+    assert out.loc["a", "df"] == 3
+    assert out.loc["a", "postings"] == "1,2,3"  # ascending doc ids, dup-free
+    assert out.loc["b", "postings"] == "3"
+    assert out.loc["c", "postings"] == "1,2"
+
+
 def test_clean_corpus_gates(ray_session):
     """Each gate (lang, quality, repetition, contamination) drops its doc."""
     import ray.data
