@@ -508,3 +508,35 @@ def test_contamination_stats(ray_session):
     assert out.loc[1, "n_contaminated"] == 2 and out.loc[1, "contaminated"] == 1
     assert out.loc[2, "n_contaminated"] == 0 and out.loc[2, "contaminated"] == 0
     assert out.loc[3, "n_contaminated"] == 1 and out.loc[3, "contaminated"] == 1
+
+
+def test_stream_dedup_first_occurrence_wins(ray_session):
+    """Exact copies always flag the earliest stream occurrence; uniques pass."""
+    import ray.data
+    from image_deduplication_3m_images_ray.config import DedupConfig
+    from image_deduplication_3m_images_ray.extras.streaming import stream_dedup
+
+    texts, ids = [], []
+    for u in range(20):
+        base = f"document {u} " + " ".join(f"w{u}x{i}" for i in range(40))
+        for rep in range(3):
+            ids.append(u * 10 + rep + 1)  # nonzero, ascending within group
+            texts.append(base)
+    t = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "text": pa.array(texts, pa.string())}
+    )
+    ds = ray.data.from_arrow(t)
+    out = stream_dedup(ds, DedupConfig(), n_shards=4, batch_size=16).to_pandas()
+    out = out.set_index("doc_id")["dup_of"]
+    for u in range(20):
+        first = u * 10 + 1
+        assert out[first] == 0, f"first of group {u} flagged"
+        assert out[first + 1] == first
+        assert out[first + 2] == first
+    # deterministic across runs
+    out2 = (
+        stream_dedup(ds, DedupConfig(), n_shards=4, batch_size=16)
+        .to_pandas()
+        .set_index("doc_id")["dup_of"]
+    )
+    assert (out2 == out).all()
