@@ -309,27 +309,67 @@ def char_jaccard_pairs(
             g_ids = ids[lo:hi]
             g_ghost = ghost[lo:hi]
             sets = charsets[lo:hi]
-            lens = np.array([len(c) for c in sets], dtype=np.int64)
-            alphabet, inv = np.unique(
-                np.concatenate(sets).astype(np.uint32) if lens.sum() else np.empty(0, np.uint32),
+            # collapse IDENTICAL charsets to one representative before the
+            # dense compare: webtext char profiles repeat heavily, and a hot
+            # (lang, bucket) group of m docs over d distinct sets costs a
+            # d x d matmul + true-output-size expansion instead of m x m
+            # (planted-skew test: 10k docs / 500 distinct sets)
+            skeys = np.array([c.astype(np.uint32).tobytes() for c in sets], dtype=object)
+            d_keys, first_of, inv = np.unique(skeys, return_index=True, return_inverse=True)
+            d = len(d_keys)
+            rep_sets = sets[first_of]
+            lens = np.array([len(c) for c in rep_sets], dtype=np.int64)
+            alphabet, a_inv = np.unique(
+                np.concatenate(rep_sets).astype(np.uint32)
+                if lens.sum()
+                else np.empty(0, np.uint32),
                 return_inverse=True,
             )
-            X = np.zeros((n, max(len(alphabet), 1)), dtype=np.float32)
-            row_idx = np.repeat(np.arange(n), lens)
-            X[row_idx, inv] = 1.0
-            sizes = lens
-            for t0 in range(0, n, tile):
-                t1 = min(t0 + tile, n)
-                inter = np.rint(X[t0:t1] @ X.T).astype(np.int64)  # (tile, n)
-                union = sizes[t0:t1, None] + sizes[None, :] - inter
+            X = np.zeros((d, max(len(alphabet), 1)), dtype=np.float32)
+            X[np.repeat(np.arange(d), lens), a_inv] = 1.0
+            # members of each distinct set, grouped once
+            m_order = np.argsort(inv, kind="stable")
+            m_bounds = segment_bounds(inv[m_order])
+
+            def members(p: int) -> np.ndarray:
+                return m_order[m_bounds[p] : m_bounds[p + 1]]
+
+            def emit(rows_a: np.ndarray, rows_b: np.ndarray, j: float) -> None:
+                ia_ids, ib_ids = g_ids[rows_a], g_ids[rows_b]
+                swap = ia_ids > ib_ids
+                ia_f = np.where(swap, ib_ids, ia_ids)
+                ib_f = np.where(swap, ia_ids, ib_ids)
+                keep = (ia_f < ib_f) & ~(
+                    (g_ghost[rows_a] == 1) & (g_ghost[rows_b] == 1)
+                )
+                a_out.append(ia_f[keep])
+                b_out.append(ib_f[keep])
+                j_out.append(np.full(int(keep.sum()), j, dtype=np.float64))
+
+            for t0 in range(0, d, tile):
+                t1 = min(t0 + tile, d)
+                inter = np.rint(X[t0:t1] @ X.T).astype(np.int64)  # (tile, d)
+                union = lens[t0:t1, None] + lens[None, :] - inter
                 with np.errstate(invalid="ignore", divide="ignore"):
                     sim = np.where(union > 0, inter / np.maximum(union, 1), 1.0)
-                ia, ib = np.nonzero(sim >= threshold)
-                ia_g = ia + t0
-                keep = (g_ids[ia_g] < g_ids[ib]) & ~((g_ghost[ia_g] == 1) & (g_ghost[ib] == 1))
-                a_out.append(g_ids[ia_g][keep])
-                b_out.append(g_ids[ib][keep])
-                j_out.append(sim[ia, ib][keep])
+                pa_, pb_ = np.nonzero(sim >= threshold)
+                for pi, qi in zip((pa_ + t0).tolist(), pb_.tolist()):
+                    if pi > qi:
+                        continue  # each unordered distinct pair once
+                    j = float(sim[pi - t0, qi])
+                    mp = members(pi)
+                    if pi == qi:
+                        if len(mp) < 2:
+                            continue
+                        ii, jj = np.triu_indices(len(mp), k=1)
+                        emit(mp[ii], mp[jj], 1.0)
+                    else:
+                        mq = members(qi)
+                        emit(
+                            np.repeat(mp, len(mq)),
+                            np.tile(mq, len(mp)),
+                            j,
+                        )
         if not a_out:
             return {
                 "doc_a": np.empty(0, dtype=ids.dtype),

@@ -540,3 +540,32 @@ def test_stream_dedup_first_occurrence_wins(ray_session):
         .set_index("doc_id")["dup_of"]
     )
     assert (out2 == out).all()
+
+
+def test_char_jaccard_planted_skew(ray_session):
+    """One lang, 10k docs: the size-bucketed tiled-matmul path must complete
+    quickly with exact results — no quadratic per-pair Python (VERDICT r1 #3)."""
+    import time
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.dedup_ops import char_jaccard_pairs
+
+    n_groups, per_group = 500, 20
+    texts = []
+    for g in range(n_groups):
+        chars = [chr(0x4E00 + g * 4 + j) for j in range(4)]  # disjoint alphabets
+        texts.extend([" ".join(chars)] * per_group)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(["en"] * len(texts), pa.string()),  # ONE hot key
+        }
+    )
+    t0 = time.time()
+    pairs = char_jaccard_pairs(ray.data.from_arrow(t), threshold=0.5).to_pandas()
+    elapsed = time.time() - t0
+    # identical sets within a group -> all pairs at J=1.0; cross-group J=1/9
+    assert len(pairs) == n_groups * per_group * (per_group - 1) // 2
+    assert (pairs["char_jaccard"] == 1.0).all()
+    assert elapsed < 120, f"hot-key path too slow: {elapsed:.1f}s"
