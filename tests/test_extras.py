@@ -569,3 +569,43 @@ def test_char_jaccard_planted_skew(ray_session):
     assert len(pairs) == n_groups * per_group * (per_group - 1) // 2
     assert (pairs["char_jaccard"] == 1.0).all()
     assert elapsed < 120, f"hot-key path too slow: {elapsed:.1f}s"
+
+
+def test_approx_distinct_hll(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.sketches import approx_distinct
+
+    rng = np.random.default_rng(9)
+    parts = []
+    truth = {"a": 20000, "b": 3000, "c": 50}
+    for g, n_distinct in truth.items():
+        vals = rng.integers(0, n_distinct, n_distinct * 3)  # dups everywhere
+        vals = np.concatenate([vals, np.arange(n_distinct)])  # ensure full range
+        parts.append(
+            pa.table(
+                {
+                    "g": pa.array([g] * len(vals), pa.string()),
+                    "v": pa.array(vals + hash(g) % 10**6 * 10**6, pa.int64()),
+                }
+            )
+        )
+    t = pa.concat_tables(parts)
+    ds = ray.data.from_arrow(t).repartition(8)
+    out = (
+        approx_distinct(ds, key="g", value="v", num_shards=3)
+        .to_pandas()
+        .set_index("g")["approx_distinct"]
+    )
+    for g, n in truth.items():
+        assert abs(out[g] - n) / n < 0.05, (g, out[g], n)
+
+    # merge order / partitioning invariance: different block layout, same bits
+    perm = np.random.default_rng(1).permutation(len(t))
+    ds2 = ray.data.from_arrow(t.take(perm)).repartition(3)
+    out2 = (
+        approx_distinct(ds2, key="g", value="v", num_shards=5)
+        .to_pandas()
+        .set_index("g")["approx_distinct"]
+        .sort_index()
+    )
+    assert (out2 == out.sort_index()).all()
