@@ -296,6 +296,36 @@ def _q_dedup_report(sf_dir: str):
     return dedup_pipeline(documents_as_pages(sf_dir), cfg).sort("url")
 
 
+def _q_dedup_summary(sf_dir: str):
+    """Corpus-level outcome of the flagship run: doc counts + mean quality per
+    status (the reference's console summary, deduplication.py:1184-1204)."""
+    import ray.data
+    from ray.data.aggregate import Count, Mean
+
+    from image_deduplication_3m_images_ray.config import DedupConfig
+    from image_deduplication_3m_images_ray.pipelines import dedup_pipeline
+    from image_deduplication_3m_images_ray.sources import documents_as_pages
+
+    cfg = DedupConfig(signature_concurrency=2, join_num_buckets=4)
+    report = dedup_pipeline(documents_as_pages(sf_dir), cfg)
+    out = (
+        report.groupby("status")
+        .aggregate(Count(alias_name="n_docs"), Mean("quality", alias_name="mean_quality"))
+        .sort("status")
+    )
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.column_names.index("mean_quality"),
+            "mean_quality",
+            pc.round(t["mean_quality"], ndigits=6),
+        )
+
+    return out.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def _q_cluster_stats(sf_dir: str):
     from image_deduplication_3m_images_ray.config import DedupConfig
     from image_deduplication_3m_images_ray.pipelines import cluster_stats_pipeline
@@ -466,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprints": _q_doc_fingerprints,
         "suffix_pairs": _q_suffix_pairs,
         "dedup_report": _q_dedup_report,
+        "dedup_summary": _q_dedup_summary,
         "cluster_stats": _q_cluster_stats,
         "window_agg": _q_window_agg,
         "sliding_window_agg": _q_sliding_window_agg,
@@ -543,6 +574,38 @@ _CC_SQL = """
     ),
     labels_ AS (SELECT nd, min(l) AS cid FROM cc_ GROUP BY nd)
 """
+
+
+def _dedup_report_sql() -> str:
+    return f"""
+            WITH RECURSIVE
+            base AS (SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
+                            md5_number_lower('doc://' || CAST(doc_id AS VARCHAR)) AS did,
+                            {_NORM} AS nt,
+                            CAST(length(text) AS DOUBLE) AS quality
+                     FROM documents),
+            rep AS (SELECT url, did, nt, quality,
+                           min(did) OVER (PARTITION BY nt) AS rid
+                    FROM base),
+            nodes_ AS (SELECT DISTINCT rid AS id, nt FROM rep),
+            {_shingle_jaccard_edges_sql("nodes_", 0.7)},
+            {_lgram_edges_sql("nodes_", 200)},
+            edges_ AS (SELECT da, db FROM jedges_ UNION SELECT da, db FROM sedges_),
+            {_CC_SQL},
+            r AS (SELECT rep.url, rep.did AS doc_id, labels_.cid AS cluster_id,
+                         rep.quality
+                  FROM rep JOIN labels_ ON labels_.nd = rep.rid),
+            w AS (SELECT *,
+                         count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+                         row_number() OVER (PARTITION BY cluster_id
+                                            ORDER BY quality DESC, url ASC) AS rn
+                  FROM r)
+            SELECT url, doc_id, cluster_id, cluster_size, quality,
+                   CASE WHEN cluster_size = 1 THEN 'Unique'
+                        WHEN rn = 1 THEN 'Best'
+                        ELSE 'Duplicate' END AS status
+            FROM w ORDER BY url
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -941,34 +1004,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT nd AS doc_id, cid AS cluster_id
             FROM labels_ ORDER BY doc_id
         """,
-        "dedup_report": f"""
-            WITH RECURSIVE
-            base AS (SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url,
-                            md5_number_lower('doc://' || CAST(doc_id AS VARCHAR)) AS did,
-                            {_NORM} AS nt,
-                            CAST(length(text) AS DOUBLE) AS quality
-                     FROM documents),
-            rep AS (SELECT url, did, nt, quality,
-                           min(did) OVER (PARTITION BY nt) AS rid
-                    FROM base),
-            nodes_ AS (SELECT DISTINCT rid AS id, nt FROM rep),
-            {_shingle_jaccard_edges_sql("nodes_", 0.7)},
-            {_lgram_edges_sql("nodes_", 200)},
-            edges_ AS (SELECT da, db FROM jedges_ UNION SELECT da, db FROM sedges_),
-            {_CC_SQL},
-            r AS (SELECT rep.url, rep.did AS doc_id, labels_.cid AS cluster_id,
-                         rep.quality
-                  FROM rep JOIN labels_ ON labels_.nd = rep.rid),
-            w AS (SELECT *,
-                         count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-                         row_number() OVER (PARTITION BY cluster_id
-                                            ORDER BY quality DESC, url ASC) AS rn
-                  FROM r)
-            SELECT url, doc_id, cluster_id, cluster_size, quality,
-                   CASE WHEN cluster_size = 1 THEN 'Unique'
-                        WHEN rn = 1 THEN 'Best'
-                        ELSE 'Duplicate' END AS status
-            FROM w ORDER BY url
+        "dedup_report": _dedup_report_sql(),
+        "dedup_summary": f"""
+            SELECT status, count(*) AS n_docs,
+                   round(avg(quality), 6) AS mean_quality
+            FROM ({_dedup_report_sql()})
+            GROUP BY status ORDER BY status
         """,
         "cluster_stats": f"""
             WITH RECURSIVE

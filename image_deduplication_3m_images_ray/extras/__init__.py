@@ -1,7 +1,17 @@
 """Training-data-pipeline operators beyond the reference's own surface.
 
 These are first-class components for a 100 TB webtext pipeline (task brief):
-dedup variants (exact, SimHash, n-gram Jaccard, embedding-cosine), similarity
-search (brute-force + LSH-bucketed ANN), text analysis (lang-id, quality,
-token stats, fingerprints) and multimodal binary-column plumbing.
+
+- dedup variants: exact, SimHash pigeonhole, n-gram Jaccard, embedding-cosine
+  pairs, SemDeDup-style semantic dedup, streaming incremental dedup
+  (``streaming`` — sharded mutable index actors);
+- similarity search: brute-force, hyperplane-LSH and IVF ANN (``similarity``);
+- text analysis: lang-id, quality, token/BPE-token stats, repetition,
+  decontamination, fused ``clean_corpus``, TF-IDF top terms, inverted index,
+  fingerprints (``textstats``);
+- relational: grouped top-k, range join, deterministic sampling, exact
+  per-group quantiles (``relational``); as-of join + window aggregates +
+  sessionization (``windows``);
+- sketches: mergeable HyperLogLog approximate distinct (``sketches``);
+- multimodal binary-column plumbing (``multimodal``).
 """
