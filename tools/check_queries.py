@@ -1,6 +1,7 @@
 """Driver-style correctness harness: run every queries() entry and compare to
 oracle_sql() through DuckDB (row count, column names, order-insensitive value
-hash).  Usage: python tools/check_queries.py [sf_dir]."""
+hash).  Usage: python tools/check_queries.py [sf_dir] [query ...]
+(trailing args restrict the run to the named queries)."""
 
 from __future__ import annotations
 
@@ -47,7 +48,7 @@ def norm_df(df: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
-def main(sf_dir: str):
+def main(sf_dir: str, only: list | None = None):
     import ray
 
     if not ray.is_initialized():
@@ -71,6 +72,12 @@ def main(sf_dir: str):
 
     qs = e.queries()
     oracles = e.oracle_sql()
+    if only:
+        unknown = [q for q in only if q not in qs]
+        if unknown:
+            print("unknown queries:", unknown)
+            return 1
+        qs = {k: v for k, v in qs.items() if k in only}
     failures = []
     for name, fn in qs.items():
         t0 = time.time()
@@ -110,4 +117,4 @@ def main(sf_dir: str):
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01", sys.argv[2:] or None))
