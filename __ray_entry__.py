@@ -243,6 +243,14 @@ def _q_ann_ivf_topk(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_segment_dedup(sf_dir: str):
+    from image_deduplication_3m_images_ray.extras.dedup_ops import segment_dedup
+
+    return segment_dedup(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), seg_tokens=10
+    ).sort("doc_id")
+
+
 def _q_minhash_lsh_clusters(sf_dir: str):
     from image_deduplication_3m_images_ray.config import DedupConfig
     from image_deduplication_3m_images_ray.extras.dedup_ops import minhash_lsh_clusters
@@ -488,6 +496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_en_long": _q_filter_en_long,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "semantic_dedup": _q_semantic_dedup,
+        "segment_dedup": _q_segment_dedup,
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_lsh_clusters": _q_minhash_lsh_clusters,
@@ -782,6 +791,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.3
             ORDER BY vec_a, vec_b
+        """,
+        "segment_dedup": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM n),
+            ex AS (SELECT doc_id, toks,
+                          unnest(range(0, (len(toks) + 9) // 10)) AS pidx
+                   FROM tk),
+            seg AS (SELECT doc_id, pidx,
+                           array_to_string(
+                               toks[pidx*10+1 : least(pidx*10+10, len(toks))], ' ') AS seg
+                    FROM ex),
+            r AS (SELECT *, row_number() OVER (PARTITION BY seg
+                                               ORDER BY doc_id, pidx) AS rn
+                  FROM seg)
+            SELECT doc_id,
+                   COALESCE(string_agg(seg, ' ' ORDER BY pidx) FILTER (WHERE rn = 1), '') AS clean_text,
+                   count(*) AS n_segs,
+                   CAST(count(*) - count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_removed
+            FROM r GROUP BY doc_id ORDER BY doc_id
         """,
         "semantic_dedup": f"""
             WITH RECURSIVE

@@ -607,3 +607,127 @@ def embedding_cosine_pairs(
         concurrency=concurrency,
         zero_copy_batch=True,
     )
+
+
+def segment_dedup(docs: Dataset, seg_tokens: int = 10, num_shards: int = 64) -> Dataset:
+    """Sub-document (CCNet-style line/paragraph) dedup with first-wins removal.
+
+    Each doc's normalized text splits into fixed ``seg_tokens``-token segments
+    (the pluggable segmenter — real corpora would split on newline/sentence
+    boundaries; the synthetic testdata has none, so fixed windows demonstrate
+    the class); the globally FIRST occurrence of each distinct segment string
+    (ordered by doc_id, then position) survives, every later occurrence is
+    removed, and docs are reassembled from their surviving segments.  Output:
+    (doc_id, clean_text, n_segs, n_removed).  Reference analog: the
+    hash-grouping first-wins pass (deduplication.py:240-283) at sub-document
+    granularity.
+
+    Segment EXTRACTION is zero-copy-shaped: token boundaries come from one
+    vectorized space-scan over the batch's flat UTF-8 buffer and segment
+    strings are built with a single byte-gather (no per-doc Python in the
+    explode).  Two exchanges: first-wins on the segment hash, reassembly on
+    doc_id; both ship (doc_id, pidx, segment) rows once.
+    """
+    from ..functions.hashing import _ranges, hash_tokens, splitmix64
+    from ..functions.text import normalize_array
+    from ..util import sharded_group_map
+
+    W = seg_tokens
+
+    def explode(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"])
+        arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+        offs = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset : arr.offset + len(arr) + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        doc_start, doc_end = offs[:-1], offs[1:]
+        nonempty = doc_end > doc_start
+        sp = np.nonzero(data == 32)[0]
+        # tokens per nonempty doc = spaces inside it + 1 (normalized text has
+        # single spaces, no leading/trailing)
+        n_sp = np.searchsorted(sp, doc_end) - np.searchsorted(sp, doc_start)
+        n_tok = np.where(nonempty, n_sp + 1, 0)
+        # flat token boundary arrays (global byte positions), doc-major
+        tok_starts = np.sort(np.concatenate([doc_start[nonempty], sp + 1]))
+        tok_ends = np.sort(np.concatenate([sp, doc_end[nonempty]]))
+        tok_base = np.concatenate([[0], np.cumsum(n_tok)])[:-1]
+        n_seg = (n_tok + W - 1) // W  # 0 for empty docs (handled below)
+        seg_doc = np.repeat(np.arange(len(ids), dtype=np.int64), n_seg)
+        pidx = _ranges(n_seg[n_seg > 0]) if n_seg.sum() else np.zeros(0, np.int64)
+        a = tok_base[seg_doc] + pidx * W
+        last = np.minimum(a + W, (tok_base + n_tok)[seg_doc]) - 1
+        sbyte = tok_starts[a] if len(a) else np.zeros(0, np.int64)
+        ebyte = tok_ends[last] if len(a) else np.zeros(0, np.int64)
+        lens = ebyte - sbyte
+        gather = (
+            np.repeat(sbyte, lens) + _ranges(lens) if lens.sum() else np.zeros(0, np.int64)
+        )
+        buf = data[gather]
+        seg_offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+        if len(lens):
+            seg_offsets[1:] = np.cumsum(lens).astype(np.int32)
+        seg_arr = pa.Array.from_buffers(
+            pa.utf8(),
+            len(lens),
+            [None, pa.py_buffer(seg_offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+        )
+        out_ids = ids[seg_doc]
+        out_pidx = pidx
+        # empty docs contribute one '' segment (matches SQL string_split('',' '))
+        empty_idx = np.nonzero(~nonempty)[0]
+        if len(empty_idx):
+            seg_arr = pa.concat_arrays([seg_arr, pa.array([""] * len(empty_idx), pa.utf8())])
+            out_ids = np.concatenate([out_ids, ids[empty_idx]])
+            out_pidx = np.concatenate([out_pidx, np.zeros(len(empty_idx), np.int64)])
+        segs_np = np.asarray(seg_arr.to_numpy(zero_copy_only=False), dtype=object)
+        h = splitmix64(hash_tokens(segs_np))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_ids),
+                "pidx": pa.array(out_pidx, pa.int64()),
+                "seg": seg_arr,
+                "seg_hash": pa.array(h, pa.uint64()),
+            }
+        )
+
+    def first_wins(g: pd.DataFrame) -> pd.DataFrame:
+        segs = g["seg"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        pidx = g["pidx"].to_numpy()
+        order = np.lexsort((pidx, doc, segs))
+        segs_s = segs[order]
+        new = np.ones(len(segs_s), dtype=bool)
+        new[1:] = segs_s[1:] != segs_s[:-1]
+        keep = np.zeros(len(segs_s), dtype=np.int8)
+        keep[new] = 1  # run head = global first occurrence of this segment
+        out = g.iloc[order].reset_index(drop=True)
+        out["keep"] = keep
+        return out.drop(columns="seg_hash")
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy()
+        pidx = g["pidx"].to_numpy()
+        segs = g["seg"].to_numpy()
+        keep = g["keep"].to_numpy()
+        order = np.lexsort((pidx, doc))
+        doc, pidx, segs, keep = doc[order], pidx[order], segs[order], keep[order]
+        new = np.ones(len(doc), dtype=bool)
+        new[1:] = doc[1:] != doc[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(doc))
+        rows = []
+        for s, e in zip(starts, ends):
+            kept = segs[s:e][keep[s:e] == 1]
+            rows.append((doc[s], " ".join(kept), int(e - s), int(e - s - len(kept))))
+        return pd.DataFrame(rows, columns=["doc_id", "clean_text", "n_segs", "n_removed"])
+
+    exploded = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    tagged = sharded_group_map(
+        exploded, ["seg_hash"], first_wins, num_shards=num_shards, batch_format="pandas"
+    )
+    return sharded_group_map(
+        tagged, ["doc_id"], rebuild, num_shards=num_shards, batch_format="pandas"
+    )

@@ -609,3 +609,38 @@ def test_approx_distinct_hll(ray_session):
         .sort_index()
     )
     assert (out2 == out.sort_index()).all()
+
+
+def test_segment_dedup_first_wins(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.dedup_ops import segment_dedup
+
+    shared = " ".join(f"s{i}" for i in range(10))
+    uniq_a = " ".join(f"a{i}" for i in range(10))
+    uniq_b = " ".join(f"b{i}" for i in range(7))  # partial tail window
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    shared + " " + uniq_a,  # doc1: [shared, uniq_a] both first
+                    shared + " " + uniq_b,  # doc2: shared removed, tail kept
+                    shared,                 # doc3: fully removed
+                    "",                     # doc4: single '' segment, first wins
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        segment_dedup(ray.data.from_arrow(t), seg_tokens=10, num_shards=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "clean_text"] == shared + " " + uniq_a
+    assert out.loc[1, "n_removed"] == 0 and out.loc[1, "n_segs"] == 2
+    assert out.loc[2, "clean_text"] == uniq_b and out.loc[2, "n_removed"] == 1
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_removed"] == 1
+    assert out.loc[4, "clean_text"] == "" and out.loc[4, "n_segs"] == 1
+    assert out.loc[4, "n_removed"] == 0
