@@ -367,6 +367,17 @@ def _q_sliding_window_agg(sf_dir: str):
     )
 
 
+def _q_rolling_agg(sf_dir: str):
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.windows import rolling_agg
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "ts", "user_id", "value"]
+    )
+    return rolling_agg(events, key="user_id", window_rows=4).sort("event_id")
+
+
 def _q_sessions(sf_dir: str):
     import ray.data
 
@@ -509,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_stats": _q_cluster_stats,
         "window_agg": _q_window_agg,
         "sliding_window_agg": _q_sliding_window_agg,
+        "rolling_agg": _q_rolling_agg,
         "sessions": _q_sessions,
         "asof_join": _q_asof_join,
         "group_topk": _q_group_topk,
@@ -876,6 +888,17 @@ def oracle_sql() -> dict[str, str]:
             FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start
+        """,
+        "rolling_agg": """
+            SELECT event_id, user_id, ts,
+                   CAST(sum(cents) OVER w AS BIGINT) AS roll_sum_cents,
+                   CAST(count(*) OVER w AS BIGINT) AS roll_n
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS cents
+                  FROM events)
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+            ORDER BY event_id
         """,
         "sessions": """
             WITH o AS (

@@ -260,3 +260,66 @@ def sessionize(events: Dataset, gap_sec: int = 1800) -> Dataset:
         shard_fn,
         batch_format="pandas",
     )
+
+
+def rolling_agg(
+    events: Dataset,
+    key: str = "user_id",
+    window_rows: int = 4,
+    num_shards: int = 64,
+) -> Dataset:
+    """Per-key rolling row-window aggregate (trailing ``window_rows`` rows).
+
+    For each event, the sum of integer cents and the row count over the
+    current row plus the ``window_rows - 1`` preceding rows of the SAME key,
+    ordered by (ts, event_id) — SQL ``ROWS BETWEEN n PRECEDING AND CURRENT
+    ROW``.  Integer-exact (cents), so the DuckDB oracle hash-matches.
+
+    One ``key``-sharded exchange; inside a shard ALL keys resolve in a single
+    sorted pass: one global cumulative sum, per-row window start =
+    max(row - window_rows + 1, segment start), rolling value = one gather
+    difference.  No per-key Python, no per-row loop.
+    """
+
+    def prep(t: pa.Table) -> pa.Table:
+        cents = np.asarray(
+            pc.round(pc.multiply(t["value"], 100.0)).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                key: t[key],
+                "ts": t["ts"],
+                "cents": pa.array(cents, pa.int64()),
+            }
+        )
+
+    def shard_fn(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, "ts", "event_id"], kind="mergesort").reset_index(drop=True)
+        k = g[key].to_numpy()
+        cents = g["cents"].to_numpy()
+        n = len(g)
+        new = np.ones(n, dtype=bool)
+        new[1:] = k[1:] != k[:-1]
+        seg_starts = np.nonzero(new)[0]
+        seg_id = np.cumsum(new) - 1
+        seg_start_of_row = seg_starts[seg_id] if n else np.zeros(0, np.int64)
+        i = np.arange(n, dtype=np.int64)
+        j = np.maximum(i - window_rows + 1, seg_start_of_row)
+        cum = np.concatenate(([0], np.cumsum(cents, dtype=np.int64)))
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"],
+                key: k,
+                "ts": g["ts"],
+                "roll_sum_cents": cum[i + 1] - cum[j],
+                "roll_n": (i + 1 - j).astype(np.int64),
+            }
+        )
+
+    from ..util import sharded_group_map
+
+    prepped = events.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded_group_map(
+        prepped, [key], shard_fn, num_shards=num_shards, batch_format="pandas"
+    )

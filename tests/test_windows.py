@@ -150,3 +150,22 @@ def test_sessionize(ray_session):
     u2 = out[out["user_id"] == 2]
     assert list(u2["session_id"]) == [0]
     assert list(u2["n_events"]) == [2]
+
+
+def test_rolling_agg(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.windows import rolling_agg
+
+    out = (
+        rolling_agg(ray.data.from_arrow(_events()), window_rows=2, num_shards=2)
+        .to_pandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    # user 1 events in ts order: 0 (100c), 1 (250c), 2 (300c)
+    assert out.loc[0, "roll_sum_cents"] == 100 and out.loc[0, "roll_n"] == 1
+    assert out.loc[1, "roll_sum_cents"] == 350 and out.loc[1, "roll_n"] == 2
+    assert out.loc[2, "roll_sum_cents"] == 550 and out.loc[2, "roll_n"] == 2
+    # user 2: 3 (425c), 4 (75c)
+    assert out.loc[3, "roll_sum_cents"] == 425 and out.loc[3, "roll_n"] == 1
+    assert out.loc[4, "roll_sum_cents"] == 500 and out.loc[4, "roll_n"] == 2
