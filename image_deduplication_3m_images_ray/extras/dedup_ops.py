@@ -626,7 +626,9 @@ def segment_dedup(docs: Dataset, seg_tokens: int = 10, num_shards: int = 64) -> 
     vectorized space-scan over the batch's flat UTF-8 buffer and segment
     strings are built with a single byte-gather (no per-doc Python in the
     explode).  Two exchanges: first-wins on the segment hash, reassembly on
-    doc_id; both ship (doc_id, pidx, segment) rows once.
+    doc_id; both ship (doc_id, pidx, segment) rows once.  Reassembly does one
+    ``" ".join`` per doc — inherent string assembly (output-size-bounded),
+    same shape as the inverted-index posting join.
     """
     from ..functions.hashing import _ranges, hash_tokens, splitmix64
     from ..functions.text import normalize_array

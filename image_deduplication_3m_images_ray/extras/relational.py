@@ -87,14 +87,18 @@ def group_topk(
 
     def partial(t: pa.Table) -> pa.Table:
         t = add_kcode(t)
-        kc = np.asarray(t["__k"].to_numpy(zero_copy_only=False))
+        _, kc = np.unique(
+            np.asarray(t[key].to_numpy(zero_copy_only=False)), return_inverse=True
+        )
         val = np.asarray(t[value].to_numpy(zero_copy_only=False))
         tb = np.asarray(t[tiebreak].to_numpy(zero_copy_only=False))
         keep, _ = _topk_select(kc, val, tb, k, ascending)
         return t.take(np.sort(keep))
 
     def final_shard(g: pd.DataFrame) -> pd.DataFrame:
-        kc = g["__k"].to_numpy()
+        # group by the REAL key values, not the shard hash — a 64-bit hash
+        # collision must co-locate keys (same shard), never merge them
+        _, kc = np.unique(g[key].to_numpy(), return_inverse=True)
         val = g[value].to_numpy()
         tb = g[tiebreak].to_numpy()
         keep, rank = _topk_select(kc, val, tb, k, ascending)
@@ -288,8 +292,9 @@ def group_quantiles(
         )
 
     def shard_fn(g: pd.DataFrame) -> pd.DataFrame:
-        kc = g["__k"].to_numpy()
         keys = g[key].to_numpy()
+        # segment by the REAL key values (hash collisions must never merge)
+        _, kc = np.unique(keys, return_inverse=True)
         vals = g[value].to_numpy()
         order = np.lexsort((vals, kc))
         kc, keys, vals = kc[order], keys[order], vals[order]
