@@ -434,6 +434,17 @@ def _q_range_join(sf_dir: str):
     )
 
 
+def _q_pivot_counts(sf_dir: str):
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.relational import pivot_counts
+
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "event_type"]
+    )
+    return pivot_counts(events, row_key="user_id", col_key="event_type").sort("user_id")
+
+
 def _q_group_quantiles(sf_dir: str):
     import pyarrow as pa
     import pyarrow.compute as pc
@@ -528,6 +539,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_uniform": _q_sample_uniform,
         "sample_per_group": _q_sample_per_group,
         "group_quantiles": _q_group_quantiles,
+        "pivot_counts": _q_pivot_counts,
         "media_decode": _q_media_decode,
     }
 
@@ -960,6 +972,15 @@ def oracle_sql() -> dict[str, str]:
                          AND r.ts <= l.ts
                          AND l.ts <= r.ts + INTERVAL 3600 SECOND
             ORDER BY l.event_id, ref_event_id
+        """,
+        "pivot_counts": """
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'click')    AS BIGINT) AS n_click,
+                   CAST(count(*) FILTER (WHERE event_type = 'error')    AS BIGINT) AS n_error,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase,
+                   CAST(count(*) FILTER (WHERE event_type = 'signup')   AS BIGINT) AS n_signup,
+                   CAST(count(*) FILTER (WHERE event_type = 'view')     AS BIGINT) AS n_view
+            FROM events GROUP BY user_id ORDER BY user_id
         """,
         "group_quantiles": """
             SELECT event_type, count(*) AS n_rows,

@@ -311,3 +311,35 @@ def group_quantiles(
     return sharded_group_map(
         prepped, ["__k"], shard_fn, num_shards=num_shards, batch_format="pandas"
     )
+
+
+def pivot_counts(
+    ds: Dataset, row_key: str, col_key: str, columns: list | None = None
+) -> Dataset:
+    """Pivot: one row per ``row_key``, one count column per ``col_key`` value.
+
+    ``columns`` fixes the output schema; when omitted it is discovered with
+    one tiny ``unique()`` pass (the column set must be small — a pivot with
+    unbounded columns is a different operator).  The heavy pass is a single
+    ``groupby(row_key)`` over per-batch 0/1 indicator columns summed
+    vectorized — count aggregation pushes into the combiner, so the exchange
+    ships one partial row per (batch, row_key), not raw events.
+    """
+    from ray.data.aggregate import Sum
+
+    if columns is None:
+        columns = sorted(ds.unique(col_key))
+    cols = list(columns)
+
+    def prep(t: pa.Table) -> pa.Table:
+        vals = np.asarray(t[col_key].to_numpy(zero_copy_only=False), dtype=object)
+        out = {row_key: t[row_key]}
+        for c in cols:
+            out[f"n_{c}"] = pa.array((vals == c).astype(np.int64), pa.int64())
+        return pa.table(out)
+
+    return (
+        ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby(row_key)
+        .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}") for c in cols])
+    )

@@ -198,3 +198,24 @@ def test_group_quantiles_exact(ray_session):
         assert got.loc[g, "n_rows"] == n
         for q, col in ((0.5, "p50"), (0.9, "p90")):
             assert got.loc[g, col] == a[max(math.ceil(q * n) - 1, 0)], (g, q)
+
+
+def test_pivot_counts(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import pivot_counts
+
+    df = pd.DataFrame(
+        {
+            "user_id": np.array([1, 1, 1, 2, 2], dtype=np.int64),
+            "event_type": ["click", "click", "view", "view", "error"],
+        }
+    )
+    out = (
+        pivot_counts(ray.data.from_pandas(df), row_key="user_id", col_key="event_type")
+        .to_pandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert list(out.columns) == ["n_click", "n_error", "n_view"]
+    assert list(out.loc[1]) == [2, 0, 1]
+    assert list(out.loc[2]) == [0, 1, 1]
