@@ -111,6 +111,12 @@ def _q_tfidf_top_terms(sf_dir: str):
     )
 
 
+def _q_vocab_stats(sf_dir: str):
+    from image_deduplication_3m_images_ray.extras.textstats import vocab_stats
+
+    return vocab_stats(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_inverted_index(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.textstats import inverted_index
 
@@ -510,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clean_corpus": _q_clean_corpus,
         "tfidf_top_terms": _q_tfidf_top_terms,
         "inverted_index": _q_inverted_index,
+        "vocab_stats": _q_vocab_stats,
         "quality_scores": _q_quality_scores,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "lang_counts": _q_lang_counts,
@@ -760,6 +767,17 @@ def oracle_sql() -> dict[str, str]:
                   FROM tf JOIN df USING (term))
             SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, rank
             FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+        """,
+        "vocab_stats": f"""
+            WITH n AS (SELECT {_NORM} AS nt FROM documents),
+            tok AS (SELECT unnest(string_split(nt, ' ')) AS term FROM n),
+            tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+            top AS (SELECT term, c FROM tc ORDER BY c DESC, term ASC LIMIT 1)
+            SELECT CAST((SELECT sum(c) FROM tc) AS BIGINT) AS n_tokens,
+                   (SELECT count(*) FROM tc) AS n_terms,
+                   (SELECT count(*) FROM tc WHERE c = 1) AS n_hapax,
+                   (SELECT term FROM top) AS top_term,
+                   CAST((SELECT c FROM top) AS BIGINT) AS top_term_count
         """,
         "inverted_index": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),

@@ -619,3 +619,85 @@ def inverted_index(docs: Dataset, num_shards: int = 64, batch_size: int = 4096) 
     return sharded_group_map(
         prepped, ["__t"], assemble, num_shards=num_shards, batch_format="pandas"
     )
+
+
+def vocab_stats(docs: Dataset, batch_size: int = 4096) -> Dataset:
+    """Corpus-level vocabulary statistics: one row of
+    (n_tokens, n_terms, n_hapax, top_term, top_term_count).
+
+    Zipf-curve health checks for a training corpus (vocabulary growth, hapax
+    mass, stop-word skew).  Shape: per-batch partial term counts (one
+    ``np.unique`` — the combiner), ONE ``groupby(term)`` sum, then a partial
+    reduction of the per-term table to per-block scalars and a final
+    driver-size fold over block rows.  The full term table never leaves the
+    cluster; only O(blocks) scalar rows reach the driver.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"])
+        toks = pc.split_pattern(norm, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+        uniq, counts = np.unique(flat, return_counts=True)
+        return pa.table(
+            {
+                "term": pa.array(uniq, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+    per_term = (
+        docs.map_batches(
+            partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        )
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def reduce_block(t: pa.Table) -> pa.Table:
+        n = np.asarray(t["n"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        terms = np.asarray(t["term"].to_numpy(zero_copy_only=False), dtype=object)
+        if len(n) == 0:
+            return pa.table(
+                {
+                    "n_tokens": pa.array([], pa.int64()),
+                    "n_terms": pa.array([], pa.int64()),
+                    "n_hapax": pa.array([], pa.int64()),
+                    "top_term": pa.array([], pa.string()),
+                    "top_term_count": pa.array([], pa.int64()),
+                }
+            )
+        # deterministic arg-max: highest count, then lexicographically first
+        best = np.lexsort((terms, -n))[0]
+        return pa.table(
+            {
+                "n_tokens": pa.array([int(n.sum())], pa.int64()),
+                "n_terms": pa.array([len(n)], pa.int64()),
+                "n_hapax": pa.array([int((n == 1).sum())], pa.int64()),
+                "top_term": pa.array([terms[best]], pa.string()),
+                "top_term_count": pa.array([int(n[best])], pa.int64()),
+            }
+        )
+
+    import pandas as _pd
+
+    blocks = per_term.map_batches(
+        reduce_block, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()
+    top = blocks.sort_values(
+        ["top_term_count", "top_term"], ascending=[False, True]
+    ).iloc[0]
+    out = _pd.DataFrame(
+        {
+            "n_tokens": [int(blocks["n_tokens"].sum())],
+            "n_terms": [int(blocks["n_terms"].sum())],
+            "n_hapax": [int(blocks["n_hapax"].sum())],
+            "top_term": [top["top_term"]],
+            "top_term_count": [int(top["top_term_count"])],
+        }
+    )
+    import ray.data
+
+    return ray.data.from_pandas(out)

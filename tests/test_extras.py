@@ -644,3 +644,20 @@ def test_segment_dedup_first_wins(ray_session):
     assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_removed"] == 1
     assert out.loc[4, "clean_text"] == "" and out.loc[4, "n_segs"] == 1
     assert out.loc[4, "n_removed"] == 0
+
+
+def test_vocab_stats(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import vocab_stats
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a a b c", "a b d"], pa.string()),
+        }
+    )
+    out = vocab_stats(ray.data.from_arrow(t)).to_pandas().iloc[0]
+    assert out["n_tokens"] == 7
+    assert out["n_terms"] == 4
+    assert out["n_hapax"] == 2  # c and d
+    assert out["top_term"] == "a" and out["top_term_count"] == 3
