@@ -61,6 +61,33 @@ _BPE_CLS[ord("a") : ord("z") + 1] = 1
 _BPE_CLS[ord("0") : ord("9") + 1] = 2
 
 
+def bpe_counts(norm: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """NORMALIZED string array -> per-row (word, num, punct) run counts.
+
+    One byte-class run-length pass over the flat UTF-8 buffer; class changes
+    and row boundaries mark token starts (see :func:`bpe_token_stats`)."""
+    arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+    offs = np.frombuffer(arr.buffers()[1], np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ].astype(np.int64)
+    data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+    offs = offs - offs[0]
+    cls = _BPE_CLS[data]
+    start = np.ones(len(cls), dtype=bool)
+    if len(cls) > 1:
+        start[1:] = cls[1:] != cls[:-1]
+    start[offs[:-1][offs[:-1] < len(cls)]] = True  # doc boundary resets runs
+
+    def per_doc(tok_start: np.ndarray) -> np.ndarray:
+        cum = np.concatenate(([0], np.cumsum(tok_start, dtype=np.int64)))
+        return cum[offs[1:]] - cum[offs[:-1]]
+
+    word = per_doc(start & (cls == 1))
+    num = per_doc(start & (cls == 2))
+    punct = per_doc(start & (cls == 3))
+    return word, num, punct
+
+
 def bpe_token_stats(docs: Dataset, batch_size: int = 4096) -> Dataset:
     """(doc_id, text) -> GPT-2-style pretokenizer token counts.
 
@@ -82,25 +109,7 @@ def bpe_token_stats(docs: Dataset, batch_size: int = 4096) -> Dataset:
 
     def fn(t: pa.Table) -> pa.Table:
         norm = normalize_array(t["text"])
-        arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
-        offs = np.frombuffer(arr.buffers()[1], np.int32)[
-            arr.offset : arr.offset + len(arr) + 1
-        ].astype(np.int64)
-        data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0] : offs[-1]]
-        offs = offs - offs[0]
-        cls = _BPE_CLS[data]
-        start = np.ones(len(cls), dtype=bool)
-        if len(cls) > 1:
-            start[1:] = cls[1:] != cls[:-1]
-        start[offs[:-1][offs[:-1] < len(cls)]] = True  # doc boundary resets runs
-
-        def per_doc(tok_start: np.ndarray) -> np.ndarray:
-            cum = np.concatenate(([0], np.cumsum(tok_start, dtype=np.int64)))
-            return cum[offs[1:]] - cum[offs[:-1]]
-
-        word = per_doc(start & (cls == 1))
-        num = per_doc(start & (cls == 2))
-        punct = per_doc(start & (cls == 3))
+        word, num, punct = bpe_counts(norm)
         return pa.table(
             {
                 "doc_id": t["doc_id"],

@@ -93,3 +93,32 @@ def test_winnow_shared_substring_shares_fingerprint(shared, pre, post):
     f2, _ = winnow_fingerprints(t2, 20, 21)
     if len(shared) >= 40:
         assert len(np.intersect1d(f1, f2)) > 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)),  # any non-surrogate
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_bpe_counts_match_regex(texts):
+    """Byte-class run counting == the pretokenizer regex over codepoints,
+    for arbitrary unicode including multi-byte boundaries."""
+    import re
+
+    import pyarrow as pa
+
+    from image_deduplication_3m_images_ray.extras.textstats import bpe_counts
+    from image_deduplication_3m_images_ray.functions.text import normalize_array
+
+    arr = normalize_array(pa.array(texts, pa.string()))
+    word, num, punct = bpe_counts(arr)
+    for i, nt in enumerate(arr.to_pylist()):
+        assert word[i] == len(re.findall(r"[a-z]+", nt)), repr(nt)
+        assert num[i] == len(re.findall(r"[0-9]+", nt)), repr(nt)
+        assert punct[i] == len(re.findall(r"[^a-z0-9 ]+", nt)), repr(nt)
