@@ -137,6 +137,26 @@ def _q_char_jaccard_pairs(sf_dir: str):
     ).sort(["doc_a", "doc_b"])
 
 
+def _q_join_label_counts(sf_dir: str):
+    """documents ⋈ embeddings on doc_id = vec_id, counted per (lang, label) —
+    pins the hash-partitioned sort-based equi-join (util.shard_attach, SURVEY
+    J1) directly against a SQL oracle."""
+    from ray.data.aggregate import Count
+
+    from image_deduplication_3m_images_ray.util import rename_columns, shard_attach
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "lang"])
+    emb = rename_columns(
+        _embeddings(sf_dir).select_columns(["vec_id", "label"]), {"vec_id": "doc_id"}
+    )
+    att = shard_attach(docs, emb, key="doc_id", payload={"label": "label"}, how="inner")
+    return (
+        att.groupby(["lang", "label"])
+        .aggregate(Count(alias_name="n"))
+        .sort(["lang", "label"])
+    )
+
+
 def _q_lang_counts(sf_dir: str):
     import ray.data
     from ray.data.aggregate import Count, Sum
@@ -520,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": _q_quality_scores,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "lang_counts": _q_lang_counts,
+        "join_label_counts": _q_join_label_counts,
         "top_docs": _q_top_docs,
         "distinct_sources": _q_distinct_sources,
         "filter_en_long": _q_filter_en_long,
@@ -809,6 +830,11 @@ def oracle_sql() -> dict[str, str]:
               ON a.lang = b.lang AND a.doc_id < b.doc_id
             WHERE jaccard(a.text, b.text) >= 0.5
             ORDER BY doc_a, doc_b
+        """,
+        "join_label_counts": """
+            SELECT d.lang, e.label, count(*) AS n
+            FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+            GROUP BY d.lang, e.label ORDER BY d.lang, e.label
         """,
         "lang_counts": """
             SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
