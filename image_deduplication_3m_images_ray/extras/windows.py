@@ -111,9 +111,11 @@ def asof_join_latest(
     For every left row, find the right row with the same ``by`` key and the
     greatest ``on`` value satisfying ``right.on <= left.on`` (inclusive); ties
     on ``on`` break to the largest ``tiebreak``.  ``payload`` maps right
-    columns to output names; a ``lag_us`` column (microseconds between the
-    matched right row and the left row) is always added.  Unmatched left rows
-    keep -1 / 0.0 fillers so the output schema is null-free and deterministic.
+    columns to output names (values are carried as float64 — exact for
+    doubles and for integers < 2^53); a ``lag_us`` column (microseconds
+    between the matched right row and the left row) is always added.
+    Unmatched left rows keep -1 / 0.0 fillers so the output schema is
+    null-free and deterministic.
 
     Ray Data has no as-of primitive, so this is the documented custom-operator
     composition (task brief "custom operators"): ONE tagged-union exchange
