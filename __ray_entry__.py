@@ -484,7 +484,18 @@ def _q_group_quantiles(sf_dir: str):
         return pa.table(
             {
                 "event_type": t["event_type"],
-                "value_cents": pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64()),
+                # pinned half-up tie convention, identical to the SQL oracle's
+                # floor(value * 100 + 0.5) (see extras/windows.py docstring)
+                "value_cents": pa.array(
+                    np.floor(
+                        np.asarray(
+                            pc.cast(t["value"], pa.float64()).to_numpy(zero_copy_only=False)
+                        )
+                        * 100.0
+                        + 0.5
+                    ).astype(np.int64),
+                    pa.int64(),
+                ),
             }
         )
 
@@ -931,7 +942,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS window_start,
                    count(*) AS n_events,
-                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start
@@ -940,7 +951,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type,
                    ((CAST(floor(epoch(ts)) AS BIGINT) // 900) - i) * 900 AS window_start,
                    count(*) AS n_events,
-                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+                   CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents
             FROM events CROSS JOIN (SELECT unnest(range(4)) AS i)
             GROUP BY event_type, window_start
             ORDER BY event_type, window_start
@@ -950,7 +961,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(cents) OVER w AS BIGINT) AS roll_sum_cents,
                    CAST(count(*) OVER w AS BIGINT) AS roll_n
             FROM (SELECT event_id, user_id, ts,
-                         CAST(round(value * 100) AS BIGINT) AS cents
+                         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
                   FROM events)
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                          ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
@@ -1028,10 +1039,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "group_quantiles": """
             SELECT event_type, count(*) AS n_rows,
-                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.25) AS p25,
-                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.5)  AS p50,
-                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.9)  AS p90,
-                   quantile_disc(CAST(round(value * 100) AS BIGINT), 0.99) AS p99
+                   quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.25) AS p25,
+                   quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.5)  AS p50,
+                   quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.9)  AS p90,
+                   quantile_disc(CAST(floor(value * 100 + 0.5) AS BIGINT), 0.99) AS p99
             FROM events GROUP BY event_type ORDER BY event_type
         """,
         "sample_uniform": """

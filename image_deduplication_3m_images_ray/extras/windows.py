@@ -8,7 +8,11 @@ for gap sessionization.  Ordering assumption: sessionize sorts each user's
 events by (ts, event_id) inside the group fn, so input order is irrelevant.
 
 Money-style values aggregate as integer cents so results are bit-exact
-against the DuckDB oracle (float sums are order-dependent).
+against the DuckDB oracle (float sums are order-dependent).  The cents
+conversion is ``floor(v * 100 + 0.5)`` — an explicitly pinned tie convention
+(half-up) used verbatim in the SQL oracles, because pyarrow ``pc.round``
+(half-to-even) and DuckDB ``round`` (half away from zero) disagree on exact
+.5 products.
 """
 
 from __future__ import annotations
@@ -20,6 +24,14 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Count, Sum
+
+
+def _cents(value_col) -> np.ndarray:
+    """float dollars -> int64 cents with the pinned half-up tie convention
+    (``floor(v*100 + 0.5)`` — matches the SQL oracles verbatim; see module
+    docstring)."""
+    v = np.asarray(pc.cast(value_col, pa.float64()).to_numpy(zero_copy_only=False))
+    return np.floor(v * 100.0 + 0.5).astype(np.int64)
 
 
 def tumbling_window_agg(
@@ -35,9 +47,7 @@ def tumbling_window_agg(
         # window_start_sec = (epoch_us // 1e6) // window_sec * window_sec
         epoch_us = np.asarray(pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False))
         win = (epoch_us // 1_000_000) // window_sec * window_sec
-        cents = np.asarray(
-            pc.round(pc.multiply(t["value"], 100.0)).to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
+        cents = _cents(t["value"])
         return pa.table(
             {
                 key: t[key],
@@ -76,9 +86,7 @@ def sliding_window_agg(
     def prep(t: pa.Table) -> pa.Table:
         epoch_us = np.asarray(pc.cast(t["ts"], pa.int64()).to_numpy(zero_copy_only=False))
         base = (epoch_us // 1_000_000) // hop_sec * hop_sec
-        cents = np.asarray(
-            pc.round(pc.multiply(t["value"], 100.0)).to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
+        cents = _cents(t["value"])
         n = len(t)
         idx = np.repeat(np.arange(n, dtype=np.int64), nwin)
         offs = np.tile(np.arange(nwin, dtype=np.int64) * hop_sec, n)
@@ -284,9 +292,7 @@ def rolling_agg(
     """
 
     def prep(t: pa.Table) -> pa.Table:
-        cents = np.asarray(
-            pc.round(pc.multiply(t["value"], 100.0)).to_numpy(zero_copy_only=False)
-        ).astype(np.int64)
+        cents = _cents(t["value"])
         return pa.table(
             {
                 "event_id": t["event_id"],
