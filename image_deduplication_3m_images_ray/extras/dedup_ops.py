@@ -464,8 +464,9 @@ def semantic_dedup(
     """SemDeDup-style semantic dedup over an embedding column.
 
     (vec_id, embedding) -> (vec_id, cluster_id, keep): edges are cosine >=
-    ``threshold`` pairs (:func:`embedding_cosine_pairs` — broadcast brute
-    force under the row bound, hyperplane-LSH buckets above it), components
+    ``threshold`` pairs (:func:`embedding_cosine_pairs` — exact broadcast
+    brute force by default; pass ``approx=True`` through ``pair_kwargs`` for
+    the hyperplane-LSH scale path above the broadcast bound), components
     come from the same distributed min-label propagation the flagship text
     pipeline uses (``stages.cluster.cluster_stage``), ``cluster_id`` is the
     component's min vec_id and ``keep`` marks the one survivor per cluster
@@ -571,35 +572,54 @@ def embedding_cosine_pairs(
     concurrency: int = 4,
     batch_size: int = 1024,
     broadcast_max_rows: int = 100_000,
+    approx: bool = False,
+    n_tables: int = 4,
 ) -> Dataset:
     """(vec_id, embedding list<float>) -> pairs with cosine >= t.
 
-    Two physical plans behind one contract:
+    Two physical plans, selected EXPLICITLY (never silently):
 
-    - **small side** (row count <= ``broadcast_max_rows``): exact brute force.
-      The normalized matrix goes to the object store ONCE via ``ray.put`` and
-      every actor reads it in ``__init__``; each batch does one float64
-      matmul.  Reference analog: the dense cosine similarity matrix of
-      Stage 3 (/root/reference/modules/deduplication.py:1219-1283).
-    - **large side**: the driver never materializes the table; rows are
-      bucketed by a random-hyperplane LSH sketch
-      (``extras.similarity.hyperplane_cosine_pairs``) and compared within
-      buckets — the scale path, approximate by nature (recall controlled by
-      the number of hyperplane tables; the brute-force path remains the
-      oracle for correctness checks).
+    - ``approx=False`` (default): **exact brute force** — the contract the
+      SQL oracle checks.  The input executes ONCE (``materialize()``; the row
+      count, the broadcast assembly and the scan all feed from the pinned
+      handle), the normalized matrix goes to the object store once via
+      ``ray.put`` and every actor reads it in ``__init__``; each batch does
+      one float64 matmul.  If the table exceeds ``broadcast_max_rows`` this
+      RAISES with guidance instead of silently degrading to an approximate
+      plan — callers relying on exactness (the driver oracle,
+      :func:`semantic_dedup` defaults) must opt into approximation.
+      Reference analog: the dense cosine similarity matrix of Stage 3
+      (/root/reference/modules/deduplication.py:1219-1283).
+    - ``approx=True``: the **scale path** — the driver never materializes
+      the table; rows are bucketed by ``n_tables`` random-hyperplane LSH
+      sketches (``extras.similarity.hyperplane_cosine_pairs``) and compared
+      within buckets.  Recall < 1 by construction (raised by ``n_tables`` —
+      see ``similarity.lsh_tables_for_recall``); precision is exact (every
+      emitted pair's cosine is computed).
     """
     import ray as _ray
 
-    if embeddings.count() > broadcast_max_rows:
+    if approx:
         from .similarity import hyperplane_cosine_pairs
 
-        return hyperplane_cosine_pairs(embeddings, threshold=threshold)
+        return hyperplane_cosine_pairs(embeddings, threshold=threshold, n_tables=n_tables)
 
-    # single driver-side pass to assemble the broadcast side (bounded above)
-    tbl = pa.concat_tables(_ray.get(embeddings.to_arrow_refs())).combine_chunks()
+    # pin the (possibly lazy) upstream ONCE: count, broadcast assembly and
+    # the scan below all read the same materialized blocks — no re-execution
+    mat = embeddings.materialize()
+    n = mat.count()
+    if n > broadcast_max_rows:
+        raise ValueError(
+            f"embedding_cosine_pairs: {n} rows exceed broadcast_max_rows="
+            f"{broadcast_max_rows} for the exact brute-force plan; pass "
+            "approx=True for the hyperplane-LSH scale path (approximate "
+            "recall, exact precision), or raise broadcast_max_rows if the "
+            "normalized matrix fits every worker's heap"
+        )
+    tbl = pa.concat_tables(_ray.get(mat.to_arrow_refs())).combine_chunks()
     ids, matrix = embeddings_to_matrix(tbl)
     ref = _ray.put((ids, _l2_normalize(matrix)))
-    return embeddings.map_batches(
+    return mat.map_batches(
         _CosinePairActor,
         fn_constructor_args=(ref, threshold),
         batch_format="pyarrow",

@@ -661,3 +661,55 @@ def test_vocab_stats(ray_session):
     assert out["n_terms"] == 4
     assert out["n_hapax"] == 2  # c and d
     assert out["top_term"] == "a" and out["top_term_count"] == 3
+
+
+def test_embedding_cosine_pairs_single_execution(ray_session):
+    """The exact plan must execute its (lazy) upstream exactly once — plan
+    selection reads the count from the materialized handle, not a separate
+    execution (round-2 verdict item 5)."""
+    import ray
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.dedup_ops import embedding_cosine_pairs
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    counter = Counter.remote()
+    tbl, _ = _embeddings(n=120)
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        ray.get(counter.add.remote(len(t)))
+        return t
+
+    upstream = ray.data.from_arrow(tbl).map_batches(
+        count_rows, batch_format="pyarrow", batch_size=32
+    )
+    pairs = embedding_cosine_pairs(upstream, threshold=0.99, concurrency=2, batch_size=64)
+    assert pairs.count() >= 1
+    assert ray.get(counter.get.remote()) == 120  # each row seen exactly once
+
+
+def test_embedding_cosine_pairs_explicit_approx(ray_session):
+    """Above broadcast_max_rows the exact plan raises with guidance instead of
+    silently degrading; approx=True opts into the hyperplane-LSH plan and
+    still finds the planted near-identical pair."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.dedup_ops import embedding_cosine_pairs
+
+    tbl, _ = _embeddings()
+    ds = ray.data.from_arrow(tbl)
+    with pytest.raises(ValueError, match="approx=True"):
+        embedding_cosine_pairs(ds, threshold=0.99, broadcast_max_rows=10)
+    pairs = embedding_cosine_pairs(
+        ds, threshold=0.99, broadcast_max_rows=10, approx=True
+    ).to_pandas()
+    got = {(int(a), int(b)) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+    assert (0, 1) in got
