@@ -252,29 +252,88 @@ def doc_fingerprints(
     ``md5_number_lower``) makes this exactly SQL-checkable; see its
     docstring for the speed tradeoff vs the vectorized rolling hash.
     ``cfg`` is accepted for signature compatibility and unused.
+
+    Vectorized batch kernel (round-2 verdict item 2): the batch's grams come
+    from ONE zero-copy sliding window over the flat UTF-8 buffer, per-doc
+    distinctness is ONE ``np.unique`` over (doc, gram) records, hashing is
+    ONE ``md5_u64`` call over the distinct gram stream, and the per-doc
+    min/xor/count are segmented ``reduceat`` reduces — no per-doc Python
+    loop, no per-doc ``set``.  Byte windows equal the contract's char
+    windows only for ASCII (and NUL-free, since numpy 'S' strips trailing
+    NULs); the rare non-conforming docs take a per-doc char-sliced fallback
+    with identical semantics.
     """
     from ..functions.hashing import md5_u64
 
     def fn(t: pa.Table) -> pa.Table:
         ids = t["doc_id"]
-        texts = normalize_array(t["text"]).to_pylist()
-        n, fmin, fxor = [], [], []
-        for s in texts:
-            grams = {s[i : i + k] for i in range(len(s) - k + 1)}
-            if grams:
+        norm = normalize_array(t["text"])
+        arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+        n_docs = len(arr)
+        offs = np.frombuffer(arr.buffers()[1], np.int32)[
+            arr.offset : arr.offset + n_docs + 1
+        ].astype(np.int64)
+        data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+        offs = offs - offs[0]
+
+        out_n = np.zeros(n_docs, dtype=np.int64)
+        out_min = np.zeros(n_docs, dtype=np.uint64)
+        out_xor = np.zeros(n_docs, dtype=np.uint64)
+
+        # per-doc eligibility for the byte-window fast path: pure ASCII, no NUL
+        bad_byte = (data >= 0x80) | (data == 0)
+        if bad_byte.any():
+            csum = np.concatenate(([0], np.cumsum(bad_byte, dtype=np.int64)))
+            fast = csum[offs[1:]] == csum[offs[:-1]]
+        else:
+            fast = np.ones(n_docs, dtype=bool)
+        lens = np.diff(offs)
+        gcounts = np.maximum(lens - k + 1, 0)
+        sel = np.nonzero(fast & (gcounts > 0))[0]
+
+        if len(sel):
+            from ..functions.hashing import _ranges
+
+            g = gcounts[sel]
+            starts = np.repeat(offs[:-1][sel], g) + _ranges(g)
+            doc_of = np.repeat(sel.astype(np.int64), g)
+            windows = np.lib.stride_tricks.sliding_window_view(data, k)
+            rec = np.empty(len(starts), dtype=[("d", "<i8"), ("g", f"S{k}")])
+            rec["d"] = doc_of
+            rec["g"] = np.ascontiguousarray(windows[starts]).view(f"S{k}").ravel()
+            uniq = np.unique(rec)  # sorted by (doc, gram), distinct per doc
+            h = md5_u64(uniq["g"])
+            keep = h % np.uint64(mod) == 0
+            hd, hk = uniq["d"][keep], h[keep]
+            if len(hk):
+                bounds = np.nonzero(
+                    np.concatenate(([True], hd[1:] != hd[:-1]))
+                )[0]
+                docs_idx = hd[bounds]
+                out_n[docs_idx] = np.diff(np.append(bounds, len(hk)))
+                out_min[docs_idx] = np.minimum.reduceat(hk, bounds)
+                out_xor[docs_idx] = np.bitwise_xor.reduceat(hk, bounds)
+
+        slow = np.nonzero(~fast & (gcounts > 0))[0]
+        if len(slow):
+            texts = arr.to_pylist()
+            for i in slow:  # rare path: non-ASCII/NUL docs, char semantics
+                s = texts[i]
+                grams = {s[j : j + k] for j in range(len(s) - k + 1)}
+                if not grams:
+                    continue
                 h = md5_u64(list(grams))
                 h = h[h % np.uint64(mod) == 0]
-            else:
-                h = np.empty(0, dtype=np.uint64)
-            n.append(len(h))
-            fmin.append(int(h.min()) if len(h) else 0)
-            fxor.append(int(np.bitwise_xor.reduce(h)) if len(h) else 0)
+                out_n[i] = len(h)
+                out_min[i] = h.min() if len(h) else 0
+                out_xor[i] = np.bitwise_xor.reduce(h) if len(h) else 0
+
         return pa.table(
             {
                 "doc_id": ids,
-                "n_fingerprints": pa.array(n, pa.int64()),
-                "fp_min": pa.array(fmin, pa.uint64()),
-                "fp_xor": pa.array(fxor, pa.uint64()),
+                "n_fingerprints": pa.array(out_n, pa.int64()),
+                "fp_min": pa.array(out_min, pa.uint64()),
+                "fp_xor": pa.array(out_xor, pa.uint64()),
             }
         )
 

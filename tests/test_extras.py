@@ -713,3 +713,43 @@ def test_embedding_cosine_pairs_explicit_approx(ray_session):
     ).to_pandas()
     got = {(int(a), int(b)) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
     assert (0, 1) in got
+
+
+def test_doc_fingerprints_vectorized_matches_naive(ray_session):
+    """Vectorized batch kernel == per-doc set/md5 semantics, including the
+    non-ASCII / NUL-adjacent fallback docs and short docs."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import doc_fingerprints
+    from image_deduplication_3m_images_ray.functions.hashing import md5_u64
+    from image_deduplication_3m_images_ray.functions.text import normalize_array
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(50)]
+    texts = [
+        " ".join(rng.choice(vocab, 40)),          # plain ASCII
+        " ".join(rng.choice(vocab, 40)),
+        "héllo wörld " + " ".join(rng.choice(vocab, 30)),  # non-ASCII fallback
+        "short",                                   # < k chars: zero grams
+        "",                                        # empty
+        " ".join(rng.choice(vocab, 40)),
+    ]
+    t = pa.table(
+        {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": pa.array(texts)}
+    )
+    k, mod = 32, 8
+    out = (
+        doc_fingerprints(ray.data.from_arrow(t), k=k, mod=mod, batch_size=3)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    norm = normalize_array(t["text"]).to_pylist()
+    for i, s in enumerate(norm):
+        grams = {s[j : j + k] for j in range(len(s) - k + 1)}
+        h = md5_u64(sorted(grams)) if grams else np.empty(0, np.uint64)
+        h = h[h % np.uint64(mod) == 0]
+        assert out.loc[i, "n_fingerprints"] == len(h)
+        assert out.loc[i, "fp_min"] == (int(h.min()) if len(h) else 0)
+        assert out.loc[i, "fp_xor"] == (
+            int(np.bitwise_xor.reduce(h)) if len(h) else 0
+        )
