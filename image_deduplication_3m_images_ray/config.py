@@ -75,11 +75,21 @@ class DedupConfig:
                                       # only for docs that appear in candidate
                                       # pairs (a broadcast semi-join; measured
                                       # 58% of profile rows dead at 200k docs).
-                                      # Above this many distinct ids the filter
-                                      # is skipped (still correct, ships all
-                                      # rows); the scale path beyond it is a
-                                      # Bloom filter with the same contract
-                                      # (false positives only ship extra rows)
+                                      # Gated on 2*n_pairs (an id upper bound)
+                                      # BEFORE any driver-side id collection;
+                                      # above the bound a distributed Bloom
+                                      # filter engages instead (same contract:
+                                      # false positives only ship extra rows,
+                                      # never drop one)
+    attach_bloom_bits_per_id: int = 12  # Bloom sizing above the exact-set
+                                      # bound (~3e-4 fp rate with 8 hashes);
+                                      # <= 0 disables the Bloom path entirely
+                                      # (every profile row ships — old
+                                      # behavior, still correct)
+    attach_bloom_hashes: int = 8      # probes per id (Kirsch-Mitzenmacher
+                                      # double hashing)
+    attach_bloom_max_bits: int = 1 << 33  # 1 GiB filter ceiling — a broadcast
+                                      # object at cluster scale, not driver heap
 
     def __post_init__(self) -> None:
         if self.bands * self.rows_per_band != self.num_perms:

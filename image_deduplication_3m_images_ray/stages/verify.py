@@ -44,6 +44,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..config import DedupConfig
+from ..functions.bloom import BloomFilter, SortedIdSet
 from ..functions.hashing import _ranges, hamming64
 from ..functions.text import pairwise_jaccard_from_sets  # noqa: F401  (re-export for tests)
 from ..util import sharded_group_map
@@ -205,30 +206,28 @@ def _emit_halves(t: pa.Table) -> pa.Table:
     )
 
 
-def _prep_profile(t: pa.Table, sset_ids=None, text_ids=None) -> pa.Table:
+def _prep_profile(t: pa.Table, sset_mem=None, text_mem=None) -> pa.Table:
     """Profile rows -> attach-union rows, optionally semi-join-filtered.
 
-    ``sset_ids`` / ``text_ids`` are SORTED uint64 arrays (broadcast via
-    ``ray.put``) of the doc ids that appear in LSH / winnow candidate rows.
-    When given, rows for docs in neither set are dropped entirely and the
-    heavy columns are nulled where unneeded (``norm_text`` only ships for
-    winnow docs, ``shingle_set`` only for LSH docs) — candidates reference a
-    small fraction of the corpus, so this cuts most of the attach exchange's
-    byte volume (measured 58% of rows dead at 200k docs).
+    ``sset_mem`` / ``text_mem`` are membership filters (broadcast via
+    ``ray.put``) over the doc ids that appear in LSH / winnow candidate rows
+    — either exact :class:`~..functions.bloom.SortedIdSet`s or, above the
+    exact-set bound, :class:`~..functions.bloom.BloomFilter`s whose false
+    positives only ship extra rows (the attach shard drops profile rows with
+    no halves anyway; false negatives are impossible).  When given, rows for
+    docs in neither set are dropped entirely and the heavy columns are
+    nulled where unneeded (``norm_text`` only ships for winnow docs,
+    ``shingle_set`` only for LSH docs) — candidates reference a small
+    fraction of the corpus, so this cuts most of the attach exchange's byte
+    volume (measured 58% of rows dead at 200k docs).
     """
     ids = np.asarray(
         pc.cast(t["doc_id"], pa.uint64()).to_numpy(zero_copy_only=False), dtype=np.uint64
     )
     need_sset = need_text = None
-    if sset_ids is not None:
-        def member(sorted_ids: np.ndarray) -> np.ndarray:
-            if len(sorted_ids) == 0:
-                return np.zeros(len(ids), dtype=bool)
-            loc = np.minimum(np.searchsorted(sorted_ids, ids), len(sorted_ids) - 1)
-            return sorted_ids[loc] == ids
-
-        need_sset = member(sset_ids)
-        need_text = member(text_ids)
+    if sset_mem is not None:
+        need_sset = sset_mem.contains(ids)
+        need_text = text_mem.contains(ids)
         keep = need_sset | need_text
         t = t.filter(pa.array(keep))
         ids = ids[keep]
@@ -469,8 +468,11 @@ def _candidate_doc_ids(candidates: Dataset) -> tuple:
 
     One cheap pass over the (consolidated, materialized) candidate table:
     per-block partial uniques serialized as raw bytes, merged on the driver.
-    Driver memory is O(distinct dup-doc ids) — 8 bytes each, bounded by
-    ``cfg.attach_semijoin_max_ids`` at the caller.
+    Driver memory is O(distinct dup-doc ids) — 8 bytes each.  The caller
+    gates on ``2 * n_pairs <= cfg.attach_semijoin_max_ids`` BEFORE invoking
+    this, so the collection itself is driver-bounded; above the bound the
+    Bloom path (:func:`_candidate_bloom_filters`) runs instead and raw ids
+    never reach the driver.
     """
 
     def partial(t: pa.Table) -> pa.Table:
@@ -494,6 +496,67 @@ def _candidate_doc_ids(candidates: Dataset) -> tuple:
         return np.unique(np.concatenate(bufs)) if bufs else np.empty(0, np.uint64)
 
     return merge("lsh"), merge("win")
+
+
+def _candidate_bloom_filters(
+    candidates: Dataset, cfg: DedupConfig, n_ids_upper: int
+) -> tuple:
+    """Distributed Bloom build over candidate doc ids: (lsh_bloom, win_bloom).
+
+    The semi-join scale path above ``attach_semijoin_max_ids`` (the cliff
+    named by the round-2 verdict): per-block partial filters are built inside
+    ``map_batches`` (fixed ``m_bits/8`` bytes each regardless of block id
+    count), then OR-merged by a fan-in-8 tree of Ray tasks — the driver only
+    ever holds object refs plus the single final filter, never raw ids.
+    Contract (same as the exact set): false positives only ship extra
+    profile rows, false negatives cannot occur.
+    """
+    import ray
+
+    m_bits = BloomFilter.size_bits(
+        n_ids_upper, cfg.attach_bloom_bits_per_id, cfg.attach_bloom_max_bits
+    )
+    k = cfg.attach_bloom_hashes
+
+    def partial(t: pa.Table) -> pa.Table:
+        a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        o = np.asarray(t["origin"].to_numpy(zero_copy_only=False), dtype=np.int8)
+        lsh, win = o == ORIGIN_LSH, o == ORIGIN_WINNOW
+        fl = BloomFilter(m_bits, k).add(np.concatenate([a[lsh], b[lsh]]))
+        fw = BloomFilter(m_bits, k).add(np.concatenate([a[win], b[win]]))
+        return pa.table(
+            {
+                "lsh": pa.array([fl.words.tobytes()]),
+                "win": pa.array([fw.words.tobytes()]),
+            }
+        )
+
+    refs = candidates.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).to_arrow_refs()
+
+    @ray.remote
+    def or_merge(*parts):
+        lsh = np.zeros(m_bits // 64, dtype=np.uint64)
+        win = np.zeros(m_bits // 64, dtype=np.uint64)
+        for p in parts:
+            for col, acc in (("lsh", lsh), ("win", win)):
+                for chunk in p[col].chunks if hasattr(p[col], "chunks") else [p[col]]:
+                    for buf in chunk:
+                        acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
+        return pa.table({"lsh": pa.array([lsh.tobytes()]), "win": pa.array([win.tobytes()])})
+
+    fanin = 8
+    while len(refs) > 1:
+        refs = [or_merge.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)]
+    final = ray.get(refs[0]) if refs else None
+    if final is None:
+        return BloomFilter(m_bits, k), BloomFilter(m_bits, k)
+    return (
+        BloomFilter(m_bits, k, np.frombuffer(final["lsh"][0].as_py(), np.uint64).copy()),
+        BloomFilter(m_bits, k, np.frombuffer(final["win"][0].as_py(), np.uint64).copy()),
+    )
 
 
 def verify_stage(
@@ -524,15 +587,26 @@ def verify_stage(
         _emit_halves, batch_format="pyarrow", zero_copy_batch=True
     )
     # broadcast semi-join: ship a profile row (and its heavy columns) only to
-    # the docs that can be consumed downstream — see _prep_profile
-    sset_ids, text_ids = _candidate_doc_ids(candidates)
-    if len(sset_ids) + len(text_ids) <= cfg.attach_semijoin_max_ids:
-        sset_ref, text_ref = ray.put(sset_ids), ray.put(text_ids)
+    # the docs that can be consumed downstream — see _prep_profile.  The
+    # exact-vs-Bloom decision is made from the pair COUNT (2 * n_pairs is an
+    # upper bound on distinct ids) BEFORE any id collection, so the driver
+    # never materializes an unbounded id set just to discover it was too big.
+    n_pairs = candidates.count()
+    if 2 * n_pairs <= cfg.attach_semijoin_max_ids:
+        sset_ids, text_ids = _candidate_doc_ids(candidates)
+        members = (SortedIdSet(sset_ids), SortedIdSet(text_ids))
+    elif cfg.attach_bloom_bits_per_id > 0:
+        members = _candidate_bloom_filters(candidates, cfg, 2 * n_pairs)
+    else:  # Bloom disabled: ship every profile row (slower, correct)
+        members = None
+    if members is not None:
+        mem_ref = ray.put(members)
 
         def prep(t: pa.Table) -> pa.Table:
-            return _prep_profile(t, ray.get(sset_ref), ray.get(text_ref))
+            sm, tm = ray.get(mem_ref)
+            return _prep_profile(t, sm, tm)
 
-    else:  # ids too big to broadcast: ship every profile row (slower, correct)
+    else:
         prep = _prep_profile
     prof = profile.select_columns(
         ["doc_id", "simhash", "n_shingles", "norm_text", "shingle_set"]

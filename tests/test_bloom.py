@@ -1,0 +1,92 @@
+"""Bloom / sorted-set membership filters used by the verify attach semi-join."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from image_deduplication_3m_images_ray.functions.bloom import BloomFilter, SortedIdSet
+
+
+def test_sorted_id_set_membership():
+    ids = np.array([3, 7, 7, 100, 2**63], dtype=np.uint64)
+    s = SortedIdSet(np.unique(ids))
+    probe = np.array([0, 3, 6, 7, 100, 2**63, 2**64 - 1], dtype=np.uint64)
+    got = s.contains(probe)
+    assert got.tolist() == [False, True, False, True, True, True, False]
+    assert SortedIdSet(np.empty(0, np.uint64)).contains(probe).sum() == 0
+
+
+def test_bloom_no_false_negatives():
+    rng = np.random.default_rng(7)
+    ids = rng.integers(0, 2**64, size=50_000, dtype=np.uint64)
+    bf = BloomFilter(BloomFilter.size_bits(len(ids), 12), 8).add(ids)
+    assert bf.contains(ids).all()
+
+
+def test_bloom_false_positive_rate():
+    rng = np.random.default_rng(11)
+    ids = rng.integers(0, 2**64, size=50_000, dtype=np.uint64)
+    bf = BloomFilter(BloomFilter.size_bits(len(ids), 12), 8).add(ids)
+    absent = rng.integers(0, 2**64, size=100_000, dtype=np.uint64)
+    absent = absent[~np.isin(absent, ids)]
+    fpr = bf.contains(absent).mean()
+    assert fpr < 0.01, fpr  # theory ~3e-4 at 12 bits/id, k=8
+
+
+def test_bloom_merge_equals_single_build():
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 2**64, size=10_000, dtype=np.uint64)
+    b = rng.integers(0, 2**64, size=10_000, dtype=np.uint64)
+    m = BloomFilter.size_bits(20_000, 12)
+    one = BloomFilter(m, 8).add(np.concatenate([a, b]))
+    merged = BloomFilter(m, 8).add(a).merge(BloomFilter(m, 8).add(b))
+    assert np.array_equal(one.words, merged.words)
+    with pytest.raises(ValueError):
+        BloomFilter(m, 8).merge(BloomFilter(m * 2, 8))
+
+
+def test_bloom_deterministic_and_sizing():
+    ids = np.arange(1000, dtype=np.uint64)
+    m = BloomFilter.size_bits(1000, 12)
+    assert m & (m - 1) == 0 and m >= 12 * 1000
+    w1 = BloomFilter(m, 8).add(ids).words
+    w2 = BloomFilter(m, 8).add(ids[::-1].copy()).words
+    assert np.array_equal(w1, w2)
+    assert BloomFilter.size_bits(0, 12) == 1 << 16  # floor
+    assert BloomFilter.size_bits(10**12, 12, max_bits=1 << 33) == 1 << 33  # ceiling
+    with pytest.raises(ValueError):
+        BloomFilter(100)  # not a power of two
+
+
+def test_distributed_bloom_build_matches_local(ray_session):
+    """_candidate_bloom_filters' tree-OR over per-block partials equals a
+    single local build over the same ids, split by origin."""
+    import ray.data
+    from image_deduplication_3m_images_ray.config import DedupConfig
+    from image_deduplication_3m_images_ray.stages.verify import (
+        ORIGIN_LSH,
+        ORIGIN_WINNOW,
+        _candidate_bloom_filters,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 4000
+    a = rng.integers(0, 2**63, size=n, dtype=np.uint64)
+    b = rng.integers(0, 2**63, size=n, dtype=np.uint64)
+    origin = np.where(rng.random(n) < 0.5, ORIGIN_LSH, ORIGIN_WINNOW).astype(np.int8)
+    t = pa.table(
+        {
+            "doc_a": pa.array(a, pa.uint64()),
+            "doc_b": pa.array(b, pa.uint64()),
+            "origin": pa.array(origin, pa.int8()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+    cfg = DedupConfig()
+    fl, fw = _candidate_bloom_filters(ds, cfg, 2 * n)
+    m = BloomFilter.size_bits(2 * n, cfg.attach_bloom_bits_per_id)
+    lsh_ids = np.concatenate([a[origin == ORIGIN_LSH], b[origin == ORIGIN_LSH]])
+    win_ids = np.concatenate([a[origin == ORIGIN_WINNOW], b[origin == ORIGIN_WINNOW]])
+    assert np.array_equal(fl.words, BloomFilter(m, cfg.attach_bloom_hashes).add(lsh_ids).words)
+    assert np.array_equal(fw.words, BloomFilter(m, cfg.attach_bloom_hashes).add(win_ids).words)
+    assert fl.contains(lsh_ids).all() and fw.contains(win_ids).all()

@@ -101,17 +101,26 @@ def test_cluster_stats_pipeline(ray_session, tiny_corpus):
 
 
 def test_attach_semijoin_equivalent(ray_session, tiny_corpus):
-    """The broadcast semi-join in the verify attach is a pure optimization:
-    disabling it (attach_semijoin_max_ids=0 ships every profile row) must
-    yield a byte-identical report."""
+    """The attach semi-join filter is a pure optimization in all THREE modes:
+    exact sorted-id set (default), distributed Bloom filter (forced by
+    attach_semijoin_max_ids=0), and no filter at all (Bloom also disabled —
+    every profile row ships).  All must yield a byte-identical report."""
     import ray.data
     from image_deduplication_3m_images_ray.pipelines import dedup_pipeline
 
     pages, _ = tiny_corpus
     base = DedupConfig(signature_concurrency=2, join_num_buckets=4)
-    off = DedupConfig(
+    bloom = DedupConfig(
         signature_concurrency=2, join_num_buckets=4, attach_semijoin_max_ids=0
     )
-    r_on = dedup_pipeline(ray.data.from_arrow(pages), base).to_pandas()
+    off = DedupConfig(
+        signature_concurrency=2,
+        join_num_buckets=4,
+        attach_semijoin_max_ids=0,
+        attach_bloom_bits_per_id=0,
+    )
+    r_exact = dedup_pipeline(ray.data.from_arrow(pages), base).to_pandas()
+    r_bloom = dedup_pipeline(ray.data.from_arrow(pages), bloom).to_pandas()
     r_off = dedup_pipeline(ray.data.from_arrow(pages), off).to_pandas()
-    assert r_on.equals(r_off)
+    assert r_exact.equals(r_bloom)
+    assert r_exact.equals(r_off)
