@@ -270,9 +270,11 @@ def group_quantiles(
     differs from numpy in final-bit rounding).  Exact quantiles are not
     combinable, so the single ``key``-sharded exchange ships the (key, value)
     pairs — two int64 columns, nothing else; per shard one lexsort + one
-    vectorized gather per q computes every group at once.  An approximate
-    mergeable-sketch variant (t-digest / KLL) would replace this where
-    shipping the value column is too dear; exactness is the contract here.
+    vectorized gather per q computes every group at once.  The approximate
+    mergeable variant ``extras.sketches.group_quantiles_sketch`` (DDSketch,
+    alpha-relative error, fixed bytes per group) replaces this where shipping
+    the value column is too dear; exactness is the contract here and this
+    operator is the sketch's test oracle.
     """
 
     def prep(t: pa.Table) -> pa.Table:

@@ -1,19 +1,21 @@
-"""Mergeable sketches: HyperLogLog approximate distinct count per group.
+"""Mergeable sketches: HyperLogLog distinct counts and DDSketch quantiles.
 
-The scale path for cardinality questions where shipping every value to a
-groupby is too dear (``group_quantiles``' docstring names the same tradeoff):
-each batch reduces to ONE fixed-size register vector per group it contains
-(2^p bytes — the combiner), vectors merge by elementwise max (associative,
-commutative, idempotent — any partitioning/arrival order gives the identical
-sketch), and the single key-sharded exchange ships #groups x 2^p bytes
-instead of the raw values.  Deterministic by construction: the "randomness"
-is splitmix64 of the value, not an RNG, so reruns and re-partitionings
-produce bit-identical estimates (the repo-wide determinism contract).
+The scale path for questions where shipping every value to a groupby is too
+dear (``group_quantiles``' docstring names the same tradeoff): each batch
+reduces to a small combiner per group it contains, combiners merge by an
+associative/commutative/idempotent-or-additive op (HLL: elementwise max;
+DDSketch: bucket-count sum), and the single key-sharded exchange ships
+sketch bytes instead of raw values.  Deterministic by construction: the
+"randomness" is splitmix64 of the value (HLL) or a pure log-bucket function
+of the value (DDSketch), not an RNG, so reruns and re-partitionings produce
+bit-identical estimates (the repo-wide determinism contract).
 
-No SQL oracle by nature (approximate); pinned by tests against exact distinct
-counts (standard error 1.04/sqrt(2^p) ≈ 1.6% at p=12) and by the
-order-invariance property test.  Flajolet et al.'s HLL with linear counting
-for the small range — public-domain algorithm.
+No SQL oracle by nature (approximate); pinned by tests against the exact
+operators (HLL: standard error 1.04/sqrt(2^p) ≈ 1.6% at p=12; DDSketch:
+relative value error <= alpha) and by order/partitioning-invariance property
+tests.  Both are published public algorithms: Flajolet et al.'s HLL with
+linear counting for the small range, and Masson/Rim/Lee's DDSketch
+(VLDB 2019) relative-error quantiles.
 """
 
 from __future__ import annotations
@@ -123,6 +125,155 @@ def approx_distinct(
         prepped.map_batches(add_shard_key, batch_format="pyarrow", zero_copy_batch=True),
         ["__k"],
         merge_strip,
+        num_shards=num_shards,
+        batch_format="pandas",
+    )
+
+
+# ---------------------------------------------------------------------------
+# DDSketch-style mergeable per-group quantiles (relative-error guarantee)
+# ---------------------------------------------------------------------------
+
+
+def _dd_codes(vals: np.ndarray, gamma: float) -> np.ndarray:
+    """int64 value -> DDSketch bucket code (int32), value-ordered.
+
+    Positive v -> ceil(log_gamma(v)) + 1, negative v -> -(that of |v|),
+    zero -> 0.  Nonzero int64 magnitudes are >= 1 so indices are >= 0 and
+    the code ordering equals the value ordering (negatives: larger magnitude
+    -> more negative code).  Pure function of the value — deterministic.
+    """
+    codes = np.zeros(len(vals), dtype=np.int32)
+    nz = vals != 0
+    if nz.any():
+        mag = np.abs(vals[nz]).astype(np.float64)
+        idx = np.ceil(np.log(mag) / np.log(gamma)).astype(np.int32)
+        codes[nz] = np.where(vals[nz] > 0, idx + 1, -(idx + 1))
+    return codes
+
+
+def _dd_values(codes: np.ndarray, gamma: float) -> np.ndarray:
+    """Bucket code -> representative value (geometric bucket midpoint).
+
+    For gamma^(i-1) < v <= gamma^i the representative 2*gamma^i/(gamma+1)
+    is within a factor (gamma-1)/(gamma+1) = alpha of v — DDSketch's
+    relative-error bound.
+    """
+    out = np.zeros(len(codes), dtype=np.float64)
+    nz = codes != 0
+    idx = np.abs(codes[nz]).astype(np.float64) - 1.0
+    rep = 2.0 * np.power(gamma, idx) / (gamma + 1.0)
+    out[nz] = np.where(codes[nz] > 0, rep, -rep)
+    return out
+
+
+def group_quantiles_sketch(
+    ds: Dataset,
+    key: str,
+    value: str,
+    qs: tuple = (0.25, 0.5, 0.9, 0.99),
+    alpha: float = 0.01,
+    num_shards: int = 64,
+) -> Dataset:
+    """Approximate per-group quantiles (+ exact count) with relative value
+    error <= ``alpha`` — the mergeable scale path next to the exact
+    :func:`~..extras.relational.group_quantiles`.
+
+    Where the exact operator must ship every (key, value) pair (exact
+    quantiles don't combine), this ships one (key, bucket, count) row per
+    DISTINCT log-bucket a group touches per batch — at alpha=1% an int64
+    column spans < 2,300 buckets total, so a billion-row group costs the
+    same exchange bytes as a thousand-row one.  Counts merge by plain sum
+    (associative/commutative), so the estimate is independent of
+    partitioning and arrival order; everything is a pure function of the
+    data (no RNG) per the repo determinism contract.  Quantile rank matches
+    the exact operator's type-1 convention (element at ceil(q*n) - 1), so
+    the exact operator IS the test oracle with an alpha-relative bound.
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError("alpha must be in (0, 1)")
+    gamma = (1.0 + alpha) / (1.0 - alpha)
+
+    def partial(t: pa.Table) -> pa.Table:
+        kcol = t[key]
+        keys = np.asarray(kcol.to_numpy(zero_copy_only=False))
+        vals = np.asarray(
+            pa.compute.cast(t[value], pa.int64()).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        uk, inv = np.unique(keys, return_inverse=True)
+        codes = _dd_codes(vals, gamma)
+        comp = inv.astype(np.int64) << np.int64(32)
+        comp |= (codes.astype(np.int64) + np.int64(1 << 31))
+        u, cnt = np.unique(comp, return_counts=True)
+        gi = (u >> np.int64(32)).astype(np.int64)
+        bc = (u & np.int64(0xFFFFFFFF)) - np.int64(1 << 31)
+        return pa.table(
+            {
+                key: pa.array(uk[gi]),
+                "__bucket": pa.array(bc.astype(np.int32), pa.int32()),
+                "__count": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    def add_shard_key(t: pa.Table) -> pa.Table:
+        kcol = t[key]
+        if pa.types.is_integer(kcol.type):
+            kc = np.asarray(kcol.to_numpy(zero_copy_only=False), dtype=np.int64)
+        else:
+            kc = hash_tokens(
+                np.asarray(kcol.to_numpy(zero_copy_only=False), dtype=object)
+            ).astype(np.int64)
+        return t.append_column("__k", pa.array(kc, pa.int64()))
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns="__k")
+        if not len(g):
+            cols = {key: [], "n_rows": np.empty(0, np.int64)}
+            cols.update({f"p{int(q * 100)}": np.empty(0, np.float64) for q in qs})
+            return pd.DataFrame(cols)
+        keys = g[key].to_numpy()
+        buckets = g["__bucket"].to_numpy(dtype=np.int64)
+        counts = g["__count"].to_numpy(dtype=np.int64)
+        # segment by the REAL key values (hash collisions must never merge)
+        _, kc = np.unique(keys, return_inverse=True)
+        order = np.lexsort((buckets, kc))
+        kc, keys, buckets, counts = kc[order], keys[order], buckets[order], counts[order]
+        # sum counts over equal (group, bucket): the sketch merge
+        same = np.zeros(len(kc), dtype=bool)
+        same[1:] = (kc[1:] == kc[:-1]) & (buckets[1:] == buckets[:-1])
+        seg = np.cumsum(~same) - 1
+        merged_cnt = np.zeros(seg[-1] + 1 if len(seg) else 0, dtype=np.int64)
+        np.add.at(merged_cnt, seg, counts)
+        firsts = np.nonzero(~same)[0]
+        kc, keys, buckets = kc[firsts], keys[firsts], buckets[firsts]
+        bounds = np.concatenate(
+            [[0], np.nonzero(kc[1:] != kc[:-1])[0] + 1, [len(kc)]]
+        ).astype(np.int64)
+        out = {key: [], "n_rows": []}
+        for q in qs:
+            out[f"p{int(q * 100)}"] = []
+        for s in range(len(bounds) - 1):
+            lo, hi = bounds[s], bounds[s + 1]
+            cum = np.cumsum(merged_cnt[lo:hi])
+            n = int(cum[-1])
+            reps = _dd_values(buckets[lo:hi], gamma)
+            out[key].append(keys[lo])
+            out["n_rows"].append(n)
+            for q in qs:
+                r = max(int(np.ceil(q * n)) - 1, 0)  # type-1 rank, 0-based
+                pos = int(np.searchsorted(cum, r + 1))
+                out[f"p{int(q * 100)}"].append(reps[pos])
+        out["n_rows"] = np.asarray(out["n_rows"], dtype=np.int64)
+        return pd.DataFrame(out)
+
+    from ..util import sharded_group_map
+
+    prepped = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded_group_map(
+        prepped.map_batches(add_shard_key, batch_format="pyarrow", zero_copy_batch=True),
+        ["__k"],
+        merge,
         num_shards=num_shards,
         batch_format="pandas",
     )

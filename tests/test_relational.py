@@ -3,6 +3,7 @@
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pytest
 
 
 def test_group_topk_matches_pandas(ray_session):
@@ -219,3 +220,85 @@ def test_pivot_counts(ray_session):
     assert list(out.columns) == ["n_click", "n_error", "n_view"]
     assert list(out.loc[1]) == [2, 0, 1]
     assert list(out.loc[2]) == [0, 1, 1]
+
+
+def test_group_quantiles_sketch_alpha_bound(ray_session):
+    """DDSketch quantiles within alpha relative error of the exact operator
+    (the exact operator IS the oracle, per the round-2 verdict item 6)."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import group_quantiles
+    from image_deduplication_3m_images_ray.extras.sketches import group_quantiles_sketch
+
+    rng = np.random.default_rng(17)
+    n = 20_000
+    keys = rng.integers(0, 7, size=n)
+    # heavy-tailed positives, some negatives, a zero-rich group
+    vals = (np.exp(rng.normal(6, 2, size=n))).astype(np.int64) - 200
+    vals[keys == 6] = 0
+    t = pa.table({"g": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.int64())})
+    ds = ray.data.from_arrow(t).repartition(8)
+    qs = (0.25, 0.5, 0.9, 0.99)
+    alpha = 0.01
+    exact = group_quantiles(ds, "g", "v", qs=qs, num_shards=4).to_pandas().set_index("g")
+    approx = (
+        group_quantiles_sketch(ds, "g", "v", qs=qs, alpha=alpha, num_shards=4)
+        .to_pandas()
+        .set_index("g")
+    )
+    assert (approx["n_rows"] == exact["n_rows"]).all()  # counts are exact
+    for g in exact.index:
+        for q in qs:
+            col = f"p{int(q * 100)}"
+            e, a = float(exact.loc[g, col]), float(approx.loc[g, col])
+            # DDSketch guarantee is on the VALUE: |a - e| <= alpha * |e|
+            # (tiny slack for float log rounding at bucket edges)
+            assert abs(a - e) <= alpha * abs(e) + 1e-9, (g, col, e, a)
+
+
+def test_group_quantiles_sketch_merge_invariance(ray_session):
+    """Bucket-count sum is associative/commutative: any partitioning and
+    shard count yields the bit-identical result (determinism contract)."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.sketches import group_quantiles_sketch
+
+    rng = np.random.default_rng(4)
+    n = 5_000
+    t = pa.table(
+        {
+            "g": pa.array(rng.integers(0, 5, size=n), pa.int64()),
+            "v": pa.array(rng.integers(-1000, 10_000, size=n), pa.int64()),
+        }
+    )
+
+    def run(n_blocks, num_shards):
+        return (
+            group_quantiles_sketch(
+                ray.data.from_arrow(t).repartition(n_blocks), "g", "v", num_shards=num_shards
+            )
+            .to_pandas()
+            .sort_values("g")
+            .reset_index(drop=True)
+        )
+
+    a = run(2, 3)
+    assert a.equals(run(11, 7))
+    assert a.equals(run(5, 1))
+
+
+def test_group_quantiles_sketch_string_key_and_validation(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.sketches import group_quantiles_sketch
+
+    t = pa.table(
+        {
+            "g": pa.array(["a"] * 50 + ["b"] * 50, pa.string()),
+            "v": pa.array(list(range(50)) + list(range(0, 5000, 100)), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+    out = group_quantiles_sketch(ds, "g", "v", qs=(0.5,), alpha=0.02).to_pandas()
+    assert set(out["g"]) == {"a", "b"}
+    med_a = float(out.set_index("g").loc["a", "p50"])
+    assert abs(med_a - 24) <= 0.02 * 24 + 1e-9
+    with pytest.raises(ValueError):
+        group_quantiles_sketch(ds, "g", "v", alpha=1.5)
