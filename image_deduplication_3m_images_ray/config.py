@@ -12,8 +12,13 @@ the probability that a pair with true Jaccard ``s`` shares at least one band is
 while pruning the candidate space aggressively below the threshold.
 
 Winnowing guarantee: any common substring of length >= ``winnow_kgram +
-winnow_window - 1`` chars shares at least one selected fingerprint (Schleimer,
+winnow_window - 1`` BYTES shares at least one selected fingerprint (Schleimer,
 Wilkerson & Aiken, SIGMOD'03), so ``100 + 101 - 1 = 200 = min_substring_len``.
+The CONTRACT unit is characters: an L-char substring spans >= L bytes, so the
+byte-window candidate generator is recall-safe, and the verify seed-extend
+measures match length in complete codepoints before comparing to
+``min_substring_len`` (equal on ASCII; exact on any unicode text — matches
+the SQL oracle's substr/length semantics).
 """
 
 from __future__ import annotations
@@ -40,8 +45,11 @@ class DedupConfig:
     length_ratio_min: float = 0.3     # min(len)/max(len) gate for LSH pairs
 
     # --- substring (suffix/winnowing) pass ---
-    min_substring_len: int = 200      # chars of exact common substring => duplicate
-    winnow_kgram: int = 100           # chars per rolling k-gram
+    min_substring_len: int = 200      # CHARS of exact common substring => duplicate
+                                      # (codepoint unit — verify counts complete
+                                      # codepoints; suffix op windows codepoints)
+    winnow_kgram: int = 100           # BYTES per rolling k-gram (candidate unit;
+                                      # recall-safe for the char contract)
     winnow_window: int = 101          # winnowing window (k + w - 1 == min_substring_len)
 
     # --- skew handling ---

@@ -2,20 +2,24 @@
 
 The alternative design from SURVEY.md §7.2 step 7 (the primary engine uses the
 global winnowing pass in ``stages.winnow``): within each batch/partition,
-find every pair of docs sharing an identical ``min_substring_len``-byte window
-of normalized text.  Partition-local BY DESIGN (the north rule's stated
-assumption): pairs across partitions are not found by this operator —
-co-partition related docs (e.g. by host) upstream, or rely on the winnowing
-pass for global coverage.
+find every pair of docs sharing an identical ``min_substring_len``-CHARACTER
+window of normalized text.  The unit is explicitly CODEPOINTS, matching the
+SQL oracle's ``substr``/``length`` semantics on any unicode text (round-2
+ADVICE item 2 — the old byte windows were a weaker criterion on non-ASCII
+text).  Partition-local BY DESIGN (the north rule's stated assumption):
+pairs across partitions are not found by this operator — co-partition
+related docs (e.g. by host) upstream, or rely on the winnowing pass for
+global coverage.
 
 Contract (SQL-checkable): emit every (doc_a < doc_b) pair whose normalized
-texts share at least one identical length-L substring — exactly the DuckDB
-self-join of the distinct L-gram sets.  Implementation is a rolling-hash
-suffix grouping, NOT a byte-matrix: every L-byte window is hashed in one
-vectorized pass (~8 bytes of state per window vs the L-byte key rows of the
-naive suffix sort — a 25x memory cut at L=200), windows are grouped by hash,
-and groups are verified byte-exactly before emitting pairs, so a 64-bit hash
-collision can never produce a false pair.
+texts share at least one identical length-L character substring — exactly
+the DuckDB self-join of the distinct L-gram sets.  Implementation is a
+rolling-hash suffix grouping over uint32 codepoint arrays, NOT a byte
+matrix: every L-codepoint window is hashed in one vectorized pass (~8 bytes
+of state per window vs the L-symbol key rows of the naive suffix sort),
+windows are grouped by hash, and groups are verified codepoint-exactly
+before emitting pairs, so a 64-bit hash collision can never produce a false
+pair.
 """
 
 from __future__ import annotations
@@ -31,14 +35,17 @@ from ..functions.text import normalize_array
 
 
 def suffix_pairs_in_batch(texts: list, doc_ids: np.ndarray, min_len: int) -> set:
-    """Exact doc pairs sharing a >= min_len-byte substring, within one batch.
+    """Exact doc pairs sharing a >= min_len-CHARACTER substring, within one batch.
 
-    Hash every L-window of every doc (vectorized rolling hash), sort the flat
+    Hash every L-codepoint window of every doc (vectorized rolling hash over
+    the uint32 codepoint array — UTF-32LE view of the text), sort the flat
     (hash, doc, start) stream once, then walk equal-hash runs: within a run,
-    windows are compared byte-exactly (collision guard) and every distinct
-    doc pair sharing identical bytes is emitted.
+    windows are compared codepoint-exactly (collision guard) and every
+    distinct doc pair sharing identical codepoints is emitted.
     """
-    datas = [t.encode("utf-8") for t in texts]
+    datas = [
+        np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32) for t in texts
+    ]
     hash_parts, owner_parts, start_parts = [], [], []
     for i, d in enumerate(datas):
         h = _char_kgram_hashes(d, min_len)
@@ -61,12 +68,12 @@ def suffix_pairs_in_batch(texts: list, doc_ids: np.ndarray, min_len: int) -> set
     for lo, hi in zip(run_starts, run_ends):
         if hi - lo < 2 or owners[lo] == owners[hi - 1]:
             continue  # single window or all windows from one doc
-        # verify bytes within the run; group identical windows -> doc sets
+        # verify codepoints within the run; group identical windows -> doc sets
         by_bytes: dict = {}
         for idx in range(lo, hi):
             o = int(owners[idx])
             s = int(starts[idx])
-            by_bytes.setdefault(datas[o][s : s + min_len], set()).add(o)
+            by_bytes.setdefault(datas[o][s : s + min_len].tobytes(), set()).add(o)
         for docs in by_bytes.values():
             if len(docs) > 1:
                 ds = sorted(docs)

@@ -263,13 +263,19 @@ def minhash_simhash_batch(
 _ROLL_B = U64(0x100000001B5)  # odd base for the char-level rolling hash
 
 
-def _char_kgram_hashes(data: bytes, k: int) -> np.ndarray:
-    """Rolling polynomial hash of every k-byte window of ``data`` (uint64 mod 2^64).
+def _char_kgram_hashes(data, k: int) -> np.ndarray:
+    """Rolling polynomial hash of every k-symbol window of ``data`` (uint64 mod 2^64).
 
-    H(i) = sum_{j<k} data[i+j] * B^(k-1-j); computed via prefix sums weighted by
-    inverse powers of the (odd, hence invertible mod 2^64) base.
+    ``data`` is either UTF-8 ``bytes`` (symbol = byte) or an integer ndarray
+    (symbol = element — e.g. a uint32 codepoint array for character-unit
+    windows).  H(i) = sum_{j<k} data[i+j] * B^(k-1-j); computed via prefix
+    sums weighted by inverse powers of the (odd, hence invertible mod 2^64)
+    base.
     """
-    b = np.frombuffer(data, dtype=np.uint8).astype(U64)
+    if isinstance(data, np.ndarray):
+        b = data.astype(U64)
+    else:
+        b = np.frombuffer(data, dtype=np.uint8).astype(U64)
     n = len(b)
     if n < k:
         return np.empty(0, dtype=U64)
@@ -333,14 +339,18 @@ def sliding_min(hashes: np.ndarray, w: int) -> np.ndarray:
 
 def winnow_fingerprints(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
     """Winnowing (Schleimer et al., SIGMOD'03): the min k-gram hash per window
-    of ``w`` consecutive k-grams, over the UTF-8 bytes of ``text``.
+    of ``w`` consecutive k-grams, over the UTF-8 BYTES of ``text``.
 
     Returns (fingerprint_hashes, byte_positions) of the selected k-grams.
-    Guarantee: two texts sharing a common substring of >= k + w - 1 chars share
-    at least one fingerprint HASH (64-bit hashes are unique within a doc
-    w.h.p., so the selected value pins a position; a value repeated inside one
-    doc keeps its first position — the shared-hash guarantee is unaffected,
-    only the seed position can then point at a different copy).
+    Guarantee: two texts sharing a common substring of >= k + w - 1 BYTES
+    share at least one fingerprint HASH (64-bit hashes are unique within a
+    doc w.h.p., so the selected value pins a position; a value repeated
+    inside one doc keeps its first position — the shared-hash guarantee is
+    unaffected, only the seed position can then point at a different copy).
+    Byte windows are recall-safe for the engine's >= L CHARACTER contract:
+    an L-char substring spans >= L bytes, so with k + w - 1 <= L every
+    qualifying pair still shares a fingerprint; the verify stage measures
+    match length in complete codepoints, restoring character-unit precision.
     """
     data = text.encode("utf-8")
     hashes = _char_kgram_hashes(data, k)

@@ -92,10 +92,11 @@ def oracle_dedup(urls: list, texts: list, cfg: DedupConfig) -> OracleResult:
             for a, b in zip(pi[ok], pj[ok]):
                 res.jaccard_pairs.add((int(a), int(b)))
 
-    # --- exact common substrings >= L bytes: hash every L-window, verify bytes ---
+    # --- exact common substrings >= L CHARS: hash every L-codepoint window,
+    # verify codepoints (unit matches the SQL substr/length oracle) ---
     L = cfg.min_substring_len
     win_hashes, win_docs, win_pos = [], [], []
-    datas = [s.encode("utf-8") for s in norm]
+    datas = [np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32) for s in norm]
     for i, data in enumerate(datas):
         h = _char_kgram_hashes(data, L)
         if len(h):
@@ -120,7 +121,9 @@ def oracle_dedup(urls: list, texts: list, cfg: DedupConfig) -> OracleResult:
                         if di == dj:
                             continue
                         pi, pj = int(P[idx[a_]]), int(P[idx[b_]])
-                        if datas[di][pi : pi + L] == datas[dj][pj : pj + L]:
+                        if np.array_equal(
+                            datas[di][pi : pi + L], datas[dj][pj : pj + L]
+                        ):
                             res.substring_pairs.add((min(di, dj), max(di, dj)))
             start = end
 

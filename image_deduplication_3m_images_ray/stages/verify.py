@@ -65,11 +65,36 @@ _OUT_SCHEMA = pa.schema(
 )
 
 
-def extend_match(ba: bytes, bb: bytes, pos_a: int, pos_b: int, k: int, chunk: int = 128) -> int:
-    """Length of the maximal common run around a shared k-gram seed, in bytes.
+def _utf8_run_chars(data: bytes, lo: int, hi: int) -> int:
+    """Complete codepoints fully inside ``data[lo:hi]`` (a UTF-8 byte run).
 
-    Returns 0 if the seed k-grams differ (fingerprint hash collision).
-    Slice-compare in ``chunk``-byte steps to avoid per-byte Python cost.
+    Lead bytes are those with top bits != 10xxxxxx; a run starting
+    mid-character contributes no lead byte for that character, and a
+    trailing character whose encoded length overruns ``hi`` is excluded.
+    """
+    b = np.frombuffer(data, dtype=np.uint8)[lo:hi]
+    lead = np.nonzero((b & 0xC0) != 0x80)[0]
+    if not len(lead):
+        return 0
+    count = len(lead)
+    c = int(b[lead[-1]])
+    need = 1 if c < 0x80 else 2 if c < 0xE0 else 3 if c < 0xF0 else 4
+    if int(lead[-1]) + need > len(b):
+        count -= 1
+    return count
+
+
+def extend_match(ba: bytes, bb: bytes, pos_a: int, pos_b: int, k: int, chunk: int = 128) -> int:
+    """CHARACTERS in the maximal common byte run around a shared k-gram seed.
+
+    Extension is byte-wise (UTF-8 is self-synchronizing: identical byte runs
+    in two valid UTF-8 texts have aligned character boundaries, so the
+    common character substring is well-defined), then the run is measured in
+    COMPLETE codepoints — the unit of the >= ``min_substring_len``-char
+    contract and of the SQL oracle's substr/length (round-2 ADVICE item 2).
+    On pure-ASCII text this equals the old byte length.  Returns 0 if the
+    seed k-grams differ (fingerprint hash collision).  Slice-compare in
+    ``chunk``-byte steps to avoid per-byte Python cost.
     """
     if ba[pos_a : pos_a + k] != bb[pos_b : pos_b + k]:
         return 0
@@ -95,7 +120,7 @@ def extend_match(ba: bytes, bb: bytes, pos_a: int, pos_b: int, k: int, chunk: in
             lo_a -= 1
             lo_b -= 1
         break
-    return i - lo_a
+    return _utf8_run_chars(ba, lo_a, i)
 
 
 def _consolidate_shard(group: dict, max_seeds: int = 4) -> dict:
@@ -278,9 +303,15 @@ def _attach_shard(group: dict, window: int, k: int) -> dict:
     """Fill each half-row's payload from its co-sharded profile row.
 
     LSH halves receive (simhash, n_shingles, full text); winnow halves a
-    ``window``-byte context slice around the seed (``pos`` rewritten to the
-    slice-local offset).  Halves whose doc id has no profile row (impossible
-    for consistent inputs) are dropped, mirroring the old inner join.
+    ``window``-CHARACTER context slice around the seed (``pos`` rewritten to
+    the slice-local byte offset).  The slice must expose ``window`` complete
+    characters each side so the char-unit seed-extend can prove a
+    >= ``min_substring_len``-char match; character boundaries are found with
+    one vectorized lead-byte scan over a 4*window-byte neighborhood (a char
+    is at most 4 UTF-8 bytes), so pure-ASCII slices are byte-identical to
+    the old byte windows.  Halves whose doc id has no profile row
+    (impossible for consistent inputs) are dropped, mirroring the old inner
+    join.
     """
     side = np.asarray(group["origin"], dtype=np.int8)
     keys = np.asarray(group["key"], dtype=np.uint64)
@@ -309,11 +340,24 @@ def _attach_shard(group: dict, window: int, k: int) -> dict:
     out_sset = sset[src]
     out_pos = np.full(len(half_idx), -1, dtype=np.int64)
     win_rows = np.nonzero(origin == ORIGIN_WINNOW)[0]
+    margin = 4 * window + 8  # chars are <= 4 UTF-8 bytes; +8 covers edge cuts
     for i in win_rows:
         data = out_payload[i]
         p = int(pos[half_idx[i]])
-        lo = max(0, p - window)
-        out_payload[i] = data[lo : min(len(data), p + k + window)]
+        scan_lo = max(0, p - margin)
+        scan_hi = min(len(data), p + k + margin)
+        b = np.frombuffer(data, dtype=np.uint8)[scan_lo:scan_hi]
+        lead = (b & 0xC0) != 0x80
+        left = np.nonzero(lead[: p - scan_lo])[0]
+        lo = scan_lo + (int(left[-window]) if len(left) >= window else 0)
+        rel_end = min(p + k, len(data)) - scan_lo
+        right = np.nonzero(lead[rel_end:])[0]
+        hi = (
+            scan_lo + rel_end + int(right[window])
+            if len(right) > window
+            else min(len(data), scan_hi)
+        )
+        out_payload[i] = data[lo:hi]
         out_pos[i] = p - lo
     lsh_rows = origin == ORIGIN_LSH
     out_payload[lsh_rows] = None  # text never ships for LSH halves

@@ -10,10 +10,12 @@ a longer one — FIXTURES.md `substring_dup`).
 Mechanism (Schleimer, Wilkerson & Aiken, SIGMOD'03 winnowing): every doc emits
 a sparse, deterministic set of (k-gram hash, byte position) fingerprints with
 the guarantee that any common substring of length >= k + w - 1 =
-``min_substring_len`` yields at least one *shared* fingerprint hash.  A
+``min_substring_len`` BYTES yields at least one *shared* fingerprint hash —
+recall-safe for the >= L CHARACTER contract since L chars span >= L bytes.  A
 groupby on the fingerprint hash then surfaces candidate doc pairs together
 with the byte positions where the shared k-gram occurs; the verify stage
-seed-extends at those positions to measure the true match length.
+seed-extends at those positions and measures the true match length in
+complete codepoints (char-unit precision).
 
 Unlike a partition-local suffix-array pass (SURVEY.md §7.2 step 7), this
 formulation is *global* — substring pairs are found across partition
