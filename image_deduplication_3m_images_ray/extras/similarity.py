@@ -90,13 +90,25 @@ def ann_brute_force_topk(
     return partial.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
 
 
-def hyperplane_signatures(matrix: np.ndarray, n_bits: int, seed: int) -> np.ndarray:
-    """Random-hyperplane LSH signature per row (uint64, n_bits <= 64)."""
+def _hyperplane_margins(matrix: np.ndarray, n_bits: int, seed: int) -> np.ndarray:
+    """(n, n_bits) signed projections onto the table's random hyperplanes.
+
+    The sign pattern IS the signature; the magnitudes rank which bits are
+    nearest their plane (multi-probe flips the smallest-margin bits first).
+    """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((matrix.shape[1], n_bits))
-    bits = (matrix @ planes) >= 0
-    weights = (U64(1) << np.arange(n_bits, dtype=U64))[None, :]
+    return matrix @ planes
+
+
+def _bits_to_sig(bits: np.ndarray) -> np.ndarray:
+    weights = (U64(1) << np.arange(bits.shape[1], dtype=U64))[None, :]
     return (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+
+
+def hyperplane_signatures(matrix: np.ndarray, n_bits: int, seed: int) -> np.ndarray:
+    """Random-hyperplane LSH signature per row (uint64, n_bits <= 64)."""
+    return _bits_to_sig(_hyperplane_margins(matrix, n_bits, seed) >= 0)
 
 
 def hyperplane_lsh_buckets(
@@ -195,22 +207,27 @@ def ann_lsh_topk(
     n_bits: int = 8,
     seed: int = 42,
     n_tables: int = 1,
+    multiprobe: int = 0,
     num_shards: int = 64,
     batch_size: int = 4096,
 ) -> Dataset:
     """Approximate top-k: each query scans only corpus rows sharing one of
-    its ``n_tables`` hyperplane buckets.
+    its ``n_tables`` hyperplane buckets (plus ``multiprobe`` nearby buckets).
 
     Scale shape (round-2 verdict item 4 — no per-bucket Python calls): the
-    probed-bucket set (<= n_queries * n_tables sorted signatures) is tiny and
-    broadcast once; corpus rows whose bucket no query probes are dropped AT
-    THE MAP, so only candidate rows enter the exchange at all; survivors
-    route through ``sharded_group_map`` — ONE Python call per hash shard with
-    a vectorized segmented scan (lexsort + boundaries + per-bucket matmul),
-    regardless of how many buckets exist.  Multi-table probing raises recall
-    exactly as in :func:`hyperplane_cosine_pairs` (tables drawn by
-    :func:`_table_signatures`, sizing via :func:`lsh_params_for_recall`);
-    duplicate (query, vec) hits across tables collapse in the final merge.
+    probed-bucket set (<= n_queries * n_tables * (1 + multiprobe) sorted
+    signatures) is tiny and broadcast once; corpus rows whose bucket no query
+    probes are dropped AT THE MAP, so only candidate rows enter the exchange
+    at all; survivors route through ``sharded_group_map`` — ONE Python call
+    per hash shard with a vectorized segmented scan (lexsort + boundaries +
+    per-bucket matmul), regardless of how many buckets exist.  Multi-table
+    probing raises recall exactly as in :func:`hyperplane_cosine_pairs`
+    (tables drawn by :func:`_table_signatures`, sizing via
+    :func:`lsh_params_for_recall`); ``multiprobe`` additionally probes, per
+    table, the ``multiprobe`` buckets reached by flipping the query's
+    SMALLEST-margin signature bits (Lv et al., VLDB'07 multi-probe LSH) —
+    recall per broadcast byte without touching the corpus-side index.
+    Duplicate (query, vec) hits across probes collapse in the final merge.
     """
     import ray as _ray
 
@@ -218,8 +235,23 @@ def ann_lsh_topk(
 
     q = _l2_normalize(np.asarray(queries, dtype=np.float64))
     q_ids = np.asarray(query_ids, dtype=np.int64)
-    qb = np.concatenate(_table_signatures(q, n_bits, seed, n_tables))
-    qi = np.tile(np.arange(len(q_ids)), n_tables)
+    nq = len(q_ids)
+    multiprobe = min(multiprobe, n_bits)
+    qb_parts, qi_parts = [], []
+    for tbl in range(n_tables):
+        margins = _hyperplane_margins(q, n_bits, seed + 7919 * tbl)
+        sig = _bits_to_sig(margins >= 0)
+        salt = U64(tbl) << U64(48)
+        qb_parts.append(splitmix64(sig ^ salt))
+        qi_parts.append(np.arange(nq))
+        if multiprobe:
+            flip_rank = np.argsort(np.abs(margins), axis=1)[:, :multiprobe]
+            for m in range(multiprobe):
+                flipped = sig ^ (U64(1) << flip_rank[:, m].astype(U64))
+                qb_parts.append(splitmix64(flipped ^ salt))
+                qi_parts.append(np.arange(nq))
+    qb = np.concatenate(qb_parts)
+    qi = np.concatenate(qi_parts)
     order = np.lexsort((qi, qb))
     qb, qi = qb[order], qi[order]  # sorted bucket -> probing query rows
     ref = _ray.put((qb, qi, q_ids, q))

@@ -166,8 +166,8 @@ def dedup_pipeline(
         # running them concurrently in one streaming DAG measured 1.7x slower
         # (31.8 s vs 19.2 s at 16 cpus on 100k docs) — same concurrent
         # all-to-all thrashing as the stage-boundary pins above
-        lsh = pin(lsh_pairs_stage(band_postings_stage(profile, cfg), cfg, dedup=False))
-        wp = pin(winnow_pairs_stage(fingerprint_stage(profile, cfg), cfg))
+        lsh = pin(lsh_pairs_stage(band_postings_stage(profile, cfg), cfg, dedup=False), "lsh_pairs")
+        wp = pin(winnow_pairs_stage(fingerprint_stage(profile, cfg), cfg), "winnow_pairs")
         return consolidate_candidates(lsh.union(wp), cfg)
 
     candidates = pin_named("candidate_pairs")(

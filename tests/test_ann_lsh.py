@@ -120,3 +120,28 @@ def test_hyperplane_pairs_target_recall(ray_session):
     assert got <= truth  # precision exact: every emitted cosine is computed
     rec = len(got & truth) / len(truth)
     assert rec >= 0.85, rec
+
+
+def test_ann_lsh_multiprobe_recall_monotone(ray_session):
+    """Flipping smallest-margin bits probes adjacent buckets: recall at
+    multiprobe=3 must be >= plain single-table recall, with no dup hits."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.similarity import ann_lsh_topk
+
+    tbl, m = _planted(n_base=150, noise=0.08, seed=21)
+    n_base = len(m) // 2
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    q_idx = np.arange(n_base)
+
+    def recall(multiprobe):
+        out = ann_lsh_topk(
+            ds, m[q_idx], q_idx, k=3, n_bits=16, n_tables=1,
+            multiprobe=multiprobe, num_shards=8,
+        ).to_pandas()
+        assert not out.duplicated(["query_id", "vec_id"]).any()
+        found = out.groupby("query_id")["vec_id"].apply(set)
+        return np.mean([qi + n_base in found.get(qi, set()) for qi in q_idx])
+
+    r0, r3 = recall(0), recall(3)
+    assert r3 >= r0
+    assert r3 >= min(1.0, r0 + 0.05), (r0, r3)  # 3 extra probes must help here
