@@ -3,7 +3,7 @@
 Computes, with NO Ray and no LSH approximation:
 - all-pairs exact token-shingle Jaccard (pruned only by the *provable*
   size-ratio bound |A|/|B| >= t),
-- all-pairs exact common-substring detection (every L-byte window hashed, hash
+- all-pairs exact common-substring detection (every L-codepoint window hashed, hash
   collisions re-verified against the actual bytes),
 - union-find clustering over the resulting dup pairs,
 - the expected report statuses (best = max quality, url tie-break).
