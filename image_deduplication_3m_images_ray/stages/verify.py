@@ -585,6 +585,10 @@ def _candidate_bloom_filters(
         lsh = np.zeros(m_bits // 64, dtype=np.uint64)
         win = np.zeros(m_bits // 64, dtype=np.uint64)
         for p in parts:
+            # empty input blocks pass through map_batches without the UDF
+            # running, so they arrive with the candidates schema — skip them
+            if p.num_rows == 0 or "lsh" not in p.schema.names:
+                continue
             for col, acc in (("lsh", lsh), ("win", win)):
                 for chunk in p[col].chunks if hasattr(p[col], "chunks") else [p[col]]:
                     for buf in chunk:

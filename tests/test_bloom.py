@@ -90,3 +90,30 @@ def test_distributed_bloom_build_matches_local(ray_session):
     assert np.array_equal(fl.words, BloomFilter(m, cfg.attach_bloom_hashes).add(lsh_ids).words)
     assert np.array_equal(fw.words, BloomFilter(m, cfg.attach_bloom_hashes).add(win_ids).words)
     assert fl.contains(lsh_ids).all() and fw.contains(win_ids).all()
+
+
+def test_distributed_bloom_build_tolerates_empty_blocks(ray_session):
+    """Empty input blocks pass through map_batches with the ORIGINAL candidates
+    schema (Ray Data skips the UDF on zero-row blocks); the tree-OR must skip
+    them instead of KeyError-ing on the missing partial columns."""
+    import ray.data
+    from image_deduplication_3m_images_ray.config import DedupConfig
+    from image_deduplication_3m_images_ray.stages.verify import (
+        ORIGIN_LSH,
+        _candidate_bloom_filters,
+    )
+
+    ids = np.arange(1, 33, dtype=np.uint64)
+    t = pa.table(
+        {
+            "doc_a": pa.array(ids, pa.uint64()),
+            "doc_b": pa.array(ids + 1000, pa.uint64()),
+            "origin": pa.array(np.full(len(ids), ORIGIN_LSH, np.int8), pa.int8()),
+        }
+    )
+    empty = t.slice(0, 0)
+    ds = ray.data.from_arrow([t, empty, empty])
+    cfg = DedupConfig()
+    fl, fw = _candidate_bloom_filters(ds, cfg, 2 * len(ids))
+    assert fl.contains(ids).all() and fl.contains(ids + 1000).all()
+    assert not fw.contains(ids).any()
