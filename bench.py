@@ -282,7 +282,7 @@ def run_scaling() -> dict:
     t_lo = r_lo["queries"]["dedup_pipeline"]
     t_hi = r_hi["queries"]["dedup_pipeline"]
     eff = (t_lo / t_hi) / (hi / lo)
-    return {
+    result = {
         "metric": f"dedup pipeline scaling (num_cpus {lo} vs {hi}, fresh processes)",
         f"sec_{lo}": t_lo,
         f"sec_{hi}": t_hi,
@@ -294,6 +294,13 @@ def run_scaling() -> dict:
         "bench_pages": r_lo["bench_pages"],
         "sf": r_lo["sf"],
     }
+    # per-stage wall-time attribution (GRAFT_STAGE_TIMING=1 in the child
+    # env): itemizes the residual serial fraction per pinned exchange so
+    # the efficiency loss is attributable, not just a single ratio
+    if "stages" in r_lo:
+        result[f"stages_{lo}"] = r_lo["stages"]
+        result[f"stages_{hi}"] = r_hi["stages"]
+    return result
 
 
 if __name__ == "__main__":
