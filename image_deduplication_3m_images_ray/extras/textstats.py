@@ -457,20 +457,95 @@ def _bench_gram_ref(bench: Dataset, n: int):
     return _ray.put(np.unique(bg))
 
 
+def _count_distinct_flagged(
+    g: np.ndarray, doc_of: np.ndarray, n_rows: int, m: np.ndarray
+) -> np.ndarray:
+    """Per-row count of DISTINCT ``g`` values (str or u64) where ``m`` holds."""
+    hits = np.zeros(n_rows, dtype=np.int64)
+    gh, dh = g[m], doc_of[m]
+    if len(gh):
+        order = np.lexsort((gh, dh))
+        gh, dh = gh[order], dh[order]
+        first = np.ones(len(gh), dtype=bool)
+        first[1:] = (dh[1:] != dh[:-1]) | (gh[1:] != gh[:-1])
+        hits = np.bincount(dh[first], minlength=n_rows).astype(np.int64)
+    return hits
+
+
 def _contamination_hits(text: pa.Array, bset: np.ndarray, n: int) -> np.ndarray:
     """Per-row count of DISTINCT word-``n``-grams present in ``bset``."""
     g, doc_of, n_rows = _word_ngram_strings(text, n)
-    hits = np.zeros(n_rows, dtype=np.int64)
-    if len(g) and len(bset):
-        m = np.isin(g, bset)
-        gh, dh = g[m], doc_of[m]
-        if len(gh):
-            order = np.lexsort((gh, dh))
-            gh, dh = gh[order], dh[order]
-            first = np.ones(len(gh), dtype=bool)
-            first[1:] = (dh[1:] != dh[:-1]) | (gh[1:] != gh[:-1])
-            hits = np.bincount(dh[first], minlength=n_rows)
-    return hits.astype(np.int64)
+    if not (len(g) and len(bset)):
+        return np.zeros(n_rows, dtype=np.int64)
+    return _count_distinct_flagged(g, doc_of, n_rows, np.isin(g, bset))
+
+
+def _word_ngram_hashes(text_col, n: int):
+    """Hash-domain analog of :func:`_word_ngram_strings`: flat u64 word-
+    ``n``-gram hashes (docs with fewer than ``n`` words contribute none).
+
+    Tokens are siphashed (:func:`...functions.hashing.hash_tokens`) and
+    combined with the flagship's rolling polynomial shingle kernel
+    (:func:`...functions.hashing.shingle_hashes_flat`), so any two sides
+    using this helper agree by construction — no gram strings are ever
+    materialized.  Returns ``(gram_hashes, doc_of, n_rows)``.
+    """
+    from ..functions.hashing import hash_tokens, shingle_hashes_flat
+
+    toks = pc.split_pattern(text_col, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+    sh, soffs = shingle_hashes_flat(hash_tokens(flat), offs, n)
+    lengths = np.diff(offs)
+    n_rows = len(lengths)
+    doc_of = np.repeat(np.arange(n_rows, dtype=np.int64), np.diff(soffs))
+    # shingle_hashes_flat gives short docs one sentinel shingle (the flagship
+    # wants exact short-doc copies to collide); n-gram semantics want ZERO
+    # grams for docs with < n words — drop those sentinels
+    keep = np.ones(len(sh), dtype=bool)
+    keep[soffs[:-1][lengths < n]] = False
+    return sh[keep], doc_of[keep], n_rows
+
+
+def _bench_bloom_ref(
+    bench: Dataset, n: int, bits_per_gram: int, n_hashes: int, max_bits: int
+):
+    """Distributed Bloom filter over the benchmark's word-``n``-gram hashes,
+    put ONCE into the object store for broadcast reads in every task.
+
+    Pass 1 is a cheap scalar-per-block gram-count upper bound (sizes the
+    filter); pass 2 builds per-block partials OR-merged by a task tree
+    (:func:`...functions.bloom.build_bloom_distributed`) — no gram hash ever
+    reaches the driver, and the broadcast object is ``m_bits/8`` bytes no
+    matter how many grams the benchmark holds.
+    """
+    import ray as _ray
+
+    from ..functions.bloom import BloomFilter, build_bloom_distributed
+
+    bench_text = bench.select_columns(["text"])
+
+    def count_grams(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern(t["text"], pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        lengths = np.diff(toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table({"n": pa.array([int(np.maximum(lengths - (n - 1), 0).sum())])})
+
+    n_upper = sum(
+        r["n"]
+        for r in bench_text.map_batches(
+            count_grams, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+        ).take_all()
+    )
+    m_bits = BloomFilter.size_bits(max(n_upper, 1), bits_per_gram, max_bits)
+    bloom = build_bloom_distributed(
+        bench_text, lambda t: _word_ngram_hashes(t["text"], n)[0], m_bits, n_hashes
+    )
+    return _ray.put(bloom)
 
 
 def contamination_stats(
@@ -505,6 +580,55 @@ def contamination_stats(
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
 
 
+def contamination_stats_bloom(
+    docs: Dataset,
+    bench: Dataset,
+    n: int = 8,
+    bits_per_gram: int = 12,
+    n_hashes: int = 8,
+    max_bits: int = 1 << 33,
+    batch_size: int = 4096,
+) -> Dataset:
+    """Decontamination SCALE path: fixed-size Bloom broadcast of the bench set.
+
+    :func:`contamination_stats`' ``ray.put`` object grows with the
+    benchmark's distinct gram count — right when the benchmark corpus is
+    tiny, impossible when the held-out suite is itself web-scale.  This
+    variant broadcasts a Bloom filter of the benchmark's gram HASHES
+    (``m_bits/8`` bytes regardless of gram count, capped at ``max_bits``),
+    built distributed so no gram ever reaches the driver.
+
+    Error direction is the safe one for training-data hygiene: Bloom false
+    positives and 64-bit gram-hash collisions can only ADD contamination
+    hits (over-removal of training docs); a doc that truly shares a gram
+    with the benchmark is ALWAYS flagged — no false negatives, by
+    construction.  ``n_contaminated`` counts distinct contaminated gram
+    hashes (== distinct grams absent 64-bit collisions).  Same output
+    schema as :func:`contamination_stats`, which remains the exact
+    pytest oracle (`tests/test_extras.py`).
+    """
+    import ray as _ray
+
+    bloom_ref = _bench_bloom_ref(bench, n, bits_per_gram, n_hashes, max_bits)
+
+    def fn(t: pa.Table) -> pa.Table:
+        bloom = _ray.get(bloom_ref)
+        g, doc_of, n_rows = _word_ngram_hashes(t["text"], n)
+        if len(g):
+            hits = _count_distinct_flagged(g, doc_of, n_rows, bloom.contains(g))
+        else:
+            hits = np.zeros(n_rows, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_contaminated": pa.array(hits, pa.int64()),
+                "contaminated": pa.array((hits > 0).astype(np.int32), pa.int32()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
 def clean_corpus(
     docs: Dataset,
     bench: Dataset,
@@ -513,6 +637,8 @@ def clean_corpus(
     max_rep_ratio: float = 0.2,
     rep_n: int = 3,
     contam_n: int = 8,
+    contam_bloom: bool = False,
+    contam_bloom_bits_per_gram: int = 12,
     batch_size: int = 4096,
 ) -> Dataset:
     """The composed LLM-training-data hygiene filter, fused into ONE pass.
@@ -527,10 +653,20 @@ def clean_corpus(
     text, zero shuffles, instead of four separate passes joined on doc_id —
     the operator-fusion shape a 100 TB corpus pass needs.  Output:
     (doc_id, quality, rep_ratio, n_contaminated) for the survivors.
+
+    ``contam_bloom=True`` swaps the exact broadcast gram set for the
+    fixed-size Bloom filter of :func:`contamination_stats_bloom` — same
+    fused single pass, but the broadcast no longer grows with the benchmark
+    (false positives only over-remove; no contaminated doc ever survives).
     """
     import ray as _ray
 
-    bench_ref = _bench_gram_ref(bench, contam_n)
+    if contam_bloom:
+        bench_ref = _bench_bloom_ref(
+            bench, contam_n, contam_bloom_bits_per_gram, 8, 1 << 33
+        )
+    else:
+        bench_ref = _bench_gram_ref(bench, contam_n)
 
     def fn(t: pa.Table) -> pa.Table:
         if lang is not None:
@@ -538,7 +674,16 @@ def clean_corpus(
         _, _, _, score = _quality_arrays(t["text"])
         n_grams, n_distinct = _repetition_arrays(t["text"], rep_n)
         rep_ratio = (n_grams - n_distinct) / np.maximum(n_grams, 1)
-        hits = _contamination_hits(t["text"], _ray.get(bench_ref), contam_n)
+        if contam_bloom:
+            bloom = _ray.get(bench_ref)
+            g, doc_of, n_rows = _word_ngram_hashes(t["text"], contam_n)
+            hits = (
+                _count_distinct_flagged(g, doc_of, n_rows, bloom.contains(g))
+                if len(g)
+                else np.zeros(n_rows, dtype=np.int64)
+            )
+        else:
+            hits = _contamination_hits(t["text"], _ray.get(bench_ref), contam_n)
         keep = (score >= min_quality) & (rep_ratio <= max_rep_ratio) & (hits == 0)
         return pa.table(
             {

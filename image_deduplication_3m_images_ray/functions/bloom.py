@@ -120,3 +120,49 @@ class BloomFilter:
     def fill_fraction(self) -> float:
         """Fraction of set bits — a cheap saturation diagnostic."""
         return float(np.unpackbits(self.words.view(np.uint8)).mean())
+
+
+def build_bloom_distributed(ds, ids_of_batch, m_bits: int, n_hashes: int = 8) -> BloomFilter:
+    """Distributed Bloom build over ``ids_of_batch(block) -> uint64[]``.
+
+    Per-block partial filters (fixed ``m_bits/8`` bytes each regardless of
+    block id count) are built inside ``map_batches`` and OR-merged by a
+    fan-in-8 tree of Ray tasks — the driver only ever holds object refs plus
+    the single final filter, never raw ids.  Empty input blocks pass through
+    ``map_batches`` without the UDF running (they keep the input schema) and
+    are skipped at merge time.
+    """
+    import pyarrow as pa
+    import ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        f = BloomFilter(m_bits, n_hashes).add(ids_of_batch(t))
+        return pa.table({"bloom_words": pa.array([f.words.tobytes()])})
+
+    refs = ds.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).to_arrow_refs()
+
+    @ray.remote
+    def or_merge(*parts):
+        acc = np.zeros(m_bits // 64, dtype=U64)
+        for p in parts:
+            if p.num_rows == 0 or "bloom_words" not in p.schema.names:
+                continue
+            col = p["bloom_words"]
+            for chunk in col.chunks if hasattr(col, "chunks") else [col]:
+                for buf in chunk:
+                    acc |= np.frombuffer(buf.as_py(), dtype=U64)
+        return pa.table({"bloom_words": pa.array([acc.tobytes()])})
+
+    fanin = 8
+    while len(refs) > 1:
+        refs = [or_merge.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)]
+    if not refs:
+        return BloomFilter(m_bits, n_hashes)
+    final = ray.get(refs[0])
+    if final.num_rows == 0 or "bloom_words" not in final.schema.names:
+        return BloomFilter(m_bits, n_hashes)
+    return BloomFilter(
+        m_bits, n_hashes, np.frombuffer(final["bloom_words"][0].as_py(), U64).copy()
+    )

@@ -753,3 +753,101 @@ def test_doc_fingerprints_vectorized_matches_naive(ray_session):
         assert out.loc[i, "fp_xor"] == (
             int(np.bitwise_xor.reduce(h)) if len(h) else 0
         )
+
+
+def test_word_ngram_hashes_parity_with_strings():
+    """The hash-domain gram helper emits exactly one hash per string gram,
+    mapped to the same doc, and distinct strings get distinct hashes here."""
+    import numpy as np
+    from image_deduplication_3m_images_ray.extras.textstats import (
+        _word_ngram_hashes,
+        _word_ngram_strings,
+    )
+
+    text = pa.array(
+        ["the quick brown fox jumps", "ab", "", "one two three", "x y z w v u"]
+    )
+    for n in (2, 3, 4):
+        gs, doc_s, rows_s = _word_ngram_strings(text, n)
+        gh, doc_h, rows_h = _word_ngram_hashes(text, n)
+        assert rows_s == rows_h == 5
+        assert np.array_equal(doc_s, doc_h)          # same gram->doc layout
+        assert len(gh) == len(gs)
+        # equal strings <-> equal hashes on this collision-free input
+        _, inv_s = np.unique(gs, return_inverse=True)
+        _, inv_h = np.unique(gh, return_inverse=True)
+        assert len(np.unique(gs)) == len(np.unique(gh))
+        # same partition into equality classes
+        assert len(np.unique(inv_s * 10_000 + inv_h)) == len(np.unique(gs))
+
+
+def test_contamination_stats_bloom_matches_exact(ray_session):
+    """The Bloom scale path agrees with the exact operator on a planted
+    corpus (zero FPs at this fill), and can never miss a contaminated doc."""
+    import numpy as np
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import (
+        contamination_stats,
+        contamination_stats_bloom,
+    )
+
+    rng = np.random.default_rng(7)
+    bench_rows = [" ".join(f"b{i}_{j}" for j in range(30)) for i in range(20)]
+    clean_rows = [
+        " ".join(f"w{rng.integers(0, 5000)}" for _ in range(60)) for _ in range(150)
+    ]
+    # plant bench 8-grams into some docs
+    dirty_rows = [r + " " + " ".join(f"b{i}_{j}" for j in range(8)) for i, r in
+                  enumerate(clean_rows[:10])]
+    texts = bench_rows + clean_rows + dirty_rows
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    bench = ray.data.from_arrow(pa.table({"text": pa.array(bench_rows)}))
+    exact = (
+        contamination_stats(ray.data.from_arrow(docs), bench, n=8)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    bloom = (
+        contamination_stats_bloom(ray.data.from_arrow(docs), bench, n=8)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # no false negatives: every exactly-contaminated doc is bloom-flagged
+    assert (bloom["contaminated"] >= exact["contaminated"]).all()
+    assert (bloom["n_contaminated"] >= exact["n_contaminated"]).all()
+    # and at this fill fraction the deterministic filter has zero FPs
+    assert bloom["contaminated"].equals(exact["contaminated"])
+    assert bloom["n_contaminated"].equals(exact["n_contaminated"])
+    # determinism: a rebuilt filter yields the identical result
+    bloom2 = (
+        contamination_stats_bloom(ray.data.from_arrow(docs), bench, n=8)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert bloom.equals(bloom2)
+
+
+def test_clean_corpus_bloom_gate(ray_session):
+    """clean_corpus(contam_bloom=True) drops the same docs as the exact gate."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import clean_corpus
+
+    good = "unique words " + " ".join(f"tok{i}" for i in range(200))
+    bench_text = " ".join(f"bench{i}" for i in range(20))
+    contaminated = good + " " + " ".join(f"bench{i}" for i in range(8))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(3), pa.int64()),
+            "text": pa.array([good, contaminated, good + " extra"], pa.string()),
+            "lang": pa.array(["en", "en", "en"], pa.string()),
+        }
+    )
+    bench = ray.data.from_arrow(pa.table({"text": pa.array([bench_text], pa.string())}))
+    kw = dict(lang="en", min_quality=10.0, max_rep_ratio=0.5)
+    exact = clean_corpus(ray.data.from_arrow(t), bench, **kw).to_pandas()
+    blm = clean_corpus(
+        ray.data.from_arrow(t), bench, contam_bloom=True, **kw
+    ).to_pandas()
+    assert sorted(exact["doc_id"]) == sorted(blm["doc_id"]) == [0, 2]
