@@ -851,3 +851,26 @@ def test_clean_corpus_bloom_gate(ray_session):
         ray.data.from_arrow(t), bench, contam_bloom=True, **kw
     ).to_pandas()
     assert sorted(exact["doc_id"]) == sorted(blm["doc_id"]) == [0, 2]
+
+
+def test_contamination_stats_bloom_empty_bench(ray_session):
+    """An empty benchmark set yields zero hits (filter floor-sized, all-zero)."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import (
+        contamination_stats_bloom,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2], pa.int64()),
+            "text": pa.array([" ".join(f"w{i}" for i in range(20)), ""]),
+        }
+    )
+    bench = ray.data.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+    out = (
+        contamination_stats_bloom(ray.data.from_arrow(docs), bench, n=8)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    assert list(out["n_contaminated"]) == [0, 0]
+    assert list(out["contaminated"]) == [0, 0]
