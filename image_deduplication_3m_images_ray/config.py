@@ -88,7 +88,16 @@ class DedupConfig:
                                       # above the bound a distributed Bloom
                                       # filter engages instead (same contract:
                                       # false positives only ship extra rows,
-                                      # never drop one)
+                                      # never drop one).  The 2*n_pairs bound
+                                      # is deliberately CONSERVATIVE: on
+                                      # dup-heavy corpora (many pairs over few
+                                      # docs) it flips to the Bloom path well
+                                      # before the exact id set would overflow
+                                      # — costing only the Bloom's extra FP
+                                      # rows, never correctness (round-3
+                                      # ADVICE item 3; a cheap HLL estimate
+                                      # could refine it if that margin ever
+                                      # shows up in a profile)
     attach_bloom_bits_per_id: int = 12  # Bloom sizing above the exact-set
                                       # bound (~3e-4 fp rate with 8 hashes);
                                       # <= 0 disables the Bloom path entirely

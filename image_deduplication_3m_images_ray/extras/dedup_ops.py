@@ -594,7 +594,7 @@ def embedding_cosine_pairs(
       the table; rows are bucketed by ``n_tables`` random-hyperplane LSH
       sketches (``extras.similarity.hyperplane_cosine_pairs``) and compared
       within buckets.  Recall < 1 by construction (raised by ``n_tables`` —
-      see ``similarity.lsh_tables_for_recall``); precision is exact (every
+      see ``similarity.lsh_params_for_recall``); precision is exact (every
       emitted pair's cosine is computed).
     """
     import ray as _ray
@@ -651,7 +651,7 @@ def segment_dedup(docs: Dataset, seg_tokens: int = 10, num_shards: int = 64) -> 
     same shape as the inverted-index posting join.
     """
     from ..functions.hashing import _ranges, hash_tokens, splitmix64
-    from ..functions.text import normalize_array
+    from ..functions.text import flat_utf8_view, normalize_array
     from ..util import sharded_group_map
 
     W = seg_tokens
@@ -659,11 +659,7 @@ def segment_dedup(docs: Dataset, seg_tokens: int = 10, num_shards: int = 64) -> 
     def explode(t: pa.Table) -> pa.Table:
         norm = normalize_array(t["text"])
         arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
-        offs = np.frombuffer(arr.buffers()[1], np.int32)[
-            arr.offset : arr.offset + len(arr) + 1
-        ].astype(np.int64)
-        data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0] : offs[-1]]
-        offs = offs - offs[0]
+        offs, data = flat_utf8_view(arr)
         ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
         doc_start, doc_end = offs[:-1], offs[1:]
         nonempty = doc_end > doc_start

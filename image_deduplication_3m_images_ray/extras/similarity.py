@@ -325,7 +325,7 @@ def hyperplane_cosine_pairs(
     seed: int = 42,
     batch_size: int = 4096,
     num_shards: int = 64,
-    target_recall: float = None,
+    target_recall: float | None = None,
 ) -> Dataset:
     """Approximate cosine >= t pairs without ever materializing the table.
 

@@ -16,7 +16,7 @@ from ray.data import Dataset
 
 from ..config import DedupConfig
 from ..functions.hashing import _ranges, winnow_fingerprints
-from ..functions.text import normalize_array
+from ..functions.text import flat_utf8_view, normalize_array
 
 
 def token_stats(docs: Dataset, batch_size: int = 4096) -> Dataset:
@@ -67,11 +67,7 @@ def bpe_counts(norm: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     One byte-class run-length pass over the flat UTF-8 buffer; class changes
     and row boundaries mark token starts (see :func:`bpe_token_stats`)."""
     arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
-    offs = np.frombuffer(arr.buffers()[1], np.int32)[
-        arr.offset : arr.offset + len(arr) + 1
-    ].astype(np.int64)
-    data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0] : offs[-1]]
-    offs = offs - offs[0]
+    offs, data = flat_utf8_view(arr)
     cls = _BPE_CLS[data]
     start = np.ones(len(cls), dtype=bool)
     if len(cls) > 1:
@@ -270,11 +266,7 @@ def doc_fingerprints(
         norm = normalize_array(t["text"])
         arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
         n_docs = len(arr)
-        offs = np.frombuffer(arr.buffers()[1], np.int32)[
-            arr.offset : arr.offset + n_docs + 1
-        ].astype(np.int64)
-        data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0] : offs[-1]]
-        offs = offs - offs[0]
+        offs, data = flat_utf8_view(arr)
 
         out_n = np.zeros(n_docs, dtype=np.int64)
         out_min = np.zeros(n_docs, dtype=np.uint64)

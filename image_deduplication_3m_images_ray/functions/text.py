@@ -24,6 +24,29 @@ from .hashing import (
 )
 
 
+def flat_utf8_view(arr: pa.Array | pa.ChunkedArray) -> tuple[np.ndarray, np.ndarray]:
+    """String array -> (row byte offsets int64, flat UTF-8 bytes uint8), zero-copy.
+
+    Selects the offset width from the ARRAY TYPE — ``string`` carries int32
+    offsets, ``large_string`` int64; reading a large_string buffer as int32
+    would silently produce garbage offsets (round-3 ADVICE item 1).  Offsets
+    are rebased so ``data[offs[i]:offs[i+1]]`` is row ``i``'s bytes.
+    """
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_large_string(arr.type) or pa.types.is_large_binary(arr.type):
+        width = np.int64
+    elif pa.types.is_string(arr.type) or pa.types.is_binary(arr.type):
+        width = np.int32
+    else:
+        raise TypeError(f"flat_utf8_view: expected a (large_)string/binary array, got {arr.type}")
+    offs = np.frombuffer(arr.buffers()[1], width)[arr.offset : arr.offset + len(arr) + 1].astype(
+        np.int64
+    )
+    data = np.frombuffer(arr.buffers()[2], np.uint8)[offs[0] : offs[-1]]
+    return offs - offs[0], data
+
+
 def normalize_text(s: str) -> str:
     """Scalar reference implementation (used by the oracle and in tests)."""
     return " ".join(unicodedata.normalize("NFC", s).lower().split())

@@ -715,6 +715,38 @@ def test_embedding_cosine_pairs_explicit_approx(ray_session):
     assert (0, 1) in got
 
 
+def test_flat_utf8_view_large_string(ray_session):
+    """large_string (int64 offsets) must not be misread as int32 offsets
+    (round-3 ADVICE item 1) — same view for both offset widths, and
+    doc_fingerprints agrees across string/large_string inputs."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import doc_fingerprints
+    from image_deduplication_3m_images_ray.functions.text import flat_utf8_view
+
+    texts = ["abcdef" * 10, "", "xyz " * 20, "q" * 64]
+    small = pa.array(texts, pa.string())
+    large = pa.array(texts, pa.large_string())
+    offs_s, data_s = flat_utf8_view(small)
+    offs_l, data_l = flat_utf8_view(large)
+    assert np.array_equal(offs_s, offs_l) and np.array_equal(data_s, data_l)
+    # sliced array (nonzero arr.offset) keeps the rebased view correct
+    offs_sl, data_sl = flat_utf8_view(large.slice(1, 2))
+    assert [
+        bytes(data_sl[offs_sl[i] : offs_sl[i + 1]]).decode() for i in range(2)
+    ] == texts[1:3]
+
+    ids = pa.array(range(len(texts)), pa.int64())
+    out_s = (
+        doc_fingerprints(ray.data.from_arrow(pa.table({"doc_id": ids, "text": small})), k=8)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    out_l = (
+        doc_fingerprints(ray.data.from_arrow(pa.table({"doc_id": ids, "text": large})), k=8)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    assert out_s.equals(out_l)
+
+
 def test_doc_fingerprints_vectorized_matches_naive(ray_session):
     """Vectorized batch kernel == per-doc set/md5 semantics, including the
     non-ASCII / NUL-adjacent fallback docs and short docs."""
