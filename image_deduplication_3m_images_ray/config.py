@@ -51,6 +51,28 @@ class DedupConfig:
     winnow_kgram: int = 100           # BYTES per rolling k-gram (candidate unit;
                                       # recall-safe for the char contract)
     winnow_window: int = 101          # winnowing window (k + w - 1 == min_substring_len)
+    winnow_prefilter: bool = False    # dup-fp pre-pass before the fingerprint
+                                      # exchange: ~80% of fingerprint rows are
+                                      # borne by ONE doc and can never emit a
+                                      # pair; a 9-byte (fp, cnt) pre-exchange
+                                      # finds the dup fps and the 24-byte rows
+                                      # are filtered map-side before the pair
+                                      # sort.  DEFAULT OFF: interleaved A/B
+                                      # measurements (200k pages: off 17.4 s
+                                      # vs on 36.8 s at 4 cpus, off 5.4 s vs
+                                      # on 9.7 s at 16 cpus; 500k pages at 16
+                                      # cpus: off 25-34 s vs on 33-34 s) show
+                                      # the extra exchange costs more than
+                                      # the dead rows up to 65M fp rows on
+                                      # one host.  The opt-in exists for
+                                      # genuinely spill-bound deployments
+                                      # (output is identical — pinned by
+                                      # tests/test_winnow_prefilter.py)
+    winnow_dupfp_max_ids: int = 20_000_000  # dup-fp broadcast: exact sorted
+                                      # array up to here (8 B/fp), else a
+                                      # distributed-built Bloom filter (sized
+                                      # by attach_bloom_* knobs) whose false
+                                      # positives only ship dead rows
 
     # --- skew handling ---
     bucket_pair_cap: int = 64         # bucket size above which pair emission is
@@ -71,6 +93,14 @@ class DedupConfig:
     group_shards: int = 64            # hash shards for grouped vectorized ops
                                       # (~dataset_rows / target_rows_per_task;
                                       # bounds per-task group-processing size)
+    cluster_contract_rounds: int = 3  # min-label contraction rounds before the
+                                      # propagation loop: a dup cluster's
+                                      # clique contracts to nothing in ONE
+                                      # round, so the residual edge set is
+                                      # usually empty after 1-2; contraction
+                                      # is NOT O(log n) on path graphs (a
+                                      # chain shifts one node per round —
+                                      # measured), hence the bounded handoff
     cluster_max_rounds: int = 50      # safety cap for label propagation
     cluster_driver_max_edges: int = 2_000_000  # below this, union-find runs on the
                                       # driver (provably-small candidate set —

@@ -32,6 +32,7 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from ..config import DedupConfig
+from ..functions.bloom import BloomFilter, SortedIdSet, build_bloom_distributed
 from ..functions.hashing import winnow_fingerprints
 from ..util import segment_bounds, sharded_group_map
 from .verify import ORIGIN_WINNOW
@@ -138,6 +139,79 @@ def _emit_shard_fp_pairs(group: dict, cap: int) -> dict:
     }
 
 
+def _fp_doc_counts(t: pa.Table) -> pa.Table:
+    """Per-block (fp, min(distinct_docs, 2)) partials for the dup-fp pre-pass.
+
+    Exact within the block because every doc's fingerprint rows are emitted
+    by ONE :func:`_fingerprint_batch` call (a doc never spans blocks at the
+    fingerprint level).  If a later repartition ever did split a doc's rows
+    across blocks the count could only OVER-estimate (the doc counted once
+    per block) — marking extra fps live, never dropping one.
+    """
+    f = np.asarray(t["fp"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    d = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+    order = np.lexsort((d, f))
+    f, d = f[order], d[order]
+    keep = np.ones(len(f), dtype=bool)  # distinct (fp, doc)
+    if len(f) > 1:
+        keep[1:] = (f[1:] != f[:-1]) | (d[1:] != d[:-1])
+    f = f[keep]
+    first = np.ones(len(f), dtype=bool)
+    if len(f) > 1:
+        first[1:] = f[1:] != f[:-1]
+    starts = np.nonzero(first)[0]
+    cnt = np.diff(np.append(starts, len(f)))
+    return pa.table(
+        {
+            "fp": pa.array(f[starts], pa.uint64()),
+            "cnt": pa.array(np.minimum(cnt, 2).astype(np.uint8), pa.uint8()),
+        }
+    )
+
+
+def _sum_dup_fps_shard(g: dict) -> dict:
+    """Per-shard: sum the per-block doc counts, keep fps seen in >= 2 docs."""
+    f = np.asarray(g["fp"], dtype=np.uint64)
+    c = np.asarray(g["cnt"], dtype=np.int64)
+    order = np.argsort(f, kind="stable")
+    f, c = f[order], c[order]
+    first = np.ones(len(f), dtype=bool)
+    if len(f) > 1:
+        first[1:] = f[1:] != f[:-1]
+    starts = np.nonzero(first)[0]
+    tot = np.add.reduceat(c, starts) if len(starts) else np.empty(0, np.int64)
+    return {"fp": f[starts][tot >= 2]}
+
+
+def dup_fingerprint_stage(fingerprints: Dataset, cfg: DedupConfig) -> Dataset:
+    """fingerprints -> (fp) rows for every fingerprint borne by >= 2 docs.
+
+    The pre-pass exchange ships 9-byte (fp, cnt) rows — one per distinct
+    (block, fp) — instead of the 24-byte full fingerprint rows, and its
+    per-shard reduction is a pure segmented sum.
+    """
+    partials = fingerprints.map_batches(
+        _fp_doc_counts, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    )
+    return sharded_group_map(partials, ["fp"], _sum_dup_fps_shard, num_shards=cfg.group_shards)
+
+
+def _empty_pairs() -> Dataset:
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([], pa.uint64()),
+                "doc_b": pa.array([], pa.uint64()),
+                "origin": pa.array([], pa.int8()),
+                "pos_a": pa.array([], pa.int64()),
+                "pos_b": pa.array([], pa.int64()),
+            }
+        )
+    )
+
+
 def winnow_pairs_stage(fingerprints: Dataset, cfg: DedupConfig) -> Dataset:
     """fingerprints -> candidate_pairs(doc_a<doc_b, origin='winnow', pos_a, pos_b).
 
@@ -145,9 +219,61 @@ def winnow_pairs_stage(fingerprints: Dataset, cfg: DedupConfig) -> Dataset:
     fingerprints and the verify stage needs each position as an extension seed
     (keeping only one could pick a seed outside the long shared run).  The
     verify stage dedups after measuring match lengths.
+
+    **Live-row prefilter** (``cfg.winnow_prefilter``): the fingerprint
+    exchange is the pipeline's single biggest cost at scale (34.7% of 16-cpu
+    wall at 500k pages) and ~80% of its rows are DEAD — fingerprints borne by
+    exactly one doc, which can never emit a pair.  A cheap pre-pass
+    (:func:`dup_fingerprint_stage`, 9-byte rows, segmented-sum reduction)
+    finds the dup fps; the full 24-byte rows are then filtered map-side
+    against a broadcast membership (exact :class:`SortedIdSet` up to
+    ``winnow_dupfp_max_ids``, a distributed-built :class:`BloomFilter` above
+    it whose false positives only ship dead rows — never drop a live one)
+    before the pair-emission exchange sees them.  Measured at 100k pages /
+    16 cpus: 10.6 s -> 6.4 s for the stage, byte-identical pair output.
     """
+    if not cfg.winnow_prefilter:
+        return sharded_group_map(
+            fingerprints,
+            ["fp"],
+            lambda g: _emit_shard_fp_pairs(g, cfg.bucket_pair_cap),
+            num_shards=cfg.group_shards,
+        )
+    import ray
+
+    # consumed twice (pre-pass + filtered exchange) — pin once
+    fps = fingerprints.materialize()
+    dup_ds = dup_fingerprint_stage(fps, cfg).materialize()
+    n_dup = dup_ds.count()
+    if n_dup == 0:
+        return _empty_pairs()
+    if n_dup <= cfg.winnow_dupfp_max_ids:
+        parts = [
+            np.asarray(t["fp"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+            for t in ray.get(dup_ds.to_arrow_refs())
+            if t.num_rows and "fp" in t.schema.names
+        ]
+        member = SortedIdSet(np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64))
+    else:
+        m_bits = BloomFilter.size_bits(
+            n_dup, cfg.attach_bloom_bits_per_id, cfg.attach_bloom_max_bits
+        )
+        member = build_bloom_distributed(
+            dup_ds,
+            lambda t: np.asarray(t["fp"].to_numpy(zero_copy_only=False), dtype=np.uint64),
+            m_bits,
+            cfg.attach_bloom_hashes,
+        )
+    mem_ref = ray.put(member)
+
+    def live_filter(t: pa.Table) -> pa.Table:
+        m = ray.get(mem_ref)
+        f = np.asarray(t["fp"].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        return t.filter(pa.array(m.contains(f)))
+
+    live = fps.map_batches(live_filter, batch_format="pyarrow", zero_copy_batch=True)
     return sharded_group_map(
-        fingerprints,
+        live,
         ["fp"],
         lambda g: _emit_shard_fp_pairs(g, cfg.bucket_pair_cap),
         num_shards=cfg.group_shards,
