@@ -35,7 +35,7 @@ from ..stages.exact import exact_rep_stage, reps_only
 from ..stages.signatures import signature_stage
 from ..stages.banding import band_postings_stage, lsh_pairs_stage
 from ..stages.winnow import fingerprint_stage, winnow_pairs_stage
-from ..stages.verify import consolidate_candidates, verify_stage
+from ..stages.verify import prepare_candidates, verify_prepared, verify_stage
 from ..stages.cluster import cluster_stage
 from ..stages.report import report_stage, report_stage_from_reps
 
@@ -160,29 +160,31 @@ def dedup_pipeline(
     # all-to-all operators with no inter-operator memory coordination.  So
     # each exchange boundary IS pinned; the ~1 s serial cost per pin is an
     # order of magnitude below what it buys.
-    def build_candidates() -> Dataset:
+    def build_prepared() -> Dataset:
         # the LSH-pair sort and the winnow-fingerprint sort are pinned
-        # SEPARATELY before their union feeds the consolidate exchange:
+        # SEPARATELY before their union feeds the prepare exchange:
         # running them concurrently in one streaming DAG measured 1.7x slower
         # (31.8 s vs 19.2 s at 16 cpus on 100k docs) — same concurrent
         # all-to-all thrashing as the stage-boundary pins above
         lsh = pin(lsh_pairs_stage(band_postings_stage(profile, cfg), cfg, dedup=False), "lsh_pairs")
         wp = pin(winnow_pairs_stage(fingerprint_stage(profile, cfg), cfg), "winnow_pairs")
-        return consolidate_candidates(lsh.union(wp), cfg)
+        # prepare = consolidate + a-side payload attach in ONE exchange
+        # (stages/verify.py module docstring: the two-exchange verify plan)
+        return prepare_candidates(lsh.union(wp), profile, cfg)
 
     candidates = pin_named("candidate_pairs")(
         ckpt.run(
             "candidate_pairs",
-            build_candidates,
+            build_prepared,
             parents=["signatures"],
             partition_key="doc_a",
-            sort_keys=["doc_a", "doc_b", "origin", "seed", "pos_a", "pos_b"],
+            sort_keys=["doc_a", "doc_b", "origin", "seed"],
         )
     )
     verified = pin_named("verified_pairs")(
         ckpt.run(
             "verified_pairs",
-            lambda: verify_stage(candidates, profile, cfg, consolidated=True),
+            lambda: verify_prepared(candidates, profile, cfg),
             parents=["candidate_pairs"],
             partition_key="doc_a",
             sort_keys=["doc_a", "doc_b"],

@@ -11,7 +11,7 @@ from .exact import exact_rep_stage, reps_only
 from .signatures import SignatureActor, SignatureKernel, signature_stage
 from .banding import band_postings_stage, lsh_pairs_stage
 from .winnow import fingerprint_stage, winnow_pairs_stage
-from .verify import verify_stage
+from .verify import prepare_candidates, verify_prepared, verify_stage
 from .cluster import cluster_stage
 from .report import report_stage
 
@@ -26,6 +26,8 @@ __all__ = [
     "lsh_pairs_stage",
     "fingerprint_stage",
     "winnow_pairs_stage",
+    "prepare_candidates",
+    "verify_prepared",
     "verify_stage",
     "cluster_stage",
     "report_stage",

@@ -9,26 +9,38 @@ fingerprint positions) for substring candidates.  The SimHash-Hamming +
 length-ratio gates are provably lossless for pairs above the Jaccard
 threshold (J >= t implies |A|/|B| >= t), so they only skip work, never recall.
 
-Physical plan — exactly THREE exchanges (down from seven in the first
-design; each all-to-all costs 1-2 s of serial wall-time regardless of CPU
-count, so exchange count is the scaling-efficiency budget):
+Physical plan — exactly TWO exchanges (three in rounds 1-3, seven in the
+first design; each all-to-all costs 1-2 s of serial wall-time regardless of
+CPU count, so exchange count is the scaling-efficiency budget):
 
-1. **consolidate** (key = (doc_a, doc_b)): distinct the raw candidate stream
-   (a true pair typically surfaces in many of the 32 LSH bands and at many
-   shared fingerprints) down to one LSH row plus <= ``max_seeds`` spread
-   winnow seed rows per pair;
-2. **attach** (key = doc id): ONE tagged-union shard pass co-locates *both*
-   half-rows of every pair with the profile rows they need — the LSH halves
-   pick up (simhash, n_shingles, the doc's pre-sorted unique shingle set —
-   never the text), the winnow halves a byte context window around their
-   seed position (>= L decidable within +-L of the seed, ~50x less volume
-   than full text for long docs);
-3. **merge-verify** (key = (doc_a, doc_b)): the two halves of each pair meet;
-   gates + exact Jaccard (a searchsorted merge of the two pre-sorted shingle
-   sets — no tokenization, no re-sort) run for LSH units, seed-extend for
-   winnow units
-   (skipped when the pair already confirmed via Jaccard — the old anti-join,
-   now a free local check), and the distinct verified pair set is emitted.
+1. **prepare** (key = doc_a): ONE tagged-union shard pass both
+   *consolidates* the raw candidate stream (a true pair surfaces in many of
+   the 32 LSH bands and at many shared fingerprints; it is distincted down
+   to one LSH row plus <= ``max_seeds`` spread winnow seed rows per pair —
+   doc_a co-locates every row of a pair, so per-(doc_a, doc_b) consolidation
+   is shard-local) *and* attaches the a-side payload from the co-sharded
+   profile rows: LSH rows pick up (simhash_a, n_shingles_a, the doc's
+   pre-sorted unique shingle set — never the text), winnow rows a byte
+   context window around their seed position (~50x less volume than full
+   text for long docs).  Winnow star-hubs (a hot fingerprint's min-doc pairs
+   with every other bearer) concentrate on doc_a — here that only means one
+   shard runs a bigger numpy consolidation, not a bigger Python verify loop.
+2. **verify** (key = doc_b): the prepared rows meet the b-side profile rows
+   (text ships once per distinct winnow doc_b, shingle sets once per LSH
+   doc_b).  Gates + exact Jaccard (a searchsorted merge of the two
+   pre-sorted shingle sets — no tokenization, no re-sort) run for LSH rows,
+   seed-extend for winnow rows (skipped when the pair already confirmed via
+   Jaccard — a free local check: every row of a pair shares doc_b, so the
+   whole pair is shard-local again), and the distinct verified pair set is
+   emitted.  Winnow star spokes have DISTINCT doc_b values, so the Python
+   seed-extend work of a hub spreads across shards.
+
+Each exchange ships a profile row's heavy columns at most once per distinct
+doc id on its own side (a broadcast semi-join — exact id set below
+``attach_semijoin_max_ids``, distributed Bloom filter above it; false
+positives only ship extra rows, never drop one), and the pair stream rides
+each exchange once (rounds 1-3 shipped TWO half-rows per pair through the
+attach and both payloads per pair through the merge).
 
 Origin codes on the wire are int8 (0 = lsh, 1 = winnow) to keep the shuffles
 binary-dense; the output ``origin`` column is back to strings for report
@@ -44,14 +56,14 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 from ..config import DedupConfig
-from ..functions.bloom import BloomFilter, SortedIdSet
+from ..functions.bloom import BloomFilter, SortedIdSet, build_bloom_distributed
 from ..functions.hashing import _ranges, hamming64
 from ..functions.text import pairwise_jaccard_from_sets  # noqa: F401  (re-export for tests)
 from ..util import sharded_group_map
 
 ORIGIN_LSH = 0
 ORIGIN_WINNOW = 1
-_SIDE_PROFILE = 2  # tag for profile rows in the attach union
+_SIDE_PROFILE = 2  # tag for profile rows in the attach unions
 
 _OUT_SCHEMA = pa.schema(
     [
@@ -137,8 +149,9 @@ def _consolidate_shard(group: dict, max_seeds: int = 4) -> dict:
     versa) — a containment pair can share a band yet fail Jaccard.
 
     Emits a per-pair ``seed`` index (-1 for the LSH row, 0..max_seeds-1 for
-    winnow rows) so the merge-verify stage can align the a/b halves of each
-    unit after the attach exchange.
+    winnow rows) so the verify stage can align the rows of each pair after
+    the exchanges.  Idempotent: re-consolidating consolidated rows keeps
+    them unchanged.
     """
     a = np.asarray(group["doc_a"], dtype=np.uint64)
     b = np.asarray(group["doc_b"], dtype=np.uint64)
@@ -197,87 +210,13 @@ def _consolidate_shard(group: dict, max_seeds: int = 4) -> dict:
 
 
 def consolidate_candidates(candidates: Dataset, cfg: DedupConfig) -> Dataset:
-    """Raw candidate stream -> distinct per-pair rows with seed indices."""
+    """Raw candidate stream -> distinct per-pair rows with seed indices.
+
+    Standalone operator (tests / tools); the flagship path folds this into
+    :func:`prepare_candidates`'s exchange instead.
+    """
     return sharded_group_map(
         candidates, ["doc_a", "doc_b"], _consolidate_shard, num_shards=cfg.group_shards
-    )
-
-
-def _emit_halves(t: pa.Table) -> pa.Table:
-    """Consolidated rows -> two half-rows each (keyed by doc_a then doc_b)."""
-    n = len(t)
-    a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-    b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-    origin = np.asarray(t["origin"].to_numpy(zero_copy_only=False), dtype=np.int8)
-    pos_a = np.asarray(t["pos_a"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    pos_b = np.asarray(t["pos_b"].to_numpy(zero_copy_only=False), dtype=np.int64)
-    seed = np.asarray(t["seed"].to_numpy(zero_copy_only=False), dtype=np.int32)
-    return pa.table(
-        {
-            "key": pa.array(np.concatenate([a, b]), pa.uint64()),
-            "doc_a": pa.array(np.concatenate([a, a]), pa.uint64()),
-            "doc_b": pa.array(np.concatenate([b, b]), pa.uint64()),
-            "origin": pa.array(np.concatenate([origin, origin]), pa.int8()),
-            "half": pa.array(
-                np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]), pa.int8()
-            ),
-            "seed": pa.array(np.concatenate([seed, seed]), pa.int32()),
-            "pos": pa.array(np.concatenate([pos_a, pos_b]), pa.int64()),
-            "simhash": pa.array(np.zeros(2 * n, np.uint64), pa.uint64()),
-            "n_shingles": pa.array(np.zeros(2 * n, np.int64), pa.int64()),
-            "payload": pa.nulls(2 * n, type=pa.binary()),
-            "sset": pa.nulls(2 * n, type=pa.binary()),
-        }
-    )
-
-
-def _prep_profile(t: pa.Table, sset_mem=None, text_mem=None) -> pa.Table:
-    """Profile rows -> attach-union rows, optionally semi-join-filtered.
-
-    ``sset_mem`` / ``text_mem`` are membership filters (broadcast via
-    ``ray.put``) over the doc ids that appear in LSH / winnow candidate rows
-    — either exact :class:`~..functions.bloom.SortedIdSet`s or, above the
-    exact-set bound, :class:`~..functions.bloom.BloomFilter`s whose false
-    positives only ship extra rows (the attach shard drops profile rows with
-    no halves anyway; false negatives are impossible).  When given, rows for
-    docs in neither set are dropped entirely and the heavy columns are
-    nulled where unneeded (``norm_text`` only ships for winnow docs,
-    ``shingle_set`` only for LSH docs) — candidates reference a small
-    fraction of the corpus, so this cuts most of the attach exchange's byte
-    volume (measured 58% of rows dead at 200k docs).
-    """
-    ids = np.asarray(
-        pc.cast(t["doc_id"], pa.uint64()).to_numpy(zero_copy_only=False), dtype=np.uint64
-    )
-    need_sset = need_text = None
-    if sset_mem is not None:
-        need_sset = sset_mem.contains(ids)
-        need_text = text_mem.contains(ids)
-        keep = need_sset | need_text
-        t = t.filter(pa.array(keep))
-        ids = ids[keep]
-        need_sset, need_text = need_sset[keep], need_text[keep]
-    n = len(t)
-    payload = pc.cast(t["norm_text"], pa.binary())
-    sset = _list_u64_to_binary(t["shingle_set"])
-    if need_sset is not None:
-        null_bin = pa.scalar(None, pa.binary())
-        payload = pc.if_else(pa.array(need_text), payload, null_bin)
-        sset = pc.if_else(pa.array(need_sset), sset, null_bin)
-    return pa.table(
-        {
-            "key": pa.array(ids, pa.uint64()),
-            "doc_a": pa.array(np.zeros(n, np.uint64), pa.uint64()),
-            "doc_b": pa.array(np.zeros(n, np.uint64), pa.uint64()),
-            "origin": pa.array(np.full(n, _SIDE_PROFILE, np.int8), pa.int8()),
-            "half": pa.array(np.full(n, -1, np.int8), pa.int8()),
-            "seed": pa.array(np.full(n, -1, np.int32), pa.int32()),
-            "pos": pa.array(np.full(n, -1, np.int64), pa.int64()),
-            "simhash": pc.cast(t["simhash"], pa.uint64()),
-            "n_shingles": pc.cast(t["n_shingles"], pa.int64()),
-            "payload": payload,
-            "sset": sset,
-        }
     )
 
 
@@ -299,76 +238,154 @@ def _list_u64_to_binary(col) -> pa.Array:
     )
 
 
-def _attach_shard(group: dict, window: int, k: int) -> dict:
-    """Fill each half-row's payload from its co-sharded profile row.
+def _prep_profile(t: pa.Table, key_col: str, sset_mem=None, text_mem=None) -> pa.Table:
+    """Profile rows -> attach-union rows keyed in ``key_col``, semi-join-filtered.
 
-    LSH halves receive (simhash, n_shingles, full text); winnow halves a
-    ``window``-CHARACTER context slice around the seed (``pos`` rewritten to
-    the slice-local byte offset).  The slice must expose ``window`` complete
-    characters each side so the char-unit seed-extend can prove a
-    >= ``min_substring_len``-char match; character boundaries are found with
+    ``sset_mem`` / ``text_mem`` are membership filters (broadcast via
+    ``ray.put``) over the doc ids that appear on this exchange's side of any
+    LSH / winnow candidate row — either exact
+    :class:`~..functions.bloom.SortedIdSet`s or, above the exact-set bound,
+    :class:`~..functions.bloom.BloomFilter`s whose false positives only ship
+    extra rows (the shard drops profile rows no candidate references anyway;
+    false negatives are impossible).  When given, rows for docs in neither
+    set are dropped entirely and the heavy columns are nulled where unneeded
+    (``norm_text`` only ships for winnow docs, ``shingle_set`` only for LSH
+    docs) — candidates reference a small fraction of the corpus, so this
+    cuts most of the exchange's byte volume (measured 58% of profile rows
+    dead at 200k docs).
+    """
+    ids = np.asarray(
+        pc.cast(t["doc_id"], pa.uint64()).to_numpy(zero_copy_only=False), dtype=np.uint64
+    )
+    need_sset = need_text = None
+    if sset_mem is not None:
+        need_sset = sset_mem.contains(ids)
+        need_text = text_mem.contains(ids)
+        keep = need_sset | need_text
+        t = t.filter(pa.array(keep))
+        ids = ids[keep]
+        need_sset, need_text = need_sset[keep], need_text[keep]
+    n = len(t)
+    payload = pc.cast(t["norm_text"], pa.binary())
+    sset = _list_u64_to_binary(t["shingle_set"])
+    if need_sset is not None:
+        null_bin = pa.scalar(None, pa.binary())
+        payload = pc.if_else(pa.array(need_text), payload, null_bin)
+        sset = pc.if_else(pa.array(need_sset), sset, null_bin)
+    zeros = pa.array(np.zeros(n, np.uint64), pa.uint64())
+    cols = {
+        "doc_a": zeros,
+        "doc_b": zeros,
+        "origin": pa.array(np.full(n, _SIDE_PROFILE, np.int8), pa.int8()),
+        "seed": pa.array(np.full(n, -1, np.int32), pa.int32()),
+        "pos_a": pa.array(np.full(n, -1, np.int64), pa.int64()),
+        "pos_b": pa.array(np.full(n, -1, np.int64), pa.int64()),
+        "simhash": pc.cast(t["simhash"], pa.uint64()),
+        "n_shingles": pc.cast(t["n_shingles"], pa.int64()),
+        "payload": payload,
+        "sset": sset,
+    }
+    cols[key_col] = pa.array(ids, pa.uint64())
+    return pa.table(cols)
+
+
+def _cut_window(data: bytes, p: int, window: int, k: int) -> tuple[bytes, int]:
+    """``window``-CHARACTER context slice around a seed at byte ``p``.
+
+    The slice exposes ``window`` complete characters each side of the seed
+    k-gram so the char-unit seed-extend can prove a >=
+    ``min_substring_len``-char match; character boundaries are found with
     one vectorized lead-byte scan over a 4*window-byte neighborhood (a char
     is at most 4 UTF-8 bytes), so pure-ASCII slices are byte-identical to
-    the old byte windows.  Halves whose doc id has no profile row
-    (impossible for consistent inputs) are dropped, mirroring the old inner
-    join.
+    plain byte windows.  Returns (slice, seed position within the slice).
     """
-    side = np.asarray(group["origin"], dtype=np.int8)
-    keys = np.asarray(group["key"], dtype=np.uint64)
-    prof_idx = np.nonzero(side == _SIDE_PROFILE)[0]
-    order = np.argsort(keys[prof_idx], kind="stable")
-    prof_idx = prof_idx[order]
-    pk = keys[prof_idx]
-    half_idx = np.nonzero(side != _SIDE_PROFILE)[0]
-    hk = keys[half_idx]
-    if len(pk):
-        loc = np.minimum(np.searchsorted(pk, hk), len(pk) - 1)
-        matched = pk[loc] == hk
-    else:
-        loc = np.zeros(len(hk), dtype=np.int64)
-        matched = np.zeros(len(hk), dtype=bool)
-    half_idx, loc = half_idx[matched], loc[matched]
-    src = prof_idx[loc]
-    payload = np.asarray(group["payload"], dtype=object)
-    sset = np.asarray(group["sset"], dtype=object)
-    pos = np.asarray(group["pos"], dtype=np.int64)
-    origin = side[half_idx]
-    # LSH halves carry the pre-computed unique shingle set (exact Jaccard is
-    # then pure set arithmetic downstream — no re-tokenization, no text);
-    # winnow halves carry only a context window around their seed position
-    out_payload = payload[src]  # object ref copy
-    out_sset = sset[src]
-    out_pos = np.full(len(half_idx), -1, dtype=np.int64)
-    win_rows = np.nonzero(origin == ORIGIN_WINNOW)[0]
     margin = 4 * window + 8  # chars are <= 4 UTF-8 bytes; +8 covers edge cuts
-    for i in win_rows:
-        data = out_payload[i]
-        p = int(pos[half_idx[i]])
-        scan_lo = max(0, p - margin)
-        scan_hi = min(len(data), p + k + margin)
-        b = np.frombuffer(data, dtype=np.uint8)[scan_lo:scan_hi]
-        lead = (b & 0xC0) != 0x80
-        left = np.nonzero(lead[: p - scan_lo])[0]
-        lo = scan_lo + (int(left[-window]) if len(left) >= window else 0)
-        rel_end = min(p + k, len(data)) - scan_lo
-        right = np.nonzero(lead[rel_end:])[0]
-        hi = (
-            scan_lo + rel_end + int(right[window])
-            if len(right) > window
-            else min(len(data), scan_hi)
-        )
-        out_payload[i] = data[lo:hi]
-        out_pos[i] = p - lo
+    scan_lo = max(0, p - margin)
+    scan_hi = min(len(data), p + k + margin)
+    b = np.frombuffer(data, dtype=np.uint8)[scan_lo:scan_hi]
+    lead = (b & 0xC0) != 0x80
+    left = np.nonzero(lead[: p - scan_lo])[0]
+    lo = scan_lo + (int(left[-window]) if len(left) >= window else 0)
+    rel_end = min(p + k, len(data)) - scan_lo
+    right = np.nonzero(lead[rel_end:])[0]
+    hi = (
+        scan_lo + rel_end + int(right[window])
+        if len(right) > window
+        else min(len(data), scan_hi)
+    )
+    return data[lo:hi], p - lo
+
+
+def _prepare_shard(group: dict, window: int, k: int) -> dict:
+    """Exchange-1 reducer: consolidate the shard's pairs, attach a-side payload.
+
+    The shard (key = doc_a) holds every raw row of each of its pairs plus
+    the profile rows of its doc_a ids.  Consolidation runs first (it is
+    shard-local because a pair's rows share doc_a), then each surviving row
+    gathers its a-side columns: LSH rows (simhash_a, n_shingles_a, sset_a),
+    winnow rows a context window around pos_a (``pos_a`` rewritten to the
+    slice-local byte offset; ``pos_b`` stays absolute — the b text attaches
+    whole in exchange 2).  Rows whose doc_a has no profile row (impossible
+    for consistent inputs) are dropped, mirroring an inner join.
+    """
+    empty = {
+        "doc_a": np.empty(0, np.uint64),
+        "doc_b": np.empty(0, np.uint64),
+        "origin": np.empty(0, np.int8),
+        "seed": np.empty(0, np.int32),
+        "pos_a": np.empty(0, np.int64),
+        "pos_b": np.empty(0, np.int64),
+        "simhash": np.empty(0, np.uint64),
+        "n_shingles": np.empty(0, np.int64),
+        "payload": np.empty(0, object),
+        "sset": np.empty(0, object),
+    }
+    side = np.asarray(group["origin"], dtype=np.int8)
+    cand_idx = np.nonzero(side != _SIDE_PROFILE)[0]
+    if len(cand_idx) == 0:
+        return empty
+    sub = {
+        c: np.asarray(group[c])[cand_idx]
+        for c in ("doc_a", "doc_b", "origin", "pos_a", "pos_b")
+    }
+    cons = _consolidate_shard(sub)
+    ca = np.asarray(cons["doc_a"], dtype=np.uint64)
+    if len(ca) == 0:
+        return empty
+    prof_idx = np.nonzero(side == _SIDE_PROFILE)[0]
+    pk = np.asarray(group["doc_a"], dtype=np.uint64)[prof_idx]
+    order = np.argsort(pk, kind="stable")
+    prof_idx, pk = prof_idx[order], pk[order]
+    if len(pk):
+        loc = np.minimum(np.searchsorted(pk, ca), len(pk) - 1)
+        matched = pk[loc] == ca
+    else:
+        loc = np.zeros(len(ca), dtype=np.int64)
+        matched = np.zeros(len(ca), dtype=bool)
+    sel = np.nonzero(matched)[0]
+    if len(sel) == 0:
+        return empty
+    src = prof_idx[loc[sel]]
+    origin = np.asarray(cons["origin"], dtype=np.int8)[sel]
+    pos_a = np.asarray(cons["pos_a"], dtype=np.int64)[sel]
+    payload_all = np.asarray(group["payload"], dtype=object)
+    sset_all = np.asarray(group["sset"], dtype=object)
+    out_payload = np.full(len(sel), None, dtype=object)
+    out_sset = np.full(len(sel), None, dtype=object)
     lsh_rows = origin == ORIGIN_LSH
-    out_payload[lsh_rows] = None  # text never ships for LSH halves
-    out_sset[~lsh_rows] = None
+    out_sset[lsh_rows] = sset_all[src[lsh_rows]]
+    out_pos_a = np.full(len(sel), -1, dtype=np.int64)
+    for i in np.nonzero(origin == ORIGIN_WINNOW)[0]:
+        out_payload[i], out_pos_a[i] = _cut_window(
+            payload_all[src[i]], int(pos_a[i]), window, k
+        )
     return {
-        "doc_a": np.asarray(group["doc_a"], dtype=np.uint64)[half_idx],
-        "doc_b": np.asarray(group["doc_b"], dtype=np.uint64)[half_idx],
+        "doc_a": ca[sel],
+        "doc_b": np.asarray(cons["doc_b"], dtype=np.uint64)[sel],
         "origin": origin,
-        "half": np.asarray(group["half"], dtype=np.int8)[half_idx],
-        "seed": np.asarray(group["seed"], dtype=np.int32)[half_idx],
-        "pos": out_pos,
+        "seed": np.asarray(cons["seed"], dtype=np.int32)[sel],
+        "pos_a": out_pos_a,
+        "pos_b": np.asarray(cons["pos_b"], dtype=np.int64)[sel],
         "simhash": np.asarray(group["simhash"], dtype=np.uint64)[src],
         "n_shingles": np.asarray(group["n_shingles"], dtype=np.int64)[src],
         "payload": out_payload,
@@ -376,9 +393,9 @@ def _attach_shard(group: dict, window: int, k: int) -> dict:
     }
 
 
-def _merge_verify_shard(group: dict, cfg: DedupConfig) -> dict:
-    """Both halves of every pair meet here: gates, exact Jaccard, seed-extend,
-    and the per-pair combine — all local to one task."""
+def _verify_shard(group: dict, cfg: DedupConfig) -> dict:
+    """Exchange-2 reducer: attach b-side from co-sharded profile rows, then
+    gates, exact Jaccard, seed-extend and the per-pair combine — all local."""
     empty = {
         "doc_a": np.empty(0, np.uint64),
         "doc_b": np.empty(0, np.uint64),
@@ -387,58 +404,76 @@ def _merge_verify_shard(group: dict, cfg: DedupConfig) -> dict:
         "match_len": np.empty(0, np.int64),
         "origin": np.empty(0, object),
     }
-    a = np.asarray(group["doc_a"], dtype=np.uint64)
-    if len(a) == 0:
+    side = np.asarray(group["origin"], dtype=np.int8)
+    cand_idx = np.nonzero(side != _SIDE_PROFILE)[0]
+    if len(cand_idx) == 0:
         return empty
-    b = np.asarray(group["doc_b"], dtype=np.uint64)
-    origin = np.asarray(group["origin"], dtype=np.int8)
-    half = np.asarray(group["half"], dtype=np.int8)
-    seed = np.asarray(group["seed"], dtype=np.int32)
-    pos = np.asarray(group["pos"], dtype=np.int64)
-    simhash = np.asarray(group["simhash"], dtype=np.uint64)
-    n_sh = np.asarray(group["n_shingles"], dtype=np.int64)
-    payload = np.asarray(group["payload"], dtype=object)
-    sset = np.asarray(group["sset"], dtype=object)
-    order = np.lexsort((half, seed, origin, b, a))
-    a, b, origin, half, seed, pos, simhash, n_sh, payload, sset = (
-        a[order], b[order], origin[order], half[order], seed[order],
-        pos[order], simhash[order], n_sh[order], payload[order], sset[order],
-    )
-    # a unit = consecutive (pair, origin, seed) rows with half 0 then half 1
-    same = np.zeros(len(a), dtype=bool)
-    if len(a) > 1:
-        same[:-1] = (
-            (a[1:] == a[:-1]) & (b[1:] == b[:-1]) & (origin[1:] == origin[:-1])
-            & (seed[1:] == seed[:-1]) & (half[:-1] == 0) & (half[1:] == 1)
-        )
-    ia = np.nonzero(same)[0]  # index of the a-half of each complete unit
-    if len(ia) == 0:
+    prof_idx = np.nonzero(side == _SIDE_PROFILE)[0]
+    keys = np.asarray(group["doc_b"], dtype=np.uint64)
+    pk = keys[prof_idx]
+    order = np.argsort(pk, kind="stable")
+    prof_idx, pk = prof_idx[order], pk[order]
+    cb = keys[cand_idx]
+    if len(pk):
+        loc = np.minimum(np.searchsorted(pk, cb), len(pk) - 1)
+        matched = pk[loc] == cb
+    else:
+        loc = np.zeros(len(cb), dtype=np.int64)
+        matched = np.zeros(len(cb), dtype=bool)
+    cand_idx, loc = cand_idx[matched], loc[matched]
+    if len(cand_idx) == 0:
         return empty
-    ib = ia + 1
+    src = prof_idx[loc]
 
-    # --- LSH units: gates then exact Jaccard ---
-    lsh_u = origin[ia] == ORIGIN_LSH
-    la, lb = ia[lsh_u], ib[lsh_u]
-    ham = hamming64(simhash[la], simhash[lb]) if len(la) else np.empty(0, np.int64)
+    a = np.asarray(group["doc_a"], dtype=np.uint64)[cand_idx]
+    b = keys[cand_idx]
+    origin = side[cand_idx]
+    seed = np.asarray(group["seed"], dtype=np.int32)[cand_idx]
+    pos_a = np.asarray(group["pos_a"], dtype=np.int64)[cand_idx]
+    pos_b = np.asarray(group["pos_b"], dtype=np.int64)[cand_idx]
+    sim_all = np.asarray(group["simhash"], dtype=np.uint64)
+    nsh_all = np.asarray(group["n_shingles"], dtype=np.int64)
+    payload_all = np.asarray(group["payload"], dtype=object)
+    sset_all = np.asarray(group["sset"], dtype=object)
+    sim_a, sim_b = sim_all[cand_idx], sim_all[src]
+    nsh_a, nsh_b = nsh_all[cand_idx], nsh_all[src]
+    payload_a, text_b = payload_all[cand_idx], payload_all[src]
+    sset_a, sset_b = sset_all[cand_idx], sset_all[src]
+
+    # sort so each pair's rows are consecutive (for the anti-join + combine)
+    order = np.lexsort((seed, origin, b, a))
+    (a, b, origin, pos_a, pos_b, sim_a, sim_b, nsh_a, nsh_b,
+     payload_a, text_b, sset_a, sset_b) = (
+        a[order], b[order], origin[order], pos_a[order], pos_b[order],
+        sim_a[order], sim_b[order], nsh_a[order], nsh_b[order],
+        payload_a[order], text_b[order], sset_a[order], sset_b[order],
+    )
+
+    # --- LSH rows: gates then exact Jaccard ---
+    lsh_i = np.nonzero(origin == ORIGIN_LSH)[0]
+    ham = (
+        hamming64(sim_a[lsh_i], sim_b[lsh_i]) if len(lsh_i) else np.empty(0, np.int64)
+    )
     ratio = (
-        np.minimum(n_sh[la], n_sh[lb]) / np.maximum(np.maximum(n_sh[la], n_sh[lb]), 1)
-        if len(la)
+        np.minimum(nsh_a[lsh_i], nsh_b[lsh_i])
+        / np.maximum(np.maximum(nsh_a[lsh_i], nsh_b[lsh_i]), 1)
+        if len(lsh_i)
         else np.empty(0)
     )
     gate_ok = (ham <= cfg.simhash_hamming_max) & (ratio >= cfg.length_ratio_min)
-    jacc = np.zeros(len(la), dtype=np.float64)
+    jacc = np.zeros(len(lsh_i), dtype=np.float64)
     todo = np.nonzero(gate_ok)[0]
     if len(todo):
         # exact Jaccard over the pre-computed unique shingle sets shipped in
-        # the attach — no tokenization here at all (each document was
+        # the exchanges — no tokenization here at all (each document was
         # shingled exactly once, in the signature stage).  Both sets arrive
         # SORTED, so |A ∩ B| is one binary-search pass of the smaller side
         # into the larger (np.searchsorted) — no re-sort of the pair union
         # (the sort was ~60x the cost of the searchsorted merge).
         out = np.empty(len(todo), dtype=np.float64)
         for i, t in enumerate(todo):
-            sa = np.frombuffer(sset[la[t]], dtype=np.uint64)
-            sb = np.frombuffer(sset[lb[t]], dtype=np.uint64)
+            sa = np.frombuffer(sset_a[lsh_i[t]], dtype=np.uint64)
+            sb = np.frombuffer(sset_b[lsh_i[t]], dtype=np.uint64)
             if len(sa) > len(sb):
                 sa, sb = sb, sa
             idx = np.searchsorted(sb, sa)
@@ -449,40 +484,41 @@ def _merge_verify_shard(group: dict, cfg: DedupConfig) -> dict:
         jacc[todo] = out
     lsh_pass = jacc >= cfg.jaccard_threshold
 
-    # pairs confirmed via Jaccard skip their seed-extends (the old anti-join)
-    verified_keys = set(
-        zip(a[la[lsh_pass]].tolist(), b[la[lsh_pass]].tolist())
-    )
+    # pairs confirmed via Jaccard skip their seed-extends (the old anti-join;
+    # free because every row of a pair shares doc_b and lands in this shard)
+    la = lsh_i[lsh_pass]
+    verified_keys = set(zip(a[la].tolist(), b[la].tolist()))
 
-    # --- winnow units: seed-extend in context windows ---
-    win_u = np.nonzero(origin[ia] == ORIGIN_WINNOW)[0]
-    wa, wb = ia[win_u], ib[win_u]
-    wlen = np.zeros(len(wa), dtype=np.int64)
+    # --- winnow rows: seed-extend (a context window vs the full b text) ---
+    win_i = np.nonzero(origin == ORIGIN_WINNOW)[0]
+    wlen = np.zeros(len(win_i), dtype=np.int64)
     k = cfg.winnow_kgram
-    for i in range(len(wa)):
-        if (int(a[wa[i]]), int(b[wa[i]])) in verified_keys:
+    for i in range(len(win_i)):
+        w = win_i[i]
+        if (int(a[w]), int(b[w])) in verified_keys:
             continue
         wlen[i] = extend_match(
-            payload[wa[i]], payload[wb[i]], int(pos[wa[i]]), int(pos[wb[i]]), k
+            payload_a[w], text_b[w], int(pos_a[w]), int(pos_b[w]), k
         )
     win_pass = wlen >= cfg.min_substring_len
+    wa = win_i[win_pass]
 
     # --- combine: one output row per verified pair ---
-    out_a = np.concatenate([a[la[lsh_pass]], a[wa[win_pass]]])
-    out_b = np.concatenate([b[la[lsh_pass]], b[wa[win_pass]]])
-    out_j = np.concatenate([jacc[lsh_pass], np.zeros(int(win_pass.sum()))])
-    out_h = np.concatenate(
-        [ham[lsh_pass], np.full(int(win_pass.sum()), 64, dtype=np.int64)]
-    ).astype(np.int32)
-    out_m = np.concatenate([np.zeros(int(lsh_pass.sum()), np.int64), wlen[win_pass]])
-    out_o = np.concatenate(
-        [
-            np.full(int(lsh_pass.sum()), "lsh", dtype=object),
-            np.full(int(win_pass.sum()), "winnow", dtype=object),
-        ]
-    )
+    out_a = np.concatenate([a[la], a[wa]])
     if len(out_a) == 0:
         return empty
+    out_b = np.concatenate([b[la], b[wa]])
+    out_j = np.concatenate([jacc[lsh_pass], np.zeros(len(wa))])
+    out_h = np.concatenate(
+        [ham[lsh_pass], np.full(len(wa), 64, dtype=np.int64)]
+    ).astype(np.int32)
+    out_m = np.concatenate([np.zeros(len(la), np.int64), wlen[win_pass]])
+    out_o = np.concatenate(
+        [
+            np.full(len(la), "lsh", dtype=object),
+            np.full(len(wa), "winnow", dtype=object),
+        ]
+    )
     oorder = np.lexsort((out_b, out_a))
     out_a, out_b, out_j, out_h, out_m, out_o = (
         out_a[oorder], out_b[oorder], out_j[oorder], out_h[oorder], out_m[oorder], out_o[oorder]
@@ -507,103 +543,170 @@ def _merge_verify_shard(group: dict, cfg: DedupConfig) -> dict:
     }
 
 
-def _candidate_doc_ids(candidates: Dataset) -> tuple:
-    """Distinct doc ids over candidate rows: (in any LSH row, in any winnow row).
+def _emit_cand_union(t: pa.Table) -> pa.Table:
+    """Raw/consolidated candidate rows -> exchange-1 union rows."""
+    n = len(t)
+    seed = (
+        pc.cast(t["seed"], pa.int32())
+        if "seed" in t.schema.names
+        else pa.array(np.full(n, -1, np.int32), pa.int32())
+    )
+    return pa.table(
+        {
+            "doc_a": pc.cast(t["doc_a"], pa.uint64()),
+            "doc_b": pc.cast(t["doc_b"], pa.uint64()),
+            "origin": pc.cast(t["origin"], pa.int8()),
+            "seed": seed,
+            "pos_a": pc.cast(t["pos_a"], pa.int64()),
+            "pos_b": pc.cast(t["pos_b"], pa.int64()),
+            "simhash": pa.array(np.zeros(n, np.uint64), pa.uint64()),
+            "n_shingles": pa.array(np.zeros(n, np.int64), pa.int64()),
+            "payload": pa.nulls(n, type=pa.binary()),
+            "sset": pa.nulls(n, type=pa.binary()),
+        }
+    )
 
-    One cheap pass over the (consolidated, materialized) candidate table:
-    per-block partial uniques serialized as raw bytes, merged on the driver.
-    Driver memory is O(distinct dup-doc ids) — 8 bytes each.  The caller
-    gates on ``2 * n_pairs <= cfg.attach_semijoin_max_ids`` BEFORE invoking
-    this, so the collection itself is driver-bounded; above the bound the
-    Bloom path (:func:`_candidate_bloom_filters`) runs instead and raw ids
-    never reach the driver.
+
+def _prepared_union(t: pa.Table) -> pa.Table:
+    """Prepared (exchange-1 output) rows -> exchange-2 union rows.
+
+    Identity on the column set; casts cover a Parquet checkpoint round-trip
+    (binary payloads and unsigned ids survive, but pandas-backed blocks can
+    degrade int widths).
     """
-
-    def partial(t: pa.Table) -> pa.Table:
-        a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-        b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-        o = np.asarray(t["origin"].to_numpy(zero_copy_only=False), dtype=np.int8)
-        lsh, win = o == ORIGIN_LSH, o == ORIGIN_WINNOW
-        return pa.table(
-            {
-                "lsh": pa.array([np.unique(np.concatenate([a[lsh], b[lsh]])).tobytes()]),
-                "win": pa.array([np.unique(np.concatenate([a[win], b[win]])).tobytes()]),
-            }
-        )
-
-    parts = candidates.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()
-
-    def merge(key: str) -> np.ndarray:
-        bufs = [np.frombuffer(p[key], dtype=np.uint64) for p in parts]
-        return np.unique(np.concatenate(bufs)) if bufs else np.empty(0, np.uint64)
-
-    return merge("lsh"), merge("win")
+    return pa.table(
+        {
+            "doc_a": pc.cast(t["doc_a"], pa.uint64()),
+            "doc_b": pc.cast(t["doc_b"], pa.uint64()),
+            "origin": pc.cast(t["origin"], pa.int8()),
+            "seed": pc.cast(t["seed"], pa.int32()),
+            "pos_a": pc.cast(t["pos_a"], pa.int64()),
+            "pos_b": pc.cast(t["pos_b"], pa.int64()),
+            "simhash": pc.cast(t["simhash"], pa.uint64()),
+            "n_shingles": pc.cast(t["n_shingles"], pa.int64()),
+            "payload": pc.cast(t["payload"], pa.binary()),
+            "sset": pc.cast(t["sset"], pa.binary()),
+        }
+    )
 
 
-def _candidate_bloom_filters(
-    candidates: Dataset, cfg: DedupConfig, n_ids_upper: int
-) -> tuple:
-    """Distributed Bloom build over candidate doc ids: (lsh_bloom, win_bloom).
+def _side_memberships(candidates: Dataset, col: str, cfg: DedupConfig, n_rows: int):
+    """(lsh_member, win_member) over ``candidates[col]`` split by origin.
 
-    The semi-join scale path above ``attach_semijoin_max_ids`` (the cliff
-    named by the round-2 verdict): per-block partial filters are built inside
-    ``map_batches`` (fixed ``m_bits/8`` bytes each regardless of block id
-    count), then OR-merged by a fan-in-8 tree of Ray tasks — the driver only
-    ever holds object refs plus the single final filter, never raw ids.
-    Contract (same as the exact set): false positives only ship extra
-    profile rows, false negatives cannot occur.
+    The semi-join filter build for one exchange side.  The exact-vs-Bloom
+    decision is made from the ROW COUNT (each row holds one id in ``col``,
+    so ``n_rows`` bounds the distinct ids) BEFORE any id collection — the
+    driver never materializes an unbounded id set just to discover it was
+    too big.  Returns ``None`` when the Bloom path is disabled and the
+    bound is exceeded (every profile row ships — slower, correct).
     """
     import ray
 
+    if n_rows <= cfg.attach_semijoin_max_ids:
+
+        def partial(t: pa.Table) -> pa.Table:
+            ids = np.asarray(t[col].to_numpy(zero_copy_only=False), dtype=np.uint64)
+            o = np.asarray(t["origin"].to_numpy(zero_copy_only=False), dtype=np.int8)
+            return pa.table(
+                {
+                    "lsh": pa.array([np.unique(ids[o == ORIGIN_LSH]).tobytes()]),
+                    "win": pa.array([np.unique(ids[o == ORIGIN_WINNOW]).tobytes()]),
+                }
+            )
+
+        parts = candidates.map_batches(
+            partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+
+        def merge(key: str) -> np.ndarray:
+            bufs = [np.frombuffer(p[key], dtype=np.uint64) for p in parts]
+            return np.unique(np.concatenate(bufs)) if bufs else np.empty(0, np.uint64)
+
+        return SortedIdSet(merge("lsh")), SortedIdSet(merge("win"))
+    if cfg.attach_bloom_bits_per_id <= 0:
+        return None
     m_bits = BloomFilter.size_bits(
-        n_ids_upper, cfg.attach_bloom_bits_per_id, cfg.attach_bloom_max_bits
+        n_rows, cfg.attach_bloom_bits_per_id, cfg.attach_bloom_max_bits
     )
-    k = cfg.attach_bloom_hashes
 
-    def partial(t: pa.Table) -> pa.Table:
-        a = np.asarray(t["doc_a"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-        b = np.asarray(t["doc_b"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-        o = np.asarray(t["origin"].to_numpy(zero_copy_only=False), dtype=np.int8)
-        lsh, win = o == ORIGIN_LSH, o == ORIGIN_WINNOW
-        fl = BloomFilter(m_bits, k).add(np.concatenate([a[lsh], b[lsh]]))
-        fw = BloomFilter(m_bits, k).add(np.concatenate([a[win], b[win]]))
-        return pa.table(
-            {
-                "lsh": pa.array([fl.words.tobytes()]),
-                "win": pa.array([fw.words.tobytes()]),
-            }
-        )
+    def ids_of(origin_code: int):
+        def fn(t: pa.Table) -> np.ndarray:
+            ids = np.asarray(t[col].to_numpy(zero_copy_only=False), dtype=np.uint64)
+            o = np.asarray(t["origin"].to_numpy(zero_copy_only=False), dtype=np.int8)
+            return ids[o == origin_code]
 
-    refs = candidates.map_batches(
-        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
-    ).to_arrow_refs()
+        return fn
 
-    @ray.remote
-    def or_merge(*parts):
-        lsh = np.zeros(m_bits // 64, dtype=np.uint64)
-        win = np.zeros(m_bits // 64, dtype=np.uint64)
-        for p in parts:
-            # empty input blocks pass through map_batches without the UDF
-            # running, so they arrive with the candidates schema — skip them
-            if p.num_rows == 0 or "lsh" not in p.schema.names:
-                continue
-            for col, acc in (("lsh", lsh), ("win", win)):
-                for chunk in p[col].chunks if hasattr(p[col], "chunks") else [p[col]]:
-                    for buf in chunk:
-                        acc |= np.frombuffer(buf.as_py(), dtype=np.uint64)
-        return pa.table({"lsh": pa.array([lsh.tobytes()]), "win": pa.array([win.tobytes()])})
-
-    fanin = 8
-    while len(refs) > 1:
-        refs = [or_merge.remote(*refs[i : i + fanin]) for i in range(0, len(refs), fanin)]
-    final = ray.get(refs[0]) if refs else None
-    if final is None:
-        return BloomFilter(m_bits, k), BloomFilter(m_bits, k)
     return (
-        BloomFilter(m_bits, k, np.frombuffer(final["lsh"][0].as_py(), np.uint64).copy()),
-        BloomFilter(m_bits, k, np.frombuffer(final["win"][0].as_py(), np.uint64).copy()),
+        build_bloom_distributed(
+            candidates, ids_of(ORIGIN_LSH), m_bits, cfg.attach_bloom_hashes
+        ),
+        build_bloom_distributed(
+            candidates, ids_of(ORIGIN_WINNOW), m_bits, cfg.attach_bloom_hashes
+        ),
+    )
+
+
+def _prepped_profile(profile: Dataset, key_col: str, members) -> Dataset:
+    import ray
+
+    if members is not None:
+        mem_ref = ray.put(members)
+
+        def prep(t: pa.Table) -> pa.Table:
+            sm, tm = ray.get(mem_ref)
+            return _prep_profile(t, key_col, sm, tm)
+
+    else:
+
+        def prep(t: pa.Table) -> pa.Table:
+            return _prep_profile(t, key_col)
+
+    return profile.select_columns(
+        ["doc_id", "simhash", "n_shingles", "norm_text", "shingle_set"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def prepare_candidates(candidates: Dataset, profile: Dataset, cfg: DedupConfig) -> Dataset:
+    """Exchange 1: raw candidates -> consolidated per-pair rows with a-side
+    payload attached (see module docstring).
+
+    ``candidates`` is consumed twice (membership pass + exchange) — the
+    caller must pass a pinned/materialized stream (the flagship pins the LSH
+    and winnow pair streams separately; :func:`verify_stage` materializes
+    for standalone callers).
+    """
+    n_rows = candidates.count()
+    members = _side_memberships(candidates, "doc_a", cfg, n_rows)
+    cand = candidates.map_batches(
+        _emit_cand_union, batch_format="pyarrow", zero_copy_batch=True
+    )
+    prof = _prepped_profile(profile, "doc_a", members)
+    return sharded_group_map(
+        cand.union(prof),
+        ["doc_a"],
+        lambda g: _prepare_shard(g, cfg.min_substring_len, cfg.winnow_kgram),
+        num_shards=cfg.group_shards,
+    )
+
+
+def verify_prepared(prepared: Dataset, profile: Dataset, cfg: DedupConfig) -> Dataset:
+    """Exchange 2: prepared rows x profile -> verified_pairs (distinct pairs).
+
+    ``prepared`` is consumed twice (membership pass + exchange) — pass a
+    pinned/checkpointed dataset.
+    """
+    n_rows = prepared.count()
+    members = _side_memberships(prepared, "doc_b", cfg, n_rows)
+    cand = prepared.map_batches(
+        _prepared_union, batch_format="pyarrow", zero_copy_batch=True
+    )
+    prof = _prepped_profile(profile, "doc_b", members)
+    return sharded_group_map(
+        cand.union(prof),
+        ["doc_b"],
+        lambda g: _verify_shard(g, cfg),
+        num_shards=cfg.group_shards,
     )
 
 
@@ -616,60 +719,22 @@ def verify_stage(
 ) -> Dataset:
     """candidate_pairs x profile -> verified_pairs (distinct on doc_a, doc_b).
 
-    ``consolidated=True`` skips exchange 1 (the caller already ran
-    :func:`consolidate_candidates`, e.g. because that boundary is a
-    checkpoint stage).  See the module docstring for the three-exchange plan.
+    Convenience composition of :func:`prepare_candidates` +
+    :func:`verify_prepared`.  ``consolidated=True`` signals the caller
+    already distincted the stream (e.g. a checkpointed boundary);
+    consolidation is idempotent so the prepare exchange simply passes such
+    rows through while attaching the a-side payload.
 
-    ``pin_intermediate`` materializes the attach output before the
-    merge-verify exchange: two all-to-all operators in one streaming DAG
-    thrash each other on this Ray version (see pipelines/dedup.py), so the
-    ~1 s barrier is a net win at every measured scale.
+    ``pin_intermediate`` materializes the prepared rows before the verify
+    exchange: two all-to-all operators in one streaming DAG thrash each
+    other on this Ray version (see pipelines/dedup.py), so the ~1 s barrier
+    is a net win at every measured scale.  The input is materialized first
+    for the same reason (the membership pass would otherwise execute a lazy
+    upstream twice).
     """
-    import ray
-
-    if not consolidated:
-        # the id-collection pass below would otherwise execute the lazy
-        # consolidate exchange twice (once for ids, once for the attach)
-        candidates = consolidate_candidates(candidates, cfg).materialize()
-    halves = candidates.map_batches(
-        _emit_halves, batch_format="pyarrow", zero_copy_batch=True
-    )
-    # broadcast semi-join: ship a profile row (and its heavy columns) only to
-    # the docs that can be consumed downstream — see _prep_profile.  The
-    # exact-vs-Bloom decision is made from the pair COUNT (2 * n_pairs is an
-    # upper bound on distinct ids) BEFORE any id collection, so the driver
-    # never materializes an unbounded id set just to discover it was too big.
-    n_pairs = candidates.count()
-    if 2 * n_pairs <= cfg.attach_semijoin_max_ids:
-        sset_ids, text_ids = _candidate_doc_ids(candidates)
-        members = (SortedIdSet(sset_ids), SortedIdSet(text_ids))
-    elif cfg.attach_bloom_bits_per_id > 0:
-        members = _candidate_bloom_filters(candidates, cfg, 2 * n_pairs)
-    else:  # Bloom disabled: ship every profile row (slower, correct)
-        members = None
-    if members is not None:
-        mem_ref = ray.put(members)
-
-        def prep(t: pa.Table) -> pa.Table:
-            sm, tm = ray.get(mem_ref)
-            return _prep_profile(t, sm, tm)
-
-    else:
-        prep = _prep_profile
-    prof = profile.select_columns(
-        ["doc_id", "simhash", "n_shingles", "norm_text", "shingle_set"]
-    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
-    attached = sharded_group_map(
-        halves.union(prof),
-        ["key"],
-        lambda g: _attach_shard(g, cfg.min_substring_len, cfg.winnow_kgram),
-        num_shards=cfg.group_shards,
-    )
+    del consolidated  # kept for API compatibility; consolidation is idempotent
+    candidates = candidates.materialize()
+    prepared = prepare_candidates(candidates, profile, cfg)
     if pin_intermediate:
-        attached = attached.materialize()
-    return sharded_group_map(
-        attached,
-        ["doc_a", "doc_b"],
-        lambda g: _merge_verify_shard(g, cfg),
-        num_shards=cfg.group_shards,
-    )
+        prepared = prepared.materialize()
+    return verify_prepared(prepared, profile, cfg)

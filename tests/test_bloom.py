@@ -59,14 +59,14 @@ def test_bloom_deterministic_and_sizing():
 
 
 def test_distributed_bloom_build_matches_local(ray_session):
-    """_candidate_bloom_filters' tree-OR over per-block partials equals a
-    single local build over the same ids, split by origin."""
+    """_side_memberships' Bloom path (tree-OR over per-block partials) equals a
+    single local build over the same side's ids, split by origin."""
     import ray.data
     from image_deduplication_3m_images_ray.config import DedupConfig
     from image_deduplication_3m_images_ray.stages.verify import (
         ORIGIN_LSH,
         ORIGIN_WINNOW,
-        _candidate_bloom_filters,
+        _side_memberships,
     )
 
     rng = np.random.default_rng(5)
@@ -82,14 +82,44 @@ def test_distributed_bloom_build_matches_local(ray_session):
         }
     )
     ds = ray.data.from_arrow(t).repartition(7)
-    cfg = DedupConfig()
-    fl, fw = _candidate_bloom_filters(ds, cfg, 2 * n)
-    m = BloomFilter.size_bits(2 * n, cfg.attach_bloom_bits_per_id)
-    lsh_ids = np.concatenate([a[origin == ORIGIN_LSH], b[origin == ORIGIN_LSH]])
-    win_ids = np.concatenate([a[origin == ORIGIN_WINNOW], b[origin == ORIGIN_WINNOW]])
+    cfg = DedupConfig(attach_semijoin_max_ids=0)  # force the Bloom path
+    fl, fw = _side_memberships(ds, "doc_a", cfg, n)
+    m = BloomFilter.size_bits(n, cfg.attach_bloom_bits_per_id)
+    lsh_ids = a[origin == ORIGIN_LSH]
+    win_ids = a[origin == ORIGIN_WINNOW]
     assert np.array_equal(fl.words, BloomFilter(m, cfg.attach_bloom_hashes).add(lsh_ids).words)
     assert np.array_equal(fw.words, BloomFilter(m, cfg.attach_bloom_hashes).add(win_ids).words)
     assert fl.contains(lsh_ids).all() and fw.contains(win_ids).all()
+
+
+def test_side_memberships_exact_path(ray_session):
+    """Below the bound the exact sorted-id sets hold precisely the side's ids."""
+    import ray.data
+    from image_deduplication_3m_images_ray.config import DedupConfig
+    from image_deduplication_3m_images_ray.stages.verify import (
+        ORIGIN_LSH,
+        ORIGIN_WINNOW,
+        _side_memberships,
+    )
+
+    rng = np.random.default_rng(9)
+    n = 1000
+    a = rng.integers(0, 2**63, size=n, dtype=np.uint64)
+    b = rng.integers(0, 2**63, size=n, dtype=np.uint64)
+    origin = np.where(rng.random(n) < 0.5, ORIGIN_LSH, ORIGIN_WINNOW).astype(np.int8)
+    t = pa.table(
+        {
+            "doc_a": pa.array(a, pa.uint64()),
+            "doc_b": pa.array(b, pa.uint64()),
+            "origin": pa.array(origin, pa.int8()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(5)
+    cfg = DedupConfig()
+    sl, sw = _side_memberships(ds, "doc_b", cfg, n)
+    assert isinstance(sl, SortedIdSet) and isinstance(sw, SortedIdSet)
+    assert np.array_equal(sl.ids, np.unique(b[origin == ORIGIN_LSH]))
+    assert np.array_equal(sw.ids, np.unique(b[origin == ORIGIN_WINNOW]))
 
 
 def test_distributed_bloom_build_tolerates_empty_blocks(ray_session):
@@ -100,7 +130,7 @@ def test_distributed_bloom_build_tolerates_empty_blocks(ray_session):
     from image_deduplication_3m_images_ray.config import DedupConfig
     from image_deduplication_3m_images_ray.stages.verify import (
         ORIGIN_LSH,
-        _candidate_bloom_filters,
+        _side_memberships,
     )
 
     ids = np.arange(1, 33, dtype=np.uint64)
@@ -113,7 +143,7 @@ def test_distributed_bloom_build_tolerates_empty_blocks(ray_session):
     )
     empty = t.slice(0, 0)
     ds = ray.data.from_arrow([t, empty, empty])
-    cfg = DedupConfig()
-    fl, fw = _candidate_bloom_filters(ds, cfg, 2 * len(ids))
-    assert fl.contains(ids).all() and fl.contains(ids + 1000).all()
+    cfg = DedupConfig(attach_semijoin_max_ids=0)  # force the Bloom path
+    fl, fw = _side_memberships(ds, "doc_a", cfg, len(ids))
+    assert fl.contains(ids).all()
     assert not fw.contains(ids).any()
