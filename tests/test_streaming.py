@@ -90,6 +90,24 @@ def test_stream_dedup_earliest_arrival_not_min_id(ray_session):
         assert out[third] == first
 
 
+def test_stream_dedup_returns_dataset(ray_session):
+    """Round-3 verdict item 5: the verdict comes back as a Dataset of
+    per-block tables (driver holds refs + counts only), values unchanged."""
+    import ray.data
+    from ray.data import Dataset
+    from image_deduplication_3m_images_ray.config import DedupConfig
+    from image_deduplication_3m_images_ray.extras.streaming import stream_dedup
+
+    t = _corpus(20, 2, lambda u, rep: u * 10 + rep + 1)
+    out = stream_dedup(ray.data.from_arrow(t), DedupConfig(), n_shards=3, batch_size=16)
+    assert isinstance(out, Dataset)
+    df = out.to_pandas().set_index("doc_id")["dup_of"]
+    assert len(df) == 40
+    for u in range(20):
+        first = u * 10 + 1
+        assert df[first] == 0 and df[first + 1] == first
+
+
 def test_stream_dedup_rejects_zero_id(ray_session):
     import ray.data
     from image_deduplication_3m_images_ray.config import DedupConfig
