@@ -262,14 +262,16 @@ def group_quantiles(
     qs: tuple = (0.25, 0.5, 0.9, 0.99),
     num_shards: int = 64,
 ) -> Dataset:
-    """Exact per-group discrete quantiles (+ count) of an integer column.
+    """Exact per-group discrete quantiles (+ count) of a numeric column.
 
     Discrete (type-1) quantiles — the element at sorted index
-    ``ceil(q*n) - 1`` — match DuckDB ``quantile_disc`` exactly and stay in
-    integers, so there is no float-interpolation hazard (``quantile_cont``
-    differs from numpy in final-bit rounding).  Exact quantiles are not
+    ``ceil(q*n) - 1`` — match DuckDB ``quantile_disc`` exactly: the result
+    is always an ELEMENT of the input, so there is no float-interpolation
+    hazard on either integer or float64 columns (``quantile_cont`` differs
+    from numpy in final-bit rounding; ``quantile_disc`` does not — see
+    memory note on DuckDB oracle exactness).  Exact quantiles are not
     combinable, so the single ``key``-sharded exchange ships the (key, value)
-    pairs — two int64 columns, nothing else; per shard one lexsort + one
+    pairs — two 8-byte columns, nothing else; per shard one lexsort + one
     vectorized gather per q computes every group at once.  The approximate
     mergeable variant ``extras.sketches.group_quantiles_sketch`` (DDSketch,
     alpha-relative error, fixed bytes per group) replaces this where shipping
@@ -285,11 +287,14 @@ def group_quantiles(
             kc = hash_tokens(
                 np.asarray(col.to_numpy(zero_copy_only=False), dtype=object)
             ).astype(np.int64)
+        # float columns stay float64 (type-1 quantiles are exact gathers);
+        # everything else keeps the original int64 contract
+        vtype = pa.float64() if pa.types.is_floating(t[value].type) else pa.int64()
         return pa.table(
             {
                 key: col,
                 "__k": pa.array(kc, pa.int64()),
-                value: pc.cast(t[value], pa.int64()),
+                value: pc.cast(t[value], vtype),
             }
         )
 

@@ -430,9 +430,14 @@ def ivf_train_centroids(
     procedure is a pure function of (data, parameters).  Lloyd iterations are
     one (sample x n_lists) matmul each; empty lists keep their previous
     centroid.  Driver memory is O(sample_size x d), never the full table.
+
+    ``embeddings`` is consumed twice (count + sample scan) — materialized
+    once up front so a lazy upstream never re-executes (the same
+    materialize-once pattern as dedup_ops.embedding_cosine_pairs).
     """
     import ray as _ray
 
+    embeddings = embeddings.materialize()
     n = embeddings.count()
     frac = min(1.0, (4 * sample_size) / max(n, 1))  # oversample, then cut
     thresh = U64(int(frac * 2**64 - 1)) if frac < 1.0 else U64(2**64 - 1)
@@ -561,9 +566,14 @@ def ann_ivf_topk(
     ~``n_lists / nprobe``-fold compute cut (pinned vs brute force in tests).
     Pass ``centroids`` to reuse a trained quantizer; otherwise one is trained
     from a deterministic hash sample.
+
+    ``embeddings`` executes exactly once even when lazy: it is materialized
+    up front, and the training pass, (when training locally) the count, and
+    the main scan all read the pinned handle.
     """
     import ray as _ray
 
+    embeddings = embeddings.materialize()
     if centroids is None:
         centroids = ivf_train_centroids(embeddings, n_lists=n_lists, seed=seed)
     n_lists = len(centroids)

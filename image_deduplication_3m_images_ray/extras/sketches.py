@@ -135,20 +135,43 @@ def approx_distinct(
 # ---------------------------------------------------------------------------
 
 
-def _dd_codes(vals: np.ndarray, gamma: float) -> np.ndarray:
-    """int64 value -> DDSketch bucket code (int32), value-ordered.
+def _dd_bias(gamma: float) -> int:
+    """Code bias covering the full float64 magnitude range.
 
-    Positive v -> ceil(log_gamma(v)) + 1, negative v -> -(that of |v|),
-    zero -> 0.  Nonzero int64 magnitudes are >= 1 so indices are >= 0 and
-    the code ordering equals the value ordering (negatives: larger magnitude
-    -> more negative code).  Pure function of the value — deterministic.
+    Bucket indices for tiny magnitudes are negative (v < 1 =>
+    ceil(log_gamma(v)) < 0, down to ~ -745/ln(gamma) at the subnormal
+    floor); adding the bias keeps every nonzero code's magnitude positive so
+    sign(code) == sign(value) and code order == value order.  Raises when
+    the biased range would not fit the int32 wire column (alpha below
+    ~4e-7 — far finer than any practical sketch).
     """
+    span = int(np.ceil(745.0 / np.log(gamma))) + 2
+    if 2 * span + 2 >= 1 << 31:
+        raise ValueError("alpha too small: bucket codes would overflow int32")
+    return span
+
+
+def _dd_codes(vals: np.ndarray, gamma: float) -> np.ndarray:
+    """Numeric value (int64 or float64) -> DDSketch bucket code (int32).
+
+    Positive v -> ceil(log_gamma(v)) + 1 + bias, negative v -> -(that of
+    |v|), zero -> 0.  The bias (:func:`_dd_bias`) keeps codes value-ordered
+    for magnitudes below 1 (float support — round-3 verdict item 6);
+    integral magnitudes >= 1 land in the same buckets as the unbiased
+    formulation, so representatives are unchanged.  Non-finite values are
+    rejected (the exact oracle has no NaN/inf ordering contract either).
+    Pure function of the value — deterministic.
+    """
+    vals = np.asarray(vals, dtype=np.float64)
+    if not np.isfinite(vals).all():
+        raise ValueError("group_quantiles_sketch requires finite values")
+    bias = _dd_bias(gamma)
     codes = np.zeros(len(vals), dtype=np.int32)
     nz = vals != 0
     if nz.any():
-        mag = np.abs(vals[nz]).astype(np.float64)
-        idx = np.ceil(np.log(mag) / np.log(gamma)).astype(np.int32)
-        codes[nz] = np.where(vals[nz] > 0, idx + 1, -(idx + 1))
+        mag = np.abs(vals[nz])
+        idx = np.ceil(np.log(mag) / np.log(gamma)).astype(np.int64) + 1 + bias
+        codes[nz] = np.where(vals[nz] > 0, idx, -idx).astype(np.int32)
     return codes
 
 
@@ -159,9 +182,10 @@ def _dd_values(codes: np.ndarray, gamma: float) -> np.ndarray:
     is within a factor (gamma-1)/(gamma+1) = alpha of v — DDSketch's
     relative-error bound.
     """
+    bias = _dd_bias(gamma)
     out = np.zeros(len(codes), dtype=np.float64)
     nz = codes != 0
-    idx = np.abs(codes[nz]).astype(np.float64) - 1.0
+    idx = np.abs(codes[nz]).astype(np.float64) - 1.0 - bias
     rep = 2.0 * np.power(gamma, idx) / (gamma + 1.0)
     out[nz] = np.where(codes[nz] > 0, rep, -rep)
     return out
@@ -197,9 +221,13 @@ def group_quantiles_sketch(
     def partial(t: pa.Table) -> pa.Table:
         kcol = t[key]
         keys = np.asarray(kcol.to_numpy(zero_copy_only=False))
+        # int64 and float64 value columns both sketch natively (round-3
+        # verdict item 6): the biased bucket codes stay value-ordered for
+        # magnitudes below 1, and integral values land in the same buckets
+        # as the old int64-only path
         vals = np.asarray(
-            pa.compute.cast(t[value], pa.int64()).to_numpy(zero_copy_only=False),
-            dtype=np.int64,
+            pa.compute.cast(t[value], pa.float64()).to_numpy(zero_copy_only=False),
+            dtype=np.float64,
         )
         uk, inv = np.unique(keys, return_inverse=True)
         codes = _dd_codes(vals, gamma)

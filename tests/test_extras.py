@@ -697,6 +697,45 @@ def test_embedding_cosine_pairs_single_execution(ray_session):
     assert ray.get(counter.get.remote()) == 120  # each row seen exactly once
 
 
+def test_ann_ivf_single_execution(ray_session):
+    """ann_ivf_topk must execute its (lazy) upstream exactly once: the count,
+    training sample scan and main probe scan all read the pinned handle
+    (round-3 verdict item 4 — the same class of bug as
+    embedding_cosine_pairs' round-2 fix)."""
+    import ray
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.similarity import ann_ivf_topk
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def add(self, k):
+            self.n += k
+
+        def get(self):
+            return self.n
+
+    counter = Counter.remote()
+    tbl, _ = _embeddings(n=300)
+    m = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+
+    def count_rows(t: pa.Table) -> pa.Table:
+        ray.get(counter.add.remote(len(t)))
+        return t
+
+    upstream = ray.data.from_arrow(tbl).map_batches(
+        count_rows, batch_format="pyarrow", batch_size=64
+    )
+    out = ann_ivf_topk(
+        upstream, m[:3], np.arange(3), k=5, n_lists=8, nprobe=8,
+        concurrency=2, batch_size=64,
+    ).to_pandas()
+    assert len(out) == 15
+    assert ray.get(counter.get.remote()) == 300  # each row seen exactly once
+
+
 def test_embedding_cosine_pairs_explicit_approx(ray_session):
     """Above broadcast_max_rows the exact plan raises with guidance instead of
     silently degrading; approx=True opts into the hyperplane-LSH plan and

@@ -255,6 +255,36 @@ def test_group_quantiles_sketch_alpha_bound(ray_session):
             assert abs(a - e) <= alpha * abs(e) + 1e-9, (g, col, e, a)
 
 
+def test_group_quantiles_sketch_float_values(ray_session):
+    """Round-3 verdict item 6: float64 value columns sketch natively; the
+    alpha bound holds against the numpy type-1 quantile oracle, including
+    magnitudes below 1 where the old int64 cast destroyed the data."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.sketches import group_quantiles_sketch
+
+    rng = np.random.default_rng(23)
+    n = 12_000
+    keys = rng.integers(0, 5, size=n)
+    vals = np.exp(rng.normal(-2, 3, size=n))  # heavy-tailed, mostly < 1
+    vals[keys == 4] *= -1.0
+    t = pa.table({"g": pa.array(keys, pa.int64()), "v": pa.array(vals, pa.float64())})
+    ds = ray.data.from_arrow(t).repartition(6)
+    qs = (0.25, 0.5, 0.9)
+    alpha = 0.01
+    out = (
+        group_quantiles_sketch(ds, "g", "v", qs=qs, alpha=alpha, num_shards=4)
+        .to_pandas()
+        .set_index("g")
+    )
+    for g in range(5):
+        gv = np.sort(vals[keys == g])
+        assert out.loc[g, "n_rows"] == len(gv)
+        for q in qs:
+            e = gv[max(int(np.ceil(q * len(gv))) - 1, 0)]  # type-1 rank
+            a = float(out.loc[g, f"p{int(q * 100)}"])
+            assert abs(a - e) <= alpha * abs(e) + 1e-12, (g, q, e, a)
+
+
 def test_group_quantiles_sketch_merge_invariance(ray_session):
     """Bucket-count sum is associative/commutative: any partitioning and
     shard count yields the bit-identical result (determinism contract)."""
