@@ -109,25 +109,21 @@ class DedupConfig:
     num_output_partitions: int = 16   # deterministic hash-partition count for
                                       # checkpointed stage outputs (the unit of
                                       # per-partition lineage + resume)
-    attach_semijoin_max_ids: int = 20_000_000  # verify attach ships a profile row
-                                      # only for docs that appear in candidate
-                                      # pairs (a broadcast semi-join; measured
-                                      # 58% of profile rows dead at 200k docs).
-                                      # Gated on 2*n_pairs (an id upper bound)
+    attach_semijoin_max_ids: int = 20_000_000  # each verify exchange ships a
+                                      # profile row only for docs that appear
+                                      # on ITS side of a candidate row (a
+                                      # broadcast semi-join; measured 58% of
+                                      # profile rows dead at 200k docs).
+                                      # Gated per side on the candidate ROW
+                                      # count (each row holds exactly one id
+                                      # in that side's column — a tighter
+                                      # bound than round 3's 2*n_pairs,
+                                      # closing ADVICE item 3's conservatism)
                                       # BEFORE any driver-side id collection;
                                       # above the bound a distributed Bloom
                                       # filter engages instead (same contract:
                                       # false positives only ship extra rows,
-                                      # never drop one).  The 2*n_pairs bound
-                                      # is deliberately CONSERVATIVE: on
-                                      # dup-heavy corpora (many pairs over few
-                                      # docs) it flips to the Bloom path well
-                                      # before the exact id set would overflow
-                                      # — costing only the Bloom's extra FP
-                                      # rows, never correctness (round-3
-                                      # ADVICE item 3; a cheap HLL estimate
-                                      # could refine it if that margin ever
-                                      # shows up in a profile)
+                                      # never drop one)
     attach_bloom_bits_per_id: int = 12  # Bloom sizing above the exact-set
                                       # bound (~3e-4 fp rate with 8 hashes);
                                       # <= 0 disables the Bloom path entirely
