@@ -105,26 +105,41 @@ def dedup_pipeline(
     # materialize barrier is ~1-2s of serial wall-time regardless of CPU count.
     if checkpoint_dir:
 
-        def pin(ds, name=None):
-            return ds
+        def pin(build, name=None):
+            return build() if callable(build) else build
 
     else:
+        # pins nest (lsh_pairs/winnow_pairs run inside the candidate_pairs
+        # builder), so each stage reports its EXCLUSIVE time — inclusive
+        # timing double-counts the inner pins and the sum of stages can
+        # exceed the pipeline total
+        _pin_inner = [0.0]
 
-        def pin(ds, name=None):
+        def pin(build, name=None):
+            # time the BUILD too, not just the materialize: stage builders run
+            # eager driver-side work (the semi-join membership passes collect
+            # candidate ids with a map_batches + take_all) that would otherwise
+            # be invisible between pins and mis-attributed to the final tail
             t0 = _time.time()
+            outer_inner = _pin_inner[0]
+            _pin_inner[0] = 0.0
+            ds = build() if callable(build) else build
             out = ds.materialize()
+            elapsed = _time.time() - t0
+            own = elapsed - _pin_inner[0]
+            _pin_inner[0] = outer_inner + elapsed
             if progress and name:
-                progress(name, {"seconds": round(_time.time() - t0, 3), "rows": out.count(), "skipped": False})
+                progress(name, {"seconds": round(own, 3), "rows": out.count(), "skipped": False})
             return out
 
     def pin_named(name):
-        return lambda ds: pin(ds, name)
+        return lambda build: pin(build, name)
 
     if exact_prepass:
         # extract feeds only the exact pre-pass, so it fuses into this
         # execution; docs_rep then serves BOTH the rep filter and the report
         docs_rep = pin_named("exact_reps")(
-            ckpt.run(
+            lambda: ckpt.run(
                 "exact_reps",
                 lambda: exact_rep_stage(
                     ckpt.run("docs", lambda: extract_stage(pages, cfg), partition_key="doc_id"),
@@ -140,12 +155,12 @@ def dedup_pipeline(
     else:
         docs_rep = None
         docs_for_report = pin_named("docs")(
-            ckpt.run("docs", lambda: extract_stage(pages, cfg), partition_key="doc_id")
+            lambda: ckpt.run("docs", lambda: extract_stage(pages, cfg), partition_key="doc_id")
         )
         reps = docs_for_report
         sig_parents = ["docs"]
     profile = pin_named("signatures")(
-        ckpt.run(
+        lambda: ckpt.run(
             "signatures",
             lambda: signature_stage(reps, cfg),
             parents=sig_parents,
@@ -166,14 +181,14 @@ def dedup_pipeline(
         # running them concurrently in one streaming DAG measured 1.7x slower
         # (31.8 s vs 19.2 s at 16 cpus on 100k docs) — same concurrent
         # all-to-all thrashing as the stage-boundary pins above
-        lsh = pin(lsh_pairs_stage(band_postings_stage(profile, cfg), cfg, dedup=False), "lsh_pairs")
-        wp = pin(winnow_pairs_stage(fingerprint_stage(profile, cfg), cfg), "winnow_pairs")
+        lsh = pin(lambda: lsh_pairs_stage(band_postings_stage(profile, cfg), cfg, dedup=False), "lsh_pairs")
+        wp = pin(lambda: winnow_pairs_stage(fingerprint_stage(profile, cfg), cfg), "winnow_pairs")
         # prepare = consolidate + a-side payload attach in ONE exchange
         # (stages/verify.py module docstring: the two-exchange verify plan)
         return prepare_candidates(lsh.union(wp), profile, cfg)
 
     candidates = pin_named("candidate_pairs")(
-        ckpt.run(
+        lambda: ckpt.run(
             "candidate_pairs",
             build_prepared,
             parents=["signatures"],
@@ -182,7 +197,7 @@ def dedup_pipeline(
         )
     )
     verified = pin_named("verified_pairs")(
-        ckpt.run(
+        lambda: ckpt.run(
             "verified_pairs",
             lambda: verify_prepared(candidates, profile, cfg),
             parents=["candidate_pairs"],
@@ -200,11 +215,13 @@ def dedup_pipeline(
         round_dir = f"{checkpoint_dir}/clusters_rounds_{tag}"
     else:
         round_dir = None
-    rep_clusters = ckpt.run(
-        "clusters",
-        lambda: cluster_stage(verified, cfg, round_checkpoint_dir=round_dir),
-        parents=["verified_pairs"],
-        partition_key="doc_id",
+    rep_clusters = pin_named("clusters")(
+        lambda: ckpt.run(
+            "clusters",
+            lambda: cluster_stage(verified, cfg, round_checkpoint_dir=round_dir),
+            parents=["verified_pairs"],
+            partition_key="doc_id",
+        )
     )
     if exact_prepass:
         # one attach: doc -> rep -> cluster (report_stage_from_reps)

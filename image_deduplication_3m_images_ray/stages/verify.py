@@ -602,6 +602,12 @@ def _side_memberships(candidates: Dataset, col: str, cfg: DedupConfig, n_rows: i
     """
     import ray
 
+    # column-prune before the scan: the membership pass needs only (col,
+    # origin) — 9 bytes/row — and ``candidates`` may carry heavy binary
+    # payloads (prepared rows ship context windows + shingle sets).  On
+    # object-store blocks this slices two buffers zero-copy; on a Parquet
+    # checkpoint it pushes the projection into the read.
+    candidates = candidates.select_columns([col, "origin"])
     if n_rows <= cfg.attach_semijoin_max_ids:
 
         def partial(t: pa.Table) -> pa.Table:
