@@ -85,7 +85,7 @@ def run_bench() -> dict:
     # measurement.  --scaling already runs fresh processes with its own
     # best-of-N, so its child runs use one trial.
     headline_trials = int(
-        os.environ.get("GRAFT_HEADLINE_TRIALS", "1" if os.environ.get("GRAFT_HEADLINE_ONLY") else "2")
+        os.environ.get("GRAFT_HEADLINE_TRIALS", "1" if os.environ.get("GRAFT_HEADLINE_ONLY") else "3")
     )
     # per-stage wall-time attribution (BASELINE.md "residual serial fraction"
     # itemization): the streaming pipeline's pin() callback reports each
