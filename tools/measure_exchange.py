@@ -73,13 +73,27 @@ def main() -> None:
 
     # --- b. hash-shuffle repartition path ---
     def run_hash(ds):
-        rep = ds.repartition(cfg.group_shards, keys=["fp"])
-        return rep.map_batches(emit, batch_format="numpy", batch_size=None,
-                               zero_copy_batch=True)
+        # key-based repartition requires the hash-shuffle strategy; the
+        # context flag is read at plan execution, so set it only around the
+        # hash variants (ds is already materialized — nothing upstream reruns)
+        from ray.data.context import ShuffleStrategy
+
+        ctx = rd.DataContext.get_current()
+        prev = ctx.shuffle_strategy
+        ctx.shuffle_strategy = ShuffleStrategy.HASH_SHUFFLE
+        try:
+            # a Dataset snapshots its DataContext at creation — rebuild from
+            # the materialized block refs so the new plan sees HASH_SHUFFLE
+            ds2 = rd.from_arrow_refs(ds.to_arrow_refs())
+            rep = ds2.repartition(cfg.group_shards, keys=["fp"])
+            return rep.map_batches(emit, batch_format="numpy", batch_size=None,
+                                   zero_copy_batch=True).materialize()
+        finally:
+            ctx.shuffle_strategy = prev
 
     t0 = time.time()
     try:
-        out_b = run_hash(fps).materialize()
+        out_b = run_hash(fps)
         results["hash_sec"] = round(time.time() - t0, 2)
         results["hash_pair_rows"] = out_b.count()
     except Exception as e:  # noqa: BLE001
@@ -153,7 +167,7 @@ def main() -> None:
     # --- d. live + hash ---
     t0 = time.time()
     try:
-        out_d = run_hash(live_mat).materialize()
+        out_d = run_hash(live_mat)
         results["live_hash_sec"] = round(t_pre + time.time() - t0, 2)
         results["live_hash_pair_rows"] = out_d.count()
     except Exception as e:  # noqa: BLE001
