@@ -114,16 +114,20 @@ class DedupConfig:
                                       # on ITS side of a candidate row (a
                                       # broadcast semi-join; measured 58% of
                                       # profile rows dead at 200k docs).
-                                      # Gated per side on the candidate ROW
-                                      # count (each row holds exactly one id
-                                      # in that side's column — a tighter
-                                      # bound than round 3's 2*n_pairs,
-                                      # closing ADVICE item 3's conservatism)
-                                      # BEFORE any driver-side id collection;
-                                      # above the bound a distributed Bloom
-                                      # filter engages instead (same contract:
-                                      # false positives only ship extra rows,
-                                      # never drop one)
+                                      # Gated per side on the SUM of
+                                      # per-block distinct-id counts — a true
+                                      # distinct upper bound, tighter than
+                                      # both the raw row count (one pair is
+                                      # up to `bands` LSH rows + one row per
+                                      # shared fingerprint) and round 3's
+                                      # 2*n_pairs (ADVICE item 3) — decided
+                                      # from per-block scalars BEFORE any
+                                      # driver-side id collection; above the
+                                      # bound distributed Bloom filters are
+                                      # built from the same per-block
+                                      # distinct-id blobs (one candidate
+                                      # scan total; false positives only
+                                      # ship extra rows, never drop one)
     attach_bloom_bits_per_id: int = 12  # Bloom sizing above the exact-set
                                       # bound (~3e-4 fp rate with 8 hashes);
                                       # <= 0 disables the Bloom path entirely

@@ -387,19 +387,30 @@ def cluster_stage(
             for f in os.listdir(round_checkpoint_dir)
             if f.endswith(".done")
         )
+        lp_dir = None
+        edges_dir = None
         for r in done:
             with open(os.path.join(round_checkpoint_dir, f"round_{r}.done")) as f:
                 info = json.loads(f.read() or "{}")
             rdir = os.path.join(round_checkpoint_dir, f"round_{r}")
             if info.get("phase") == "lp":
-                lp_labels = ray.data.read_parquet(os.path.join(rdir, "labels")).materialize()
+                # only the LAST completed propagation round's labels matter;
+                # record the path and load once after the loop instead of
+                # materializing every round's full label table
+                lp_dir = os.path.join(rdir, "labels")
                 lp_start = info.get("lp_round", 0) + 1
             else:
                 maps.append(ray.data.read_parquet(os.path.join(rdir, "map")))
                 contract_done = r + 1
                 n_edges = info.get("edges", 0)
                 if n_edges:
-                    edges = ray.data.read_parquet(os.path.join(rdir, "edges")).materialize()
+                    edges_dir = os.path.join(rdir, "edges")
+        # load only the LAST checkpointed edge set / label table (earlier
+        # rounds' files are superseded; loading them all was dead startup work)
+        if edges_dir is not None and n_edges:
+            edges = ray.data.read_parquet(edges_dir).materialize()
+        if lp_dir is not None:
+            lp_labels = ray.data.read_parquet(lp_dir).materialize()
 
     for rnd in range(contract_done, cfg.cluster_contract_rounds):
         if n_edges == 0 or lp_labels is not None:

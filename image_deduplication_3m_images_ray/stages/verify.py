@@ -590,17 +590,29 @@ def _prepared_union(t: pa.Table) -> pa.Table:
     )
 
 
-def _side_memberships(candidates: Dataset, col: str, cfg: DedupConfig, n_rows: int):
+def _side_memberships(candidates: Dataset, col: str, cfg: DedupConfig):
     """(lsh_member, win_member) over ``candidates[col]`` split by origin.
 
-    The semi-join filter build for one exchange side.  The exact-vs-Bloom
-    decision is made from the ROW COUNT (each row holds one id in ``col``,
-    so ``n_rows`` bounds the distinct ids) BEFORE any id collection — the
-    driver never materializes an unbounded id set just to discover it was
-    too big.  Returns ``None`` when the Bloom path is disabled and the
-    bound is exceeded (every profile row ships — slower, correct).
+    The semi-join filter build for one exchange side.  ONE scan of the
+    candidate stream produces per-block distinct-id blobs per origin (a
+    pinned dataset of ``unique(ids).tobytes()`` cells); everything else
+    reads those blobs, never the candidates again:
+
+    1. the exact-vs-Bloom decision uses the SUMMED blob lengths — a true
+       upper bound on distinct ids (cross-block repeats overcount, never
+       under), far tighter than the raw row count (one pair contributes up
+       to ``bands`` LSH rows plus one row per shared fingerprint) — and is
+       made from per-block scalars BEFORE any driver-side id collection;
+    2. below ``attach_semijoin_max_ids`` the blobs concatenate into exact
+       :class:`SortedIdSet`s (driver holds at most the bound just checked);
+    3. above it BOTH origins' Bloom filters are built FROM the blobs (no
+       second candidate scan), sized by the same distinct upper bound.
+
+    Returns ``None`` when the Bloom path is disabled
+    (``attach_bloom_bits_per_id <= 0``) and the bound is exceeded — every
+    profile row ships (slower, correct).
     """
-    import ray
+    import pyarrow.compute as pc
 
     # column-prune before the scan: the membership pass needs only (col,
     # origin) — 9 bytes/row — and ``candidates`` may carry heavy binary
@@ -608,48 +620,63 @@ def _side_memberships(candidates: Dataset, col: str, cfg: DedupConfig, n_rows: i
     # object-store blocks this slices two buffers zero-copy; on a Parquet
     # checkpoint it pushes the projection into the read.
     candidates = candidates.select_columns([col, "origin"])
-    if n_rows <= cfg.attach_semijoin_max_ids:
 
-        def partial(t: pa.Table) -> pa.Table:
-            ids = np.asarray(t[col].to_numpy(zero_copy_only=False), dtype=np.uint64)
-            o = np.asarray(t["origin"].to_numpy(zero_copy_only=False), dtype=np.int8)
-            return pa.table(
-                {
-                    "lsh": pa.array([np.unique(ids[o == ORIGIN_LSH]).tobytes()]),
-                    "win": pa.array([np.unique(ids[o == ORIGIN_WINNOW]).tobytes()]),
-                }
-            )
+    def partial(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[col].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        o = np.asarray(t["origin"].to_numpy(zero_copy_only=False), dtype=np.int8)
+        return pa.table(
+            {
+                "lsh": pa.array([np.unique(ids[o == ORIGIN_LSH]).tobytes()]),
+                "win": pa.array([np.unique(ids[o == ORIGIN_WINNOW]).tobytes()]),
+            }
+        )
 
-        parts = candidates.map_batches(
-            partial, batch_format="pyarrow", zero_copy_batch=True
-        ).take_all()
+    parts = candidates.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).materialize()
+
+    def blob_bytes(t: pa.Table) -> pa.Table:
+        if "lsh" not in t.schema.names:  # empty-block schema passthrough
+            return pa.table({"n": pa.array([0], pa.int64())})
+        n = pc.sum(pc.binary_length(t["lsh"])).as_py() or 0
+        n += pc.sum(pc.binary_length(t["win"])).as_py() or 0
+        return pa.table({"n": pa.array([int(n)], pa.int64())})
+
+    sizes = parts.map_batches(
+        blob_bytes, batch_format="pyarrow", zero_copy_batch=True, batch_size=None
+    ).take_all()
+    ids_upper = sum(int(r["n"]) for r in sizes) // 8
+
+    if ids_upper <= cfg.attach_semijoin_max_ids:
+        rows = [r for r in parts.take_all() if "lsh" in r]
 
         def merge(key: str) -> np.ndarray:
-            bufs = [np.frombuffer(p[key], dtype=np.uint64) for p in parts]
+            bufs = [np.frombuffer(r[key], dtype=np.uint64) for r in rows]
             return np.unique(np.concatenate(bufs)) if bufs else np.empty(0, np.uint64)
 
         return SortedIdSet(merge("lsh")), SortedIdSet(merge("win"))
     if cfg.attach_bloom_bits_per_id <= 0:
         return None
     m_bits = BloomFilter.size_bits(
-        n_rows, cfg.attach_bloom_bits_per_id, cfg.attach_bloom_max_bits
+        ids_upper, cfg.attach_bloom_bits_per_id, cfg.attach_bloom_max_bits
     )
 
-    def ids_of(origin_code: int):
+    def ids_of(key: str):
         def fn(t: pa.Table) -> np.ndarray:
-            ids = np.asarray(t[col].to_numpy(zero_copy_only=False), dtype=np.uint64)
-            o = np.asarray(t["origin"].to_numpy(zero_copy_only=False), dtype=np.int8)
-            return ids[o == origin_code]
+            if key not in t.schema.names:
+                return np.empty(0, np.uint64)
+            bufs = [
+                np.frombuffer(cell, dtype=np.uint64)
+                for cell in t[key].to_pylist()
+                if cell
+            ]
+            return np.concatenate(bufs) if bufs else np.empty(0, np.uint64)
 
         return fn
 
     return (
-        build_bloom_distributed(
-            candidates, ids_of(ORIGIN_LSH), m_bits, cfg.attach_bloom_hashes
-        ),
-        build_bloom_distributed(
-            candidates, ids_of(ORIGIN_WINNOW), m_bits, cfg.attach_bloom_hashes
-        ),
+        build_bloom_distributed(parts, ids_of("lsh"), m_bits, cfg.attach_bloom_hashes),
+        build_bloom_distributed(parts, ids_of("win"), m_bits, cfg.attach_bloom_hashes),
     )
 
 
@@ -682,8 +709,7 @@ def prepare_candidates(candidates: Dataset, profile: Dataset, cfg: DedupConfig) 
     and winnow pair streams separately; :func:`verify_stage` materializes
     for standalone callers).
     """
-    n_rows = candidates.count()
-    members = _side_memberships(candidates, "doc_a", cfg, n_rows)
+    members = _side_memberships(candidates, "doc_a", cfg)
     cand = candidates.map_batches(
         _emit_cand_union, batch_format="pyarrow", zero_copy_batch=True
     )
@@ -702,8 +728,7 @@ def verify_prepared(prepared: Dataset, profile: Dataset, cfg: DedupConfig) -> Da
     ``prepared`` is consumed twice (membership pass + exchange) — pass a
     pinned/checkpointed dataset.
     """
-    n_rows = prepared.count()
-    members = _side_memberships(prepared, "doc_b", cfg, n_rows)
+    members = _side_memberships(prepared, "doc_b", cfg)
     cand = prepared.map_batches(
         _prepared_union, batch_format="pyarrow", zero_copy_batch=True
     )

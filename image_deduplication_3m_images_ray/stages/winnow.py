@@ -254,6 +254,17 @@ def winnow_pairs_stage(fingerprints: Dataset, cfg: DedupConfig) -> Dataset:
             if t.num_rows and "fp" in t.schema.names
         ]
         member = SortedIdSet(np.sort(np.concatenate(parts)) if parts else np.empty(0, np.uint64))
+    elif cfg.attach_bloom_bits_per_id <= 0:
+        # Bloom scale path disabled (same convention as the verify attach's
+        # _side_memberships): above the exact bound there is no filter to
+        # build — fall back to the unfiltered exchange rather than a
+        # floor-size, near-saturated filter that drops nothing
+        return sharded_group_map(
+            fps,
+            ["fp"],
+            lambda g: _emit_shard_fp_pairs(g, cfg.bucket_pair_cap),
+            num_shards=cfg.group_shards,
+        )
     else:
         m_bits = BloomFilter.size_bits(
             n_dup, cfg.attach_bloom_bits_per_id, cfg.attach_bloom_max_bits

@@ -83,7 +83,7 @@ def test_distributed_bloom_build_matches_local(ray_session):
     )
     ds = ray.data.from_arrow(t).repartition(7)
     cfg = DedupConfig(attach_semijoin_max_ids=0)  # force the Bloom path
-    fl, fw = _side_memberships(ds, "doc_a", cfg, n)
+    fl, fw = _side_memberships(ds, "doc_a", cfg)
     m = BloomFilter.size_bits(n, cfg.attach_bloom_bits_per_id)
     lsh_ids = a[origin == ORIGIN_LSH]
     win_ids = a[origin == ORIGIN_WINNOW]
@@ -116,7 +116,7 @@ def test_side_memberships_exact_path(ray_session):
     )
     ds = ray.data.from_arrow(t).repartition(5)
     cfg = DedupConfig()
-    sl, sw = _side_memberships(ds, "doc_b", cfg, n)
+    sl, sw = _side_memberships(ds, "doc_b", cfg)
     assert isinstance(sl, SortedIdSet) and isinstance(sw, SortedIdSet)
     assert np.array_equal(sl.ids, np.unique(b[origin == ORIGIN_LSH]))
     assert np.array_equal(sw.ids, np.unique(b[origin == ORIGIN_WINNOW]))
@@ -144,6 +144,6 @@ def test_distributed_bloom_build_tolerates_empty_blocks(ray_session):
     empty = t.slice(0, 0)
     ds = ray.data.from_arrow([t, empty, empty])
     cfg = DedupConfig(attach_semijoin_max_ids=0)  # force the Bloom path
-    fl, fw = _side_memberships(ds, "doc_a", cfg, len(ids))
+    fl, fw = _side_memberships(ds, "doc_a", cfg)
     assert fl.contains(ids).all()
     assert not fw.contains(ids).any()

@@ -35,8 +35,12 @@ def _pairs_df(pages, cfg):
 def three_plans(ray_session, tiny_corpus):
     pages, _ = tiny_corpus
     base = dict(signature_concurrency=2, join_num_buckets=4, group_shards=8)
-    exact = _pairs_df(pages, DedupConfig(**base))
-    bloom = _pairs_df(pages, DedupConfig(**base, winnow_dupfp_max_ids=0))
+    # the prefilter is default-OFF — the exact/bloom plans must opt in, else
+    # all three fixtures would run the identical unfiltered path
+    exact = _pairs_df(pages, DedupConfig(**base, winnow_prefilter=True))
+    bloom = _pairs_df(
+        pages, DedupConfig(**base, winnow_prefilter=True, winnow_dupfp_max_ids=0)
+    )
     off = _pairs_df(pages, DedupConfig(**base, winnow_prefilter=False))
     return exact, bloom, off
 

@@ -89,9 +89,8 @@ def main() -> None:
     )
 
     for side, col, cand in (("a", "doc_a", raw), ("b", "doc_b", prepared)):
-        n_rows = cand.count()
-        exact_members = _side_memberships(cand, col, cfg, n_rows)
-        bloom_members = _side_memberships(cand, col, cfg_bloom, n_rows)
+        exact_members = _side_memberships(cand, col, cfg)
+        bloom_members = _side_memberships(cand, col, cfg_bloom)
         totals = {"none": [0, 0], "exact": [0, 0], "bloom": [0, 0]}
         for t in prof_tables:
             if not t.num_rows:

@@ -118,9 +118,11 @@ def main() -> None:
         if len(f) > 1:
             first[1:] = f[1:] != f[:-1]
         starts = np.nonzero(first)[0]
-        cnt = np.diff(np.append(starts, len(f))).astype(np.uint8)
+        # clamp BEFORE the uint8 cast: a count that is a multiple of 256
+        # would wrap to 0 and misclassify a hot fingerprint as dead
+        cnt = np.minimum(np.diff(np.append(starts, len(f))), 2).astype(np.uint8)
         return pa.table({"fp": pa.array(f[starts], pa.uint64()),
-                         "cnt": pa.array(np.minimum(cnt, 2), pa.uint8())})
+                         "cnt": pa.array(cnt, pa.uint8())})
 
     def dup_fp_shard(g: dict) -> dict:
         f = np.asarray(g["fp"], dtype=np.uint64)
