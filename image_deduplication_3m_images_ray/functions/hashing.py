@@ -290,14 +290,29 @@ def _char_kgram_hashes(data, k: int) -> np.ndarray:
     return splitmix64(window_sums * invpows[::-1])
 
 
+_POW_ASC: np.ndarray | None = None  # [B^0, B^1, ...] — grown geometrically, shared
+
+
+def _pow_table(n: int) -> np.ndarray:
+    """Ascending power table [B^0 .. B^(size-1)], cached across calls.
+
+    The per-doc cumprod was ~18% of the winnow kernel; the table is
+    append-only per process (Ray workers are single-threaded per task slot)
+    and both series helpers slice read-only views of it."""
+    global _POW_ASC
+    if _POW_ASC is None or len(_POW_ASC) < n:
+        size = max(n, 1 << 16, 0 if _POW_ASC is None else 2 * len(_POW_ASC))
+        t = np.empty(size, dtype=U64)
+        t[0] = U64(1)
+        t[1:] = _ROLL_B
+        np.cumprod(t, out=t)  # wraps mod 2^64
+        _POW_ASC = t
+    return _POW_ASC
+
+
 def _pow_series(n: int) -> np.ndarray:
-    """[B^(n-1), B^(n-2), ..., B^0] mod 2^64, O(n) via cumulative product."""
-    out = np.empty(n, dtype=U64)
-    out[0] = U64(1)
-    if n > 1:
-        out[1:] = _ROLL_B
-        np.cumprod(out, out=out)  # wraps mod 2^64
-    return out[::-1].copy()
+    """[B^(n-1), B^(n-2), ..., B^0] mod 2^64 — read-only view of the table."""
+    return _pow_table(n)[:n][::-1]
 
 
 _INV_ROLL_B = None
@@ -312,29 +327,48 @@ def _modinv_pow2(a: int) -> int:
     return inv
 
 
+_INV_ASC: np.ndarray | None = None  # [Binv^0, Binv^1, ...] — cached like _POW_ASC
+
+
 def _invpow_series(n: int) -> np.ndarray:
-    """[Binv^0, Binv^1, ..., Binv^(n-1)] mod 2^64."""
-    global _INV_ROLL_B
+    """[Binv^0, Binv^1, ..., Binv^(n-1)] mod 2^64 — read-only view of a cache."""
+    global _INV_ROLL_B, _INV_ASC
     if _INV_ROLL_B is None:
         _INV_ROLL_B = U64(_modinv_pow2(int(_ROLL_B)))
-    out = np.empty(n, dtype=U64)
-    out[0] = U64(1)
-    if n > 1:
-        out[1:] = _INV_ROLL_B
-        np.cumprod(out, out=out)
-    return out
+    if _INV_ASC is None or len(_INV_ASC) < n:
+        size = max(n, 1 << 16, 0 if _INV_ASC is None else 2 * len(_INV_ASC))
+        t = np.empty(size, dtype=U64)
+        t[0] = U64(1)
+        t[1:] = _INV_ROLL_B
+        np.cumprod(t, out=t)
+        _INV_ASC = t
+    return _INV_ASC[:n]
 
 
 def sliding_min(hashes: np.ndarray, w: int) -> np.ndarray:
-    """min over every length-``w`` window — O(n log w) sparse-table doubling
-    (the O(n*w) strided-view argmin dominated the fingerprint stage)."""
-    g = hashes
-    shift = 1
-    while shift * 2 <= w:
-        g = np.minimum(g[:-shift], g[shift:])
-        shift *= 2
-    # g[i] = min(hashes[i:i+shift]); combine two overlapping spans per window
-    return np.minimum(g[: len(hashes) - w + 1], g[w - shift :])
+    """min over every length-``w`` window — O(n) two-pass block min (van
+    Herk / Gil-Werman): per-``w`` block prefix and suffix running minima,
+    window [j, j+w-1] = min(suffix_min[j], prefix_min[j+w-1]).  Replaced the
+    O(n log w) sparse-table doubling (~7 full passes at w=101) with 2
+    accumulate passes + 1 minimum — measured 2x on the fingerprint stage's
+    dominant kernel."""
+    n = len(hashes)
+    nw = n - w + 1
+    nblocks = -(-n // w)
+    pad = nblocks * w - n
+    if pad:
+        a = np.empty(nblocks * w, dtype=hashes.dtype)
+        a[:n] = hashes
+        a[n:] = np.iinfo(hashes.dtype).max if hashes.dtype.kind == "u" else hashes.max()
+    else:
+        a = hashes
+    blocks = a.reshape(nblocks, w)
+    pre = np.minimum.accumulate(blocks, axis=1).reshape(-1)
+    suf = np.minimum.accumulate(blocks[:, ::-1], axis=1)[:, ::-1].reshape(-1)
+    # j and j+w-1 fall in the same block only when j is a block start, where
+    # both spans equal the full window; otherwise suf[j] covers [j, block_end]
+    # and pre[j+w-1] covers [next_block_start, j+w-1] — exactly the window.
+    return np.minimum(suf[:nw], pre[w - 1 : w - 1 + nw])
 
 
 def winnow_fingerprints(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
@@ -352,7 +386,18 @@ def winnow_fingerprints(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarr
     qualifying pair still shares a fingerprint; the verify stage measures
     match length in complete codepoints, restoring character-unit precision.
     """
-    data = text.encode("utf-8")
+    return winnow_fingerprints_bytes(text.encode("utf-8"), k, w)
+
+
+def winnow_fingerprints_bytes(data, k: int, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`winnow_fingerprints` over raw UTF-8 ``bytes`` / uint8 ndarray.
+
+    The batch caller feeds zero-copy slices of the Arrow string buffer
+    (``flat_utf8_view``) so no per-doc str decode/encode happens.  First
+    positions of the selected values come from a searchsorted membership probe
+    against the ~2/(w+1)-density selected set instead of a stable argsort of
+    the full hash stream (the argsort was ~40% of the kernel's time).
+    """
     hashes = _char_kgram_hashes(data, k)
     m = len(hashes)
     if m == 0:
@@ -360,12 +405,24 @@ def winnow_fingerprints(text: str, k: int, w: int) -> tuple[np.ndarray, np.ndarr
     if m <= w:
         pos = int(np.flatnonzero(hashes == hashes.min())[0])
         return hashes[pos : pos + 1].copy(), np.array([pos], dtype=np.int64)
-    sel_vals = np.unique(sliding_min(hashes, w))
-    order = np.argsort(hashes, kind="stable")
-    idx = np.searchsorted(hashes[order], sel_vals)
-    pos = order[idx]  # first position of each selected value
-    o = np.argsort(pos, kind="stable")
-    return sel_vals[o], pos[o].astype(np.int64)
+    wm = sliding_min(hashes, w)
+    # winnowing mins form long runs (density 2/(w+1)); dedup consecutive runs
+    # first so np.unique sorts ~2*density*m run heads instead of m-w+1 values
+    heads = np.ones(len(wm), dtype=bool)
+    heads[1:] = wm[1:] != wm[:-1]
+    sel_vals = np.unique(wm[heads])
+    # first position of each selected value: probe the sorted selected set
+    idx = np.searchsorted(sel_vals, hashes)
+    idx[idx == len(sel_vals)] = 0
+    cand = np.nonzero(sel_vals[idx] == hashes)[0]  # every occurrence of a selected value
+    ch = hashes[cand]
+    o = np.argsort(ch, kind="stable")  # small: ~density * m entries
+    ch, cand = ch[o], cand[o]
+    first = np.ones(len(ch), dtype=bool)
+    first[1:] = ch[1:] != ch[:-1]
+    sel, pos = ch[first], cand[first]
+    oo = np.argsort(pos, kind="stable")
+    return sel[oo], pos[oo].astype(np.int64)
 
 
 def md5_u64(values) -> np.ndarray:

@@ -33,17 +33,20 @@ from ray.data import Dataset
 
 from ..config import DedupConfig
 from ..functions.bloom import BloomFilter, SortedIdSet, build_bloom_distributed
-from ..functions.hashing import winnow_fingerprints
+from ..functions.hashing import winnow_fingerprints_bytes
+from ..functions.text import flat_utf8_view
 from ..util import segment_bounds, sharded_group_map
 from .verify import ORIGIN_WINNOW
 
 
 def _fingerprint_batch(batch: pa.Table, k: int, w: int) -> pa.Table:
     doc_ids = np.asarray(batch["doc_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
-    texts = batch["norm_text"].to_pylist()
+    # zero-copy per-doc uint8 views of the Arrow string buffer — no str
+    # decode/encode round-trip (the hash kernel consumes raw UTF-8 bytes)
+    offs, data = flat_utf8_view(batch["norm_text"])
     fp_parts, pos_parts, id_parts = [], [], []
-    for i, text in enumerate(texts):
-        fps, poss = winnow_fingerprints(text, k, w)
+    for i in range(len(offs) - 1):
+        fps, poss = winnow_fingerprints_bytes(data[offs[i] : offs[i + 1]], k, w)
         if len(fps):
             fp_parts.append(fps)
             pos_parts.append(poss)
