@@ -536,6 +536,33 @@ def _q_media_decode(sf_dir: str):
     ).sort("media_id")
 
 
+def _q_containment_pairs(sf_dir: str):
+    from image_deduplication_3m_images_ray.extras.setsim import containment_pairs
+
+    return containment_pairs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), threshold=0.5, num_shards=16
+    ).sort(["doc_a", "doc_b"])
+
+
+def _q_source_overlap(sf_dir: str):
+    from image_deduplication_3m_images_ray.extras.setsim import source_overlap
+
+    return source_overlap(
+        _docs(sf_dir).select_columns(["source", "text"]), num_shards=16
+    ).sort(["source_a", "source_b"])
+
+
+def _q_latest_by_key(sf_dir: str):
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.relational import latest_by_key
+
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet")
+    return latest_by_key(
+        events, keys=["user_id", "event_type"], order_col="ts", tiebreak="event_id"
+    ).sort("event_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -580,6 +607,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": _q_group_quantiles,
         "pivot_counts": _q_pivot_counts,
         "media_decode": _q_media_decode,
+        "containment_pairs": _q_containment_pairs,
+        "source_overlap": _q_source_overlap,
+        "latest_by_key": _q_latest_by_key,
     }
 
 
@@ -1162,6 +1192,53 @@ def oracle_sql() -> dict[str, str]:
                    COALESCE(ps.n_pairs, 0) AS n_pairs,
                    COALESCE(ps.mean_jaccard, 0.0) AS mean_jaccard
             FROM sizes s LEFT JOIN ps USING (cluster_id) ORDER BY cluster_id
+        """,
+        "containment_pairs": f"""
+            WITH
+            nodes_ AS (SELECT doc_id AS id, {_NORM} AS nt FROM documents),
+            {_shingle_jaccard_edges_sql("nodes_", 0.0)}
+            SELECT inter_.da AS doc_a, inter_.db AS doc_b,
+                   CAST(i AS BIGINT) AS n_shared,
+                   round(CAST(i AS DOUBLE) / sa.sz, 6) AS containment_a,
+                   round(CAST(i AS DOUBLE) / sb.sz, 6) AS containment_b
+            FROM inter_
+            JOIN sz_ sa ON sa.id = inter_.da
+            JOIN sz_ sb ON sb.id = inter_.db
+            WHERE CAST(i AS DOUBLE) / sa.sz >= 0.5
+               OR CAST(i AS DOUBLE) / sb.sz >= 0.5
+            ORDER BY doc_a, doc_b
+        """,
+        "source_overlap": f"""
+            WITH base AS (SELECT source, {_NORM} AS nt FROM documents),
+            toks AS (SELECT source, nt, string_split(nt, ' ') AS toks FROM base),
+            sh AS (SELECT source,
+                     CASE WHEN len(toks) >= 5
+                          THEN list_distinct(
+                               [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)])
+                          ELSE [nt] END AS sh
+                   FROM toks),
+            g AS (SELECT DISTINCT source, gram
+                  FROM (SELECT source, unnest(sh) AS gram FROM sh)),
+            tot AS (SELECT source, count(*) AS n FROM g GROUP BY source),
+            inter AS (SELECT a.source AS sa, b.source AS sb, count(*) AS shared
+                      FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+                      GROUP BY 1, 2)
+            SELECT sa AS source_a, sb AS source_b,
+                   ta.n AS n_a, tb.n AS n_b,
+                   CAST(shared AS BIGINT) AS n_shared,
+                   round(CAST(shared AS DOUBLE) / (ta.n + tb.n - shared), 6) AS jaccard
+            FROM inter
+            JOIN tot ta ON ta.source = sa
+            JOIN tot tb ON tb.source = sb
+            ORDER BY source_a, source_b
+        """,
+        "latest_by_key": """
+            SELECT event_id, ts, user_id, event_type, value, props
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1 ORDER BY event_id
         """,
     }
 

@@ -201,6 +201,85 @@ def range_join_window(
     )
 
 
+def latest_by_key(
+    ds: Dataset,
+    keys: list[str],
+    order_col: str,
+    tiebreak: str,
+    num_shards: int = 64,
+) -> Dataset:
+    """Keep the single latest row per composite key (recrawl dedup).
+
+    The web-pipeline "keep the newest crawl of each URL" operator: for every
+    distinct ``keys`` tuple, keep the row with the greatest ``order_col``
+    (a timestamp or numeric), ties broken by greatest ``tiebreak`` (a
+    NaN-free numeric — typically the row id).  Equivalent to SQL
+    ``row_number() OVER (PARTITION BY keys ORDER BY order_col DESC,
+    tiebreak DESC) = 1``; output keeps exactly the input columns.
+
+    Reference analog: the already-processed filter / first-wins grouping the
+    reference applies per blob path (/root/reference/modules/
+    deduplication.py:240-249) — here generalized to LAST-wins by an explicit
+    ordering column.  Scale shape = :func:`group_topk`'s: a per-batch
+    vectorized argmax combiner forwards <= 1 row per key per batch, then one
+    key-sharded exchange finishes; both stages code keys EXACTLY (batch- or
+    shard-local factorize of the real values) so a 64-bit hash collision can
+    only co-locate keys, never merge them.
+    """
+
+    def key_codes_exact(cols: list[np.ndarray]) -> np.ndarray:
+        """Collision-free batch-local codes for the key tuple: factorize each
+        column, then mixed-radix combine the (small) per-column code spaces."""
+        code = np.zeros(len(cols[0]) if cols else 0, dtype=np.int64)
+        for c in cols:
+            _, inv = np.unique(c, return_inverse=True)
+            n = int(inv.max()) + 1 if len(inv) else 1
+            code = code * n + inv
+        return code
+
+    def neg_order(vals: np.ndarray) -> np.ndarray:
+        v = np.asarray(vals)
+        if np.issubdtype(v.dtype, np.datetime64):
+            v = v.astype("int64")
+        return v
+
+    def partial(t: pa.Table) -> pa.Table:
+        cols = [np.asarray(t[k].to_numpy(zero_copy_only=False)) for k in keys]
+        kc = key_codes_exact(cols)
+        val = neg_order(t[order_col].to_numpy(zero_copy_only=False))
+        tb = -np.asarray(t[tiebreak].to_numpy(zero_copy_only=False), dtype=np.int64)
+        keep, _ = _topk_select(kc, val, tb, 1)
+        # shard key: hash-mix the key columns (collisions co-locate only)
+        h = np.zeros(len(t), dtype=np.uint64)
+        for c in cols:
+            if np.issubdtype(c.dtype, np.integer):
+                hv = c.astype(np.uint64)
+            else:
+                hv = hash_tokens(c.astype(object))
+            h = _mix_u64(h, hv)
+        out = t.append_column("__k", pa.array(h.astype(np.int64), pa.int64()))
+        return out.take(np.sort(keep))
+
+    def final_shard(g: pd.DataFrame) -> pd.DataFrame:
+        cols = [g[k].to_numpy() for k in keys]
+        kc = key_codes_exact(cols)
+        val = neg_order(g[order_col].to_numpy())
+        tb = -g[tiebreak].to_numpy().astype(np.int64)
+        keep, _ = _topk_select(kc, val, tb, 1)
+        return g.iloc[np.sort(keep)].drop(columns="__k").reset_index(drop=True)
+
+    pruned = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded_group_map(
+        pruned, ["__k"], final_shard, num_shards=num_shards, batch_format="pandas"
+    )
+
+
+def _mix_u64(h: np.ndarray, v: np.ndarray) -> np.ndarray:
+    from ..functions.hashing import splitmix64
+
+    return splitmix64(h * np.uint64(0x9E3779B97F4A7C15) ^ v.astype(np.uint64))
+
+
 def _md5_id_column(t: pa.Table, id_col: str) -> np.ndarray:
     """Content hash of the stringified id — equals DuckDB
     ``md5_number_lower(CAST(id AS VARCHAR))``, so every sampling decision
