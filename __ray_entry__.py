@@ -117,6 +117,12 @@ def _q_vocab_stats(sf_dir: str):
     return vocab_stats(_docs(sf_dir).select_columns(["doc_id", "text"]))
 
 
+def _q_frequent_terms(sf_dir: str):
+    from image_deduplication_3m_images_ray.extras.textstats import frequent_terms
+
+    return frequent_terms(_docs(sf_dir).select_columns(["doc_id", "text"]), k=25)
+
+
 def _q_inverted_index(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.textstats import inverted_index
 
@@ -444,6 +450,20 @@ def _q_group_topk(sf_dir: str):
     ).sort(["lang", "rank"])
 
 
+def _q_group_rank(sf_dir: str):
+    """Every doc's global length rank + quartile within its language."""
+    from image_deduplication_3m_images_ray.extras.relational import group_rank
+
+    return group_rank(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        key="lang",
+        value="n_chars",
+        id_col="doc_id",
+        descending=True,
+        ntile=4,
+    )
+
+
 def _q_range_join(sf_dir: str):
     """Every click within one hour AFTER a purchase by the same user."""
     import ray.data
@@ -575,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_top_terms": _q_tfidf_top_terms,
         "inverted_index": _q_inverted_index,
         "vocab_stats": _q_vocab_stats,
+        "frequent_terms": _q_frequent_terms,
         "quality_scores": _q_quality_scores,
         "char_jaccard_pairs": _q_char_jaccard_pairs,
         "lang_counts": _q_lang_counts,
@@ -601,6 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessions": _q_sessions,
         "asof_join": _q_asof_join,
         "group_topk": _q_group_topk,
+        "group_rank": _q_group_rank,
         "range_join": _q_range_join,
         "sample_uniform": _q_sample_uniform,
         "sample_per_group": _q_sample_per_group,
@@ -841,6 +863,13 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT term FROM top) AS top_term,
                    CAST((SELECT c FROM top) AS BIGINT) AS top_term_count
         """,
+        "frequent_terms": f"""
+            WITH n AS (SELECT {_NORM} AS nt FROM documents),
+            tok AS (SELECT unnest(string_split(nt, ' ')) AS term FROM n),
+            tc AS (SELECT term, count(*) AS n FROM tok GROUP BY term)
+            SELECT term, CAST(n AS BIGINT) AS n
+            FROM tc ORDER BY n DESC, term ASC LIMIT 25
+        """,
         "inverted_index": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
             tok AS (SELECT DISTINCT * FROM
@@ -1043,6 +1072,14 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY n_chars DESC, doc_id ASC) AS rank
                 FROM documents
             ) WHERE rank <= 3 ORDER BY lang, rank
+        """,
+        "group_rank": """
+            SELECT doc_id, lang, n_chars,
+                   row_number() OVER (PARTITION BY lang
+                                      ORDER BY n_chars DESC, doc_id ASC) AS rank,
+                   ntile(4) OVER (PARTITION BY lang
+                                  ORDER BY n_chars DESC, doc_id ASC) AS tile
+            FROM documents ORDER BY lang, rank
         """,
         "range_join": """
             WITH l AS (SELECT event_id, ts, user_id FROM events

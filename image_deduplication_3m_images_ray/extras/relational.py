@@ -429,3 +429,113 @@ def pivot_counts(
         .groupby(row_key)
         .aggregate(*[Sum(f"n_{c}", alias_name=f"n_{c}") for c in cols])
     )
+
+
+def group_rank(
+    ds: Dataset,
+    key: str,
+    value: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+    ntile: int = 4,
+    max_offset_entries: int = 1_000_000,
+) -> Dataset:
+    """Global per-group ``row_number`` and ``NTILE`` — rank every row of a
+    group against the WHOLE group, not a shard of it.
+
+    The quality-tiering primitive ("which quartile of its language does this
+    doc's length fall in?").  Unlike :func:`sharded_group_map` operators,
+    ranking cannot assume a group fits one task: a language holds billions of
+    docs at corpus scale.  Shape: ONE distributed sort on
+    ``(key, value, id_col)`` (the only exchange; ``id_col`` makes the order —
+    and so the rank — total and deterministic), then per-block group COUNTS
+    (scalars) come back to the driver, an exclusive prefix sum per group is
+    computed over O(blocks x groups-per-block) integers (gated by
+    ``max_offset_entries`` — this operator is for LOW-cardinality group keys;
+    rank-within-high-cardinality-keys is `group_topk`'s shape instead), and
+    per-block tasks attach ``rank = group_offset + local position`` plus the
+    SQL-``NTILE(q)`` bucket computed from the group total.  Block payloads
+    travel by object ref; the driver only ever holds counts.
+
+    Output: the input columns plus ``rank`` (1-based ``row_number`` per SQL
+    ``PARTITION BY key ORDER BY value [DESC], id_col``) and ``tile``
+    (``NTILE(ntile)`` over the same order: the first ``n % q`` buckets take
+    ``ceil(n/q)`` rows — bit-exact with the SQL oracle).
+    """
+    import ray
+
+    sort_cols, sort_desc = [key], [False]
+    if value not in sort_cols:
+        sort_cols.append(value)
+        sort_desc.append(descending)
+    if id_col not in sort_cols:
+        sort_cols.append(id_col)
+        sort_desc.append(False)
+    sorted_ds = ds.sort(sort_cols, descending=sort_desc)
+    pinned = sorted_ds.materialize()
+    refs = pinned.to_arrow_refs()
+    if not refs:
+        return pinned
+
+    @ray.remote
+    def block_counts(t: pa.Table):
+        kv = np.asarray(t[key].to_numpy(zero_copy_only=False), dtype=object)
+        if len(kv) == 0:
+            return [], []
+        starts = segment_bounds(kv)
+        return list(kv[starts[:-1]]), list(np.diff(starts).astype(np.int64))
+
+    per_block = ray.get([block_counts.remote(r) for r in refs])
+    n_entries = sum(len(keys) for keys, _ in per_block)
+    if n_entries > max_offset_entries:
+        raise ValueError(
+            f"group_rank: {n_entries} (block, group) offset entries exceed "
+            f"max_offset_entries={max_offset_entries}; this operator is for "
+            "low-cardinality group keys"
+        )
+    totals: dict = {}
+    offsets = []  # per block: {group: exclusive prefix}
+    for keys, counts in per_block:
+        offsets.append({g: int(totals.get(g, 0)) for g in keys})
+        for g, c in zip(keys, counts):
+            totals[g] = int(totals.get(g, 0)) + int(c)
+
+    @ray.remote
+    def attach(t: pa.Table, off: dict, tot: dict):
+        kv = np.asarray(t[key].to_numpy(zero_copy_only=False), dtype=object)
+        n = len(kv)
+        if n == 0:
+            return t.append_column("rank", pa.array([], pa.int64())).append_column(
+                "tile", pa.array([], pa.int64())
+            )
+        starts = segment_bounds(kv)
+        seg_start = np.repeat(starts[:-1], np.diff(starts))
+        base = np.repeat(
+            np.asarray([off[g] for g in kv[starts[:-1]]], dtype=np.int64),
+            np.diff(starts),
+        )
+        rank = base + (np.arange(n, dtype=np.int64) - seg_start) + 1
+        ng = np.repeat(
+            np.asarray([tot[g] for g in kv[starts[:-1]]], dtype=np.int64),
+            np.diff(starts),
+        )
+        # SQL NTILE(q): with n = q*s + r, the first r buckets take s+1 rows
+        q = np.int64(ntile)
+        s, r = ng // q, ng % q
+        cut = r * (s + 1)  # rows covered by the size-(s+1) buckets
+        in_big = rank <= cut
+        tile = np.where(
+            in_big,
+            (rank - 1) // np.maximum(s + 1, 1) + 1,
+            r + (rank - cut - 1) // np.maximum(s, 1) + 1,
+        ).astype(np.int64)
+        return t.append_column("rank", pa.array(rank, pa.int64())).append_column(
+            "tile", pa.array(tile, pa.int64())
+        )
+
+    out_refs = [
+        attach.remote(r, off, totals) for r, off in zip(refs, offsets)
+    ]
+    import ray.data
+
+    return ray.data.from_arrow_refs(out_refs)

@@ -906,3 +906,159 @@ def vocab_stats(docs: Dataset, batch_size: int = 4096) -> Dataset:
     import ray.data
 
     return ray.data.from_pandas(out)
+
+
+def frequent_terms(
+    docs: Dataset,
+    k: int = 20,
+    capacity: int = 4096,
+    batch_size: int = 4096,
+    max_candidates: int = 1_000_000,
+) -> Dataset:
+    """EXACT corpus top-``k`` terms (term, n) without a full-vocabulary shuffle.
+
+    The heavy-hitters two-pass: pass 1 runs a Misra–Gries summary of size
+    ``capacity`` inside each batch (count terms, subtract the
+    (capacity+1)-th largest count, keep positive residuals — the classic
+    mergeable compression; Misra & Gries 1982, Agarwal et al. "Mergeable
+    Summaries" PODS'12), sums residuals with ONE small ``groupby`` (at most
+    ``capacity`` rows per batch enter the exchange, vs the whole vocabulary
+    in ``vocab_stats``), and derives a PROVABLE candidate superset of the
+    true top-k; pass 2 re-scans ``docs`` counting ONLY the broadcast
+    candidates exactly.  The result is exact, not approximate — hence the
+    SQL oracle — or the operator raises.
+
+    Soundness: let ``D`` = the exact sum of all per-batch decrements (each
+    term's merged residual undercounts its true count by at most ``D``) and
+    ``r_k`` = the k-th largest merged residual.  The k terms carrying those
+    residuals have true counts >= their residuals, so the true k-th count
+    ``c_k >= r_k``; any true-top-k term therefore has residual
+    ``>= c_k - D >= r_k - D``.  If ``r_k <= D`` a true-top-k term could
+    have been compressed to zero and the guarantee is void: the operator
+    raises ``ValueError`` asking for a larger ``capacity`` (never a silently
+    approximate answer).  Ties at the boundary are safe: a non-candidate's
+    true count is ``< r_k <= c_k``, strictly below the cut.
+
+    Scale shape: per-batch state is O(capacity); the pass-1 exchange ships
+    <= capacity rows per batch; ``D``/``r_k``/the candidate set are the only
+    driver-side values (candidates gated by ``max_candidates``, raising —
+    not truncating — on overflow); pass 2 is a combiner + a groupby over
+    |candidates| rows.  ``docs`` is scanned twice BY DESIGN (the two-pass
+    trade that avoids shuffling the term multiset): pass a re-readable
+    Dataset (a parquet read), not an expensive unmaterialized chain.
+    Output: k rows (term, n), n exact, ordered by (n DESC, term ASC).
+
+    Reference parity: the reference keeps global Counter-style stats on the
+    driver (modules/progress_tracker.py); this is the distributed-exact
+    form of that audit at corpus scale.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def _flat_terms(t: pa.Table) -> np.ndarray:
+        norm = normalize_array(t["text"])
+        toks = pc.split_pattern(norm, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        return np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+
+    def summarize(t: pa.Table) -> pa.Table:
+        uniq, counts = np.unique(_flat_terms(t), return_counts=True)
+        counts = counts.astype(np.int64)
+        if len(uniq) > capacity:
+            # decrement by the (capacity+1)-th largest count: at most
+            # `capacity` positive residuals survive
+            dec = int(np.partition(counts, -capacity - 1)[-capacity - 1])
+            keep = counts > dec
+            uniq, counts = uniq[keep], counts[keep] - dec
+        else:
+            dec = 0
+        # the decrement total rides in its own is_dec=1 group; a real token
+        # can never land there, whatever its bytes
+        return pa.table(
+            {
+                "term": pa.array(np.append(uniq, [""]), pa.string()),
+                "is_dec": pa.array(
+                    np.append(np.zeros(len(uniq), np.int8), [1]), pa.int8()
+                ),
+                "residual": pa.array(np.append(counts, [dec]), pa.int64()),
+            }
+        )
+
+    merged = (
+        docs.map_batches(
+            summarize, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        .groupby(["term", "is_dec"])
+        .aggregate(Sum("residual", alias_name="residual"))
+        .materialize()  # pinned: D, r_k and the candidate filter all read it
+    )
+    def _where_dec(val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["is_dec"], val))
+
+        return fn
+
+    d_rows = merged.map_batches(
+        _where_dec(1), batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    d_total = int(d_rows[0]["residual"]) if d_rows else 0
+    terms_only = merged.map_batches(
+        _where_dec(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    top = terms_only.sort("residual", descending=True).limit(k).take_all()
+    if not top:
+        return ray.data.from_arrow(
+            pa.table({"term": pa.array([], pa.string()),
+                      "n": pa.array([], pa.int64())})
+        )
+    if len(top) == k:
+        r_k = int(top[-1]["residual"])
+        if r_k <= d_total:
+            raise ValueError(
+                f"frequent_terms: cannot prove exact top-{k} at "
+                f"capacity={capacity} (k-th residual {r_k} <= total "
+                f"decrement {d_total}); raise capacity"
+            )
+        thresh = r_k - d_total
+        cand_ds = terms_only.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["residual"], thresh)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    else:
+        cand_ds = terms_only  # fewer than k distinct terms: all are candidates
+    n_cand = cand_ds.count()
+    if n_cand > max_candidates:
+        raise ValueError(
+            f"frequent_terms: {n_cand} candidates exceed "
+            f"max_candidates={max_candidates}; raise capacity"
+        )
+    cand = np.sort(
+        np.asarray([r["term"] for r in cand_ds.select_columns(["term"]).take_all()])
+    )
+    cand_ref = ray.put(cand)
+
+    def recount(t: pa.Table) -> pa.Table:
+        cset = ray.get(cand_ref)
+        uniq, counts = np.unique(_flat_terms(t), return_counts=True)
+        pos = np.searchsorted(cset, uniq)
+        pos[pos == len(cset)] = 0
+        hit = cset[pos] == uniq
+        return pa.table(
+            {
+                "term": pa.array(uniq[hit], pa.string()),
+                "n": pa.array(counts[hit].astype(np.int64), pa.int64()),
+            }
+        )
+
+    exact = (
+        docs.map_batches(
+            recount, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        .groupby("term")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return exact.sort(["n", "term"], descending=[True, False]).limit(k)

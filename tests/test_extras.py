@@ -663,6 +663,75 @@ def test_vocab_stats(ray_session):
     assert out["top_term"] == "a" and out["top_term_count"] == 3
 
 
+def test_frequent_terms_exact_zipf(ray_session):
+    """Two-pass Misra-Gries top-k equals brute-force counting on a Zipf
+    corpus whose vocabulary far exceeds the summary capacity, at several
+    batch boundaries (the result must be partitioning-invariant)."""
+    import collections
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import frequent_terms
+
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i}" for i in range(3000)])
+    # Zipf-ish weights so there IS a heavy head for MG to find
+    w = 1.0 / np.arange(1, len(vocab) + 1)
+    w /= w.sum()
+    texts = [" ".join(rng.choice(vocab, size=120, p=w)) for _ in range(200)]
+    truth = collections.Counter(tok for s in texts for tok in s.split(" "))
+    want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    for bs in (32, 200):
+        out = frequent_terms(
+            ray.data.from_arrow(t), k=15, capacity=256, batch_size=bs
+        ).to_pandas()
+        got = list(zip(out["term"], out["n"]))
+        assert got == want, f"batch_size={bs}"
+
+
+def test_frequent_terms_raises_when_unprovable(ray_session):
+    """A capacity too small to certify exactness must raise, never return a
+    silently approximate top-k."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import frequent_terms
+
+    rng = np.random.default_rng(3)
+    vocab = np.array([f"t{i}" for i in range(5000)])
+    # near-uniform: every term's count is tiny, so r_k <= D at low capacity
+    texts = [" ".join(rng.choice(vocab, size=100)) for _ in range(100)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="raise capacity"):
+        frequent_terms(ray.data.from_arrow(t), k=5, capacity=16, batch_size=25)
+
+
+def test_frequent_terms_small_vocab_short_circuit(ray_session):
+    """Vocabulary below capacity (no compression anywhere): exact with
+    D == 0, and fewer distinct terms than k returns them all."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import frequent_terms
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["a a b c", "a b d"], pa.string()),
+        }
+    )
+    out = frequent_terms(ray.data.from_arrow(t), k=10).to_pandas()
+    assert list(zip(out["term"], out["n"])) == [
+        ("a", 3), ("b", 2), ("c", 1), ("d", 1)
+    ]
+
+
 def test_embedding_cosine_pairs_single_execution(ray_session):
     """The exact plan must execute its (lazy) upstream exactly once — plan
     selection reads the count from the materialized handle, not a separate

@@ -332,3 +332,82 @@ def test_group_quantiles_sketch_string_key_and_validation(ray_session):
     assert abs(med_a - 24) <= 0.02 * 24 + 1e-9
     with pytest.raises(ValueError):
         group_quantiles_sketch(ds, "g", "v", alpha=1.5)
+
+
+def _ntile_ref(rank: np.ndarray, n: int, q: int) -> np.ndarray:
+    """SQL NTILE(q) from 1-based row_number and the group size."""
+    s, r = divmod(n, q)
+    cut = r * (s + 1)
+    out = np.empty(len(rank), dtype=np.int64)
+    big = rank <= cut
+    out[big] = (rank[big] - 1) // (s + 1) + 1
+    out[~big] = r + (rank[~big] - cut - 1) // max(s, 1) + 1
+    return out
+
+
+def test_group_rank_matches_pandas(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import group_rank
+
+    rng = np.random.default_rng(9)
+    n = 700
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["en", "de", "fr"], n),
+            "n_chars": rng.integers(0, 40, n).astype(np.int64),  # heavy ties
+        }
+    )
+    for parts in (1, 16):  # single- and many-block: rank must be invariant
+        got = (
+            group_rank(
+                ray.data.from_pandas(df).repartition(parts),
+                key="lang",
+                value="n_chars",
+                ntile=4,
+            )
+            .to_pandas()
+            .sort_values(["lang", "rank"])
+            .reset_index(drop=True)
+        )
+        exp = df.sort_values(
+            ["lang", "n_chars", "doc_id"], ascending=[True, False, True]
+        ).copy()
+        exp["rank"] = exp.groupby("lang").cumcount() + 1
+        exp["tile"] = 0
+        for g, sub in exp.groupby("lang"):
+            exp.loc[sub.index, "tile"] = _ntile_ref(
+                sub["rank"].to_numpy(), len(sub), 4
+            )
+        exp = exp.sort_values(["lang", "rank"]).reset_index(drop=True)
+        pd.testing.assert_frame_equal(
+            got[["doc_id", "lang", "n_chars", "rank", "tile"]],
+            exp[["doc_id", "lang", "n_chars", "rank", "tile"]],
+        )
+
+
+def test_group_rank_small_groups_and_gate(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import group_rank
+
+    # a 2-row group under NTILE(4): each row its own bucket (SQL semantics)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([1, 2, 3], dtype=np.int64),
+            "lang": ["en", "en", "de"],
+            "n_chars": np.array([5, 9, 7], dtype=np.int64),
+        }
+    )
+    got = group_rank(ray.data.from_pandas(df), key="lang", value="n_chars").to_pandas()
+    got = got.sort_values(["lang", "rank"]).reset_index(drop=True)
+    assert list(got["doc_id"]) == [3, 2, 1]
+    assert list(got["rank"]) == [1, 1, 2]
+    assert list(got["tile"]) == [1, 1, 2]
+    # the offset-cardinality gate raises instead of flooding the driver
+    with pytest.raises(ValueError, match="low-cardinality"):
+        group_rank(
+            ray.data.from_pandas(df),
+            key="doc_id",  # every row its own group
+            value="n_chars",
+            max_offset_entries=2,
+        )
