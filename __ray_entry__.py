@@ -464,6 +464,22 @@ def _q_group_rank(sf_dir: str):
     )
 
 
+def _q_chunk_docs(sf_dir: str):
+    """Every doc split into 500-char context windows every 400 chars."""
+    from image_deduplication_3m_images_ray.extras.transforms import chunk_docs
+
+    return chunk_docs(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), width=500, stride=400
+    )
+
+
+def _q_redact_pii(sf_dir: str):
+    """Email / IPv4 / phone-shaped spans scrubbed and counted per doc."""
+    from image_deduplication_3m_images_ray.extras.transforms import redact_pii
+
+    return redact_pii(_docs(sf_dir).select_columns(["doc_id", "text"]))
+
+
 def _q_range_join(sf_dir: str):
     """Every click within one hour AFTER a purchase by the same user."""
     import ray.data
@@ -632,6 +648,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "containment_pairs": _q_containment_pairs,
         "source_overlap": _q_source_overlap,
         "latest_by_key": _q_latest_by_key,
+        "chunk_docs": _q_chunk_docs,
+        "redact_pii": _q_redact_pii,
     }
 
 
@@ -642,6 +660,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # matches functions.text.normalize_array exactly: NFC, then lower, then
 # whitespace collapse, then trim
 _NORM = "trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))"
+
+# the redact_pii oracle interpolates the SAME RE2 patterns the operator runs
+from image_deduplication_3m_images_ray.extras.transforms import PII_PATTERNS as _PII
+
+_PII_EMAIL, _PII_IP, _PII_PHONE = (p for _, p, _ in _PII)
 
 # distinct 5-token shingles of a normalized text column ``nt`` (a doc with
 # fewer than 5 tokens contributes its whole text as its single shingle —
@@ -1277,6 +1300,31 @@ def oracle_sql() -> dict[str, str]:
                   FROM events)
             WHERE rn = 1 ORDER BY event_id
         """,
+        "chunk_docs": """
+            SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+                   substr(text, CAST(i * 400 + 1 AS BIGINT), 500) AS chunk_text
+            FROM (SELECT doc_id, text,
+                         unnest(range(0,
+                             (greatest(length(text) - 500, 0) + 399) // 400 + 1
+                         )) AS i
+                  FROM documents)
+            ORDER BY doc_id, chunk_id
+        """,
+        # nested exactly like the operator: each pattern counts on the text
+        # it actually sees (post earlier replacements); RE2 on both sides
+        "redact_pii": (
+            "WITH a AS (SELECT doc_id,"
+            " CAST(len(regexp_extract_all(text, '" + _PII_EMAIL + "')) AS BIGINT) AS n_emails,"
+            " regexp_replace(text, '" + _PII_EMAIL + "', '<EMAIL>', 'g') AS t1"
+            " FROM documents),"
+            " b AS (SELECT doc_id, n_emails,"
+            " CAST(len(regexp_extract_all(t1, '" + _PII_IP + "')) AS BIGINT) AS n_ips,"
+            " regexp_replace(t1, '" + _PII_IP + "', '<IP>', 'g') AS t2 FROM a),"
+            " c AS (SELECT doc_id, n_emails, n_ips,"
+            " CAST(len(regexp_extract_all(t2, '" + _PII_PHONE + "')) AS BIGINT) AS n_phones,"
+            " regexp_replace(t2, '" + _PII_PHONE + "', '<PHONE>', 'g') AS clean_text FROM b)"
+            " SELECT doc_id, clean_text, n_emails, n_ips, n_phones FROM c ORDER BY doc_id"
+        ),
     }
 
 

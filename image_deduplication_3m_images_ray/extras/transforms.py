@@ -1,0 +1,135 @@
+"""Row-local corpus transforms: fixed-window document chunking and PII
+redaction.
+
+Both are embarrassingly parallel ``map_batches`` stages (no exchange at all —
+the cheapest shape this engine has), included because a training-data
+pipeline runs them over every byte of the corpus, so the per-batch kernel
+must be vectorized: chunking gathers chunk bytes with ONE fancy-index over
+the batch's flat UTF-8 buffer (the ``segment_dedup`` byte-gather idiom,
+dedup_ops.py:659), redaction runs compiled RE2 kernels
+(``pyarrow.compute.replace_substring_regex``) column-at-a-time.  Reference
+analog: the per-image local transforms M1/M2 (SURVEY.md §2.2) — pure
+row-local work on an actor-free task pool.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from ..functions.hashing import _ranges
+from ..functions.text import flat_utf8_view
+
+
+def chunk_docs(
+    docs: Dataset, width: int = 1000, stride: int = 800, batch_size: int = 1024
+) -> Dataset:
+    """Split every doc into ``width``-CHAR windows every ``stride`` chars —
+    the context-window packing primitive (overlap = ``width - stride``).
+
+    Chunk ``i`` covers chars ``[i*stride, i*stride + width)``;
+    ``n_chunks = ceil(max(len - width, 0) / stride) + 1`` so the final chunk
+    always reaches the end and an empty doc yields one empty chunk.  Matches
+    SQL ``substr(text, i*stride + 1, width)`` character semantics exactly:
+    ASCII batches (the webtext common case) take a single byte-gather over
+    the flat UTF-8 buffer — no per-row Python; any non-ASCII batch falls
+    back to per-doc codepoint slicing with identical semantics (the
+    ``doc_fingerprints`` fallback convention, textstats.py).
+
+    Output: (doc_id, chunk_id, chunk_text), one row per chunk.
+    """
+    if stride <= 0 or width <= 0:
+        raise ValueError("chunk_docs: width and stride must be positive")
+    W, S = width, stride
+
+    def fn(t: pa.Table) -> pa.Table:
+        text = t["text"]
+        arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+        n = np.asarray(pc.utf8_length(arr).to_numpy(zero_copy_only=False), np.int64)
+        c = (np.maximum(n - W, 0) + S - 1) // S + 1
+        chunk_doc = np.repeat(np.arange(len(ids), dtype=np.int64), c)
+        cidx = _ranges(c)
+        all_ascii = len(arr) == 0 or bool(pc.all(pc.string_is_ascii(arr)).as_py())
+        if all_ascii:
+            offs, data = flat_utf8_view(arr)
+            start = offs[:-1][chunk_doc] + cidx * S
+            lens = np.minimum(W, n[chunk_doc] - cidx * S)
+            lens = np.maximum(lens, 0)  # empty docs: one zero-length chunk
+            pos = lens > 0  # _ranges requires positive counts; empty chunks
+            gather = (     # still get rows via the offsets below
+                np.repeat(start[pos], lens[pos]) + _ranges(lens[pos])
+                if lens.sum()
+                else np.zeros(0, np.int64)
+            )
+            buf = data[gather]
+            out_offs = np.zeros(len(lens) + 1, dtype=np.int64)
+            if len(lens):
+                out_offs[1:] = np.cumsum(lens)
+            chunk_arr = pa.Array.from_buffers(
+                pa.large_utf8(),
+                len(lens),
+                [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(buf.tobytes())],
+            ).cast(pa.string())
+        else:
+            # unicode fallback: identical char semantics, per-doc Python
+            texts = arr.to_pylist()
+            chunks = [
+                (texts[d] or "")[i * S : i * S + W]
+                for d, i in zip(chunk_doc, cidx)
+            ]
+            chunk_arr = pa.array(chunks, pa.string())
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[chunk_doc]),
+                "chunk_id": pa.array(cidx, pa.int64()),
+                "chunk_text": chunk_arr,
+            }
+        )
+
+    return docs.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+
+
+# (label, RE2 pattern, replacement) applied IN ORDER — later patterns see the
+# earlier replacements, and the SQL oracle nests its regexp_replace calls the
+# same way.  RE2 on both sides (pyarrow and DuckDB), so match semantics
+# (leftmost, non-POSIX) agree bit-for-bit.
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("emails", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ips", r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b", "<IP>"),
+    ("phones", r"\+?[0-9][0-9()\- ]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(docs: Dataset, batch_size: int = 4096) -> Dataset:
+    """Scrub email / IPv4 / phone-shaped spans, counting each kind.
+
+    Output: (doc_id, clean_text, n_emails, n_ips, n_phones).  Counts are
+    taken on the text each pattern actually saw (post earlier replacements),
+    which is also what the nested SQL oracle computes.  Pure vectorized RE2
+    kernels; no exchange.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        cur = t["text"]
+        if isinstance(cur, pa.ChunkedArray):
+            cur = cur.combine_chunks()
+        out = {"doc_id": t["doc_id"]}
+        counts = {}
+        for name, pat, repl in PII_PATTERNS:
+            counts[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(cur, pat), pa.int64()
+            )
+            cur = pc.replace_substring_regex(cur, pattern=pat, replacement=repl)
+        out["clean_text"] = cur
+        out.update(counts)
+        return pa.table(out)
+
+    return docs.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )

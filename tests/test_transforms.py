@@ -1,0 +1,109 @@
+"""Unit tests for the row-local transforms: chunking and PII redaction."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def _chunk_ref(text: str, w: int, s: int) -> list[str]:
+    n_chunks = (max(len(text) - w, 0) + s - 1) // s + 1
+    return [text[i * s : i * s + w] for i in range(n_chunks)]
+
+
+def test_chunk_docs_matches_python_slicing(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.transforms import chunk_docs
+
+    texts = [
+        "",                      # empty -> one empty chunk
+        "a" * 9,                 # < width
+        "b" * 10,                # == width
+        "c" * 11,                # width + 1 -> 2 chunks
+        "d" * 26,                # multi-chunk, last partial
+        "xy" * 8,                # exact multiple of stride
+    ]
+    w, s = 10, 8
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    for parts in (1, 4):
+        out = (
+            chunk_docs(ray.data.from_arrow(t).repartition(parts), width=w, stride=s)
+            .to_pandas()
+            .sort_values(["doc_id", "chunk_id"])
+            .reset_index(drop=True)
+        )
+        exp_rows = [
+            (d, i, ch)
+            for d, txt in enumerate(texts)
+            for i, ch in enumerate(_chunk_ref(txt, w, s))
+        ]
+        got_rows = list(zip(out["doc_id"], out["chunk_id"], out["chunk_text"]))
+        assert got_rows == exp_rows, f"parts={parts}"
+
+
+def test_chunk_docs_unicode_char_semantics(ray_session):
+    """Non-ASCII batches take the fallback but keep CHARACTER windows —
+    multi-byte codepoints must never split."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.transforms import chunk_docs
+
+    text = "é" * 7 + "日本語" + "a" * 5  # 15 chars, 25 UTF-8 bytes
+    t = pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "text": pa.array([text], pa.string())}
+    )
+    out = (
+        chunk_docs(ray.data.from_arrow(t), width=6, stride=4)
+        .to_pandas()
+        .sort_values("chunk_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["chunk_text"]) == _chunk_ref(text, 6, 4)
+
+
+def test_chunk_docs_rejects_bad_params(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.transforms import chunk_docs
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["x"])})
+    with pytest.raises(ValueError):
+        chunk_docs(ray.data.from_arrow(t), width=0, stride=5)
+    with pytest.raises(ValueError):
+        chunk_docs(ray.data.from_arrow(t), width=5, stride=0)
+
+
+def test_redact_pii_counts_and_replacements(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.transforms import redact_pii
+
+    texts = [
+        "contact bob.smith+x@example.co.uk or admin@host.io today",
+        "server at 10.0.255.3 and 192.168.1.1 responded",
+        "call +1 (555) 123-4567 now",
+        "clean text with no pii at all",
+        "mixed a@b.io from 8.8.8.8 dial 555-123-9999",
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    out = (
+        redact_pii(ray.data.from_arrow(t))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["n_emails"]) == [2, 0, 0, 0, 1]
+    assert list(out["n_ips"]) == [0, 2, 0, 0, 1]
+    assert list(out["n_phones"]) == [0, 0, 1, 0, 1]
+    assert out.loc[0, "clean_text"] == "contact <EMAIL> or <EMAIL> today"
+    assert out.loc[1, "clean_text"] == "server at <IP> and <IP> responded"
+    assert out.loc[2, "clean_text"] == "call <PHONE> now"
+    assert out.loc[3, "clean_text"] == texts[3]
+    assert out.loc[4, "clean_text"] == "mixed <EMAIL> from <IP> dial <PHONE>"
