@@ -464,6 +464,25 @@ def _q_group_rank(sf_dir: str):
     )
 
 
+def _q_subtract_corpus(sf_dir: str):
+    """Drop every non-src0 doc whose text already exists in src0 (the
+    dedup-the-new-crawl-against-the-trained-corpus primitive)."""
+    import pyarrow.compute as pc
+
+    from image_deduplication_3m_images_ray.extras.dedup_ops import subtract_corpus
+
+    def split(pred):
+        return _docs(sf_dir).map_batches(
+            lambda t: t.filter(pred(t)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    new = split(lambda t: pc.not_equal(t["source"], "src0"))
+    base = split(lambda t: pc.equal(t["source"], "src0"))
+    return subtract_corpus(new, base, bloom_min_base=0).sort("doc_id")
+
+
 def _q_chunk_docs(sf_dir: str):
     """Every doc split into 500-char context windows every 400 chars."""
     from image_deduplication_3m_images_ray.extras.transforms import chunk_docs
@@ -650,6 +669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_by_key": _q_latest_by_key,
         "chunk_docs": _q_chunk_docs,
         "redact_pii": _q_redact_pii,
+        "subtract_corpus": _q_subtract_corpus,
     }
 
 
@@ -1325,6 +1345,12 @@ def oracle_sql() -> dict[str, str]:
             " regexp_replace(t2, '" + _PII_PHONE + "', '<PHONE>', 'g') AS clean_text FROM b)"
             " SELECT doc_id, clean_text, n_emails, n_ips, n_phones FROM c ORDER BY doc_id"
         ),
+        "subtract_corpus": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE source <> 'src0'
+              AND text NOT IN (SELECT text FROM documents WHERE source = 'src0')
+            ORDER BY doc_id
+        """,
     }
 
 

@@ -749,3 +749,183 @@ def segment_dedup(docs: Dataset, seg_tokens: int = 10, num_shards: int = 64) -> 
     return sharded_group_map(
         tagged, ["doc_id"], rebuild, num_shards=num_shards, batch_format="pandas"
     )
+
+
+def subtract_corpus(
+    new: Dataset,
+    base: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bloom_bits_per_key: int = 12,
+    bloom_hashes: int = 8,
+    bloom_max_bits: int = 1 << 33,
+    bloom_min_base: int = 100_000,
+    broadcast_max_drops: int = 5_000_000,
+    num_shards: int = 64,
+    batch_size: int = 1024,
+) -> Dataset:
+    """Anti-join dedup across snapshots: keep ``new`` rows whose ``text_col``
+    is byte-identical to NO row of ``base``.
+
+    The incremental-onboarding primitive (dedup the fresh crawl against the
+    corpus you already trained on).  Exact result, and the document text
+    never enters an exchange:
+
+    1. both sides key by the 128-bit MD5 of the raw text (24 B/row; the
+       ``exact_rep_stage`` contract — mis-grouping odds < 1e-15 at 10^12
+       docs, stages/exact.py:12-15);
+    2. when ``base`` holds >= ``bloom_min_base`` keys, a distributed-built
+       Bloom filter of the BASE keys prunes the new side MAP-SIDE before the
+       exchange: a key the filter rejects is PROVABLY absent from base, so
+       the row survives without shipping — false positives only ship extra
+       24 B rows to the exact check, never change the result;
+    3. ONE tagged-union sharded exchange over the 128-bit keys emits the
+       doc_ids of CONFIRMED cross-corpus duplicates (usually the small side);
+    4. the drop set filters ``new`` map-side (broadcast sorted array up to
+       ``broadcast_max_drops``, hash-sharded marker attach above it — the
+       exact_rep_stage size-gated two-plan contract).
+
+    Reference analog: the already-processed membership filter M4
+    (/root/reference/modules/blob_manager.py processed-set skip), lifted from
+    within-run bookkeeping to corpus-vs-corpus semantics.
+    """
+    import ray as _ray
+
+    from ..functions.bloom import BloomFilter, build_bloom_distributed
+    from ..functions.hashing import md5_128
+    from ..util import shard_attach, sharded_group_map
+
+    def add_keys(keep_all: bool):
+        def fn(t: pa.Table) -> pa.Table:
+            lo, hi = md5_128(t[text_col].to_pylist())
+            cols = {
+                "doc_id": pc.cast(t[id_col], pa.uint64()),
+                "h_lo": pa.array(lo, pa.uint64()),
+                "h_hi": pa.array(hi, pa.uint64()),
+            }
+            return pa.table(cols)
+
+        return fn
+
+    # consumed by (optionally) the Bloom build AND the exchange: pin once
+    base_keys = base.map_batches(
+        add_keys(False), batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).materialize()
+    new_keys = new.map_batches(
+        add_keys(True), batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    ).materialize()
+    n_base = base_keys.count()
+
+    def mix(t: pa.Table) -> np.ndarray:
+        lo = np.asarray(t["h_lo"].to_numpy(zero_copy_only=False), dtype=U64)
+        hi = np.asarray(t["h_hi"].to_numpy(zero_copy_only=False), dtype=U64)
+        return splitmix64(lo ^ hi)
+
+    suspicious = new_keys
+    if n_base >= bloom_min_base:
+        m_bits = BloomFilter.size_bits(n_base, bloom_bits_per_key, bloom_max_bits)
+        bloom = build_bloom_distributed(base_keys, mix, m_bits, bloom_hashes)
+        bref = _ray.put(bloom)
+
+        def prune(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(_ray.get(bref).contains(mix(t))))
+
+        suspicious = new_keys.map_batches(
+            prune, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def tag(val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "tag", pa.array(np.full(len(t), val, np.int8), pa.int8())
+            )
+
+        return fn
+
+    unioned = base_keys.map_batches(
+        tag(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        suspicious.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    )
+
+    def confirm(group: dict) -> dict:
+        lo = np.asarray(group["h_lo"], dtype=U64)
+        hi = np.asarray(group["h_hi"], dtype=U64)
+        tg = np.asarray(group["tag"], dtype=np.int8)
+        did = np.asarray(group["doc_id"], dtype=U64)
+        order = np.lexsort((tg, hi, lo))
+        lo, hi, tg, did = lo[order], hi[order], tg[order], did[order]
+        n = len(lo)
+        if n == 0:
+            return {"doc_id": np.zeros(0, U64)}
+        new_seg = np.ones(n, dtype=bool)
+        new_seg[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        seg = np.cumsum(new_seg) - 1
+        # tag sorts last inside a key group, so the group has a base row
+        # iff its FIRST row is tag 0
+        has_base = tg[np.nonzero(new_seg)[0]] == 0
+        drop = (tg == 1) & has_base[seg]
+        return {"doc_id": did[drop]}
+
+    drops = sharded_group_map(
+        unioned, ["h_lo", "h_hi"], confirm, num_shards=num_shards
+    ).materialize()
+    n_drops = drops.count()
+    if n_drops == 0:
+        return new
+    if n_drops <= broadcast_max_drops:
+        parts = [
+            np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=U64)
+            for t in _ray.get(drops.to_arrow_refs())
+            if t.num_rows
+        ]
+        drop_ids = np.sort(np.concatenate(parts))
+        dref = _ray.put(drop_ids)
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                pc.cast(t[id_col], pa.uint64()).to_numpy(zero_copy_only=False),
+                dtype=U64,
+            )
+            d = _ray.get(dref)
+            pos = np.searchsorted(d, ids)
+            pos[pos == len(d)] = 0
+            return t.filter(pa.array(d[pos] != ids))
+
+        return new.map_batches(
+            keep, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        )
+    # scale path: hash-sharded marker attach, then filter
+    marked = drops.map_batches(
+        lambda t: t.append_column(
+            "dropped", pa.array(np.ones(len(t), np.int64), pa.int64())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def add_key_col(t: pa.Table) -> pa.Table:
+        return t.append_column("__sid", pc.cast(t[id_col], pa.uint64()))
+
+    keyed = new.map_batches(add_key_col, batch_format="pyarrow", zero_copy_batch=True)
+    out = shard_attach(
+        keyed,
+        marked.map_batches(
+            lambda t: t.rename_columns(["__sid", "dropped"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        key="__sid",
+        payload={"dropped": "dropped"},
+        num_shards=num_shards,
+        how="left_outer",
+    )
+    return out.map_batches(
+        lambda t: t.filter(pc.equal(t["dropped"], 0)).drop_columns(
+            ["__sid", "dropped"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

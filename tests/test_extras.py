@@ -1014,3 +1014,66 @@ def test_contamination_stats_bloom_empty_bench(ray_session):
     )
     assert list(out["n_contaminated"]) == [0, 0]
     assert list(out["contaminated"]) == [0, 0]
+
+
+def test_subtract_corpus_paths_agree(ray_session):
+    """Anti-join dedup: every plan (no bloom / bloom prefilter / sharded
+    drop attach) returns exactly the new-side rows absent from base."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.dedup_ops import subtract_corpus
+
+    base_texts = [f"base doc {i}" for i in range(20)]
+    new_texts = (
+        [f"fresh doc {i}" for i in range(15)]
+        + base_texts[3:8]          # 5 cross-corpus dups
+        + ["fresh doc 3"]          # dup WITHIN new only: must survive
+    )
+    base = pa.table(
+        {
+            "doc_id": pa.array(range(1000, 1000 + len(base_texts)), pa.int64()),
+            "text": pa.array(base_texts, pa.string()),
+        }
+    )
+    new = pa.table(
+        {
+            "doc_id": pa.array(range(len(new_texts)), pa.int64()),
+            "text": pa.array(new_texts, pa.string()),
+        }
+    )
+    want = sorted(
+        i for i, s in enumerate(new_texts) if s not in set(base_texts)
+    )
+    for kwargs in (
+        {"bloom_min_base": 10**9},                   # exchange only
+        {"bloom_min_base": 0},                       # bloom prefilter
+        {"bloom_min_base": 0, "broadcast_max_drops": 1},  # sharded attach
+    ):
+        got = subtract_corpus(
+            ray.data.from_arrow(new).repartition(4),
+            ray.data.from_arrow(base).repartition(3),
+            **kwargs,
+        ).to_pandas()
+        assert sorted(got["doc_id"]) == want, kwargs
+        assert set(got.columns) == {"doc_id", "text"}
+
+
+def test_subtract_corpus_no_overlap_returns_all(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.dedup_ops import subtract_corpus
+
+    new = pa.table(
+        {
+            "doc_id": pa.array([0, 1], pa.int64()),
+            "text": pa.array(["aa", "bb"], pa.string()),
+        }
+    )
+    base = pa.table(
+        {
+            "doc_id": pa.array([9], pa.int64()),
+            "text": pa.array(["zz"], pa.string()),
+        }
+    )
+    got = subtract_corpus(
+        ray.data.from_arrow(new), ray.data.from_arrow(base)
+    ).to_pandas()
+    assert sorted(got["doc_id"]) == [0, 1]
