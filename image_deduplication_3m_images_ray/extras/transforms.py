@@ -46,52 +46,58 @@ def chunk_docs(
     W, S = width, stride
 
     def fn(t: pa.Table) -> pa.Table:
-        text = t["text"]
-        arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
-        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
-        n = np.asarray(pc.utf8_length(arr).to_numpy(zero_copy_only=False), np.int64)
-        c = (np.maximum(n - W, 0) + S - 1) // S + 1
-        chunk_doc = np.repeat(np.arange(len(ids), dtype=np.int64), c)
-        cidx = _ranges(c)
-        all_ascii = len(arr) == 0 or bool(pc.all(pc.string_is_ascii(arr)).as_py())
-        if all_ascii:
-            offs, data = flat_utf8_view(arr)
-            start = offs[:-1][chunk_doc] + cidx * S
-            lens = np.minimum(W, n[chunk_doc] - cidx * S)
-            lens = np.maximum(lens, 0)  # empty docs: one zero-length chunk
-            pos = lens > 0  # _ranges requires positive counts; empty chunks
-            gather = (     # still get rows via the offsets below
-                np.repeat(start[pos], lens[pos]) + _ranges(lens[pos])
-                if lens.sum()
-                else np.zeros(0, np.int64)
-            )
-            buf = data[gather]
-            out_offs = np.zeros(len(lens) + 1, dtype=np.int64)
-            if len(lens):
-                out_offs[1:] = np.cumsum(lens)
-            chunk_arr = pa.Array.from_buffers(
-                pa.large_utf8(),
-                len(lens),
-                [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(buf.tobytes())],
-            ).cast(pa.string())
-        else:
-            # unicode fallback: identical char semantics, per-doc Python
-            texts = arr.to_pylist()
-            chunks = [
-                (texts[d] or "")[i * S : i * S + W]
-                for d, i in zip(chunk_doc, cidx)
-            ]
-            chunk_arr = pa.array(chunks, pa.string())
-        return pa.table(
-            {
-                "doc_id": pa.array(ids[chunk_doc]),
-                "chunk_id": pa.array(cidx, pa.int64()),
-                "chunk_text": chunk_arr,
-            }
-        )
+        return chunk_table(t, W, S)
 
     return docs.map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+
+
+def chunk_table(t: pa.Table, W: int, S: int) -> pa.Table:
+    """The :func:`chunk_docs` per-batch kernel (module-level so the property
+    suite can drive it on arbitrary unicode without a Ray session)."""
+    text = t["text"]
+    arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+    n = np.asarray(pc.utf8_length(arr).to_numpy(zero_copy_only=False), np.int64)
+    c = (np.maximum(n - W, 0) + S - 1) // S + 1
+    chunk_doc = np.repeat(np.arange(len(ids), dtype=np.int64), c)
+    cidx = _ranges(c)
+    all_ascii = len(arr) == 0 or bool(pc.all(pc.string_is_ascii(arr)).as_py())
+    if all_ascii:
+        offs, data = flat_utf8_view(arr)
+        start = offs[:-1][chunk_doc] + cidx * S
+        lens = np.minimum(W, n[chunk_doc] - cidx * S)
+        lens = np.maximum(lens, 0)  # empty docs: one zero-length chunk
+        pos = lens > 0  # _ranges requires positive counts; empty chunks
+        gather = (     # still get rows via the offsets below
+            np.repeat(start[pos], lens[pos]) + _ranges(lens[pos])
+            if lens.sum()
+            else np.zeros(0, np.int64)
+        )
+        buf = data[gather]
+        out_offs = np.zeros(len(lens) + 1, dtype=np.int64)
+        if len(lens):
+            out_offs[1:] = np.cumsum(lens)
+        chunk_arr = pa.Array.from_buffers(
+            pa.large_utf8(),
+            len(lens),
+            [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(buf.tobytes())],
+        ).cast(pa.string())
+    else:
+        # unicode fallback: identical char semantics, per-doc Python
+        texts = arr.to_pylist()
+        chunks = [
+            (texts[d] or "")[i * S : i * S + W]
+            for d, i in zip(chunk_doc, cidx)
+        ]
+        chunk_arr = pa.array(chunks, pa.string())
+    return pa.table(
+        {
+            "doc_id": pa.array(ids[chunk_doc]),
+            "chunk_id": pa.array(cidx, pa.int64()),
+            "chunk_text": chunk_arr,
+        }
     )
 
 
