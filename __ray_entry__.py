@@ -464,6 +464,15 @@ def _q_group_rank(sf_dir: str):
     )
 
 
+def _q_pack_sequences(sf_dir: str):
+    """Concat-and-cut packing: global token offset + 2048-token bin per doc."""
+    from image_deduplication_3m_images_ray.extras.transforms import pack_sequences
+
+    return pack_sequences(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), capacity=2048
+    )
+
+
 def _q_subtract_corpus(sf_dir: str):
     """Drop every non-src0 doc whose text already exists in src0 (the
     dedup-the-new-crawl-against-the-trained-corpus primitive)."""
@@ -670,6 +679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": _q_chunk_docs,
         "redact_pii": _q_redact_pii,
         "subtract_corpus": _q_subtract_corpus,
+        "pack_sequences": _q_pack_sequences,
     }
 
 
@@ -1350,6 +1360,22 @@ def oracle_sql() -> dict[str, str]:
             WHERE source <> 'src0'
               AND text NOT IN (SELECT text FROM documents WHERE source = 'src0')
             ORDER BY doc_id
+        """,
+        "pack_sequences": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            s AS (SELECT doc_id,
+                         CASE WHEN length(nt) = 0 THEN 0
+                              ELSE length(nt) - length(replace(nt, ' ', '')) + 1
+                         END AS n_tokens
+                  FROM n),
+            o AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                         CAST(coalesce(sum(n_tokens) OVER (
+                             ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                         ), 0) AS BIGINT) AS tok_offset
+                  FROM s)
+            SELECT doc_id, n_tokens, tok_offset, tok_offset // 2048 AS bin_id
+            FROM o ORDER BY doc_id
         """,
     }
 

@@ -139,3 +139,77 @@ def redact_pii(docs: Dataset, batch_size: int = 4096) -> Dataset:
     return docs.map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
+
+
+def pack_sequences(
+    docs: Dataset, capacity: int = 2048, id_col: str = "doc_id",
+    batch_size: int = 4096,
+) -> Dataset:
+    """Concat-and-cut sequence packing: assign every doc its global token
+    offset in the ``id_col``-ordered corpus stream and the training bin
+    (``bin_id = tok_offset // capacity``) its first token lands in.
+
+    The standard LLM pretraining layout (documents concatenated in a fixed
+    order, cut every ``capacity`` tokens) needs a GLOBAL exclusive prefix sum
+    — a scan, not an aggregate, so neither ``groupby`` nor a sharded exchange
+    expresses it.  Shape: token counts per row (the ``token_stats``
+    normalized-whitespace contract, so the SQL window-sum oracle matches
+    exactly), ONE distributed sort on ``id_col``, then per-block token SUMS
+    (one scalar per block) come back to the driver, an exclusive prefix over
+    O(blocks) integers hands each block its base offset, and per-block tasks
+    attach ``tok_offset = base + local exclusive cumsum``.  Block payloads
+    move by object ref only; the :func:`group_rank` scan idiom with scalar
+    (not per-group) driver state.
+
+    Output: (id_col, n_tokens, tok_offset, bin_id), exact.
+    """
+    import ray
+    import ray.data
+
+    from ..functions.text import normalize_array
+
+    if capacity <= 0:
+        raise ValueError("pack_sequences: capacity must be positive")
+
+    def count_tokens(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"])
+        n_chars = np.asarray(
+            pc.utf8_length(norm).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        n_spaces = np.asarray(
+            pc.count_substring(norm, " ").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        n_tokens = np.where(n_chars == 0, 0, n_spaces + 1).astype(np.int64)
+        return pa.table(
+            {id_col: t[id_col], "n_tokens": pa.array(n_tokens, pa.int64())}
+        )
+
+    counted = docs.map_batches(
+        count_tokens, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    pinned = counted.sort(id_col).materialize()
+    refs = pinned.to_arrow_refs()
+    if not refs:
+        return pinned
+
+    @ray.remote
+    def block_sum(t: pa.Table) -> int:
+        return int(
+            np.asarray(t["n_tokens"].to_numpy(zero_copy_only=False), np.int64).sum()
+        )
+
+    sums = ray.get([block_sum.remote(r) for r in refs])
+    bases = np.concatenate([[0], np.cumsum(sums)[:-1]]).astype(np.int64)
+
+    @ray.remote
+    def attach(t: pa.Table, base: int) -> pa.Table:
+        n = np.asarray(t["n_tokens"].to_numpy(zero_copy_only=False), np.int64)
+        off = base + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64) \
+            if len(n) else np.zeros(0, np.int64)
+        return t.append_column(
+            "tok_offset", pa.array(off, pa.int64())
+        ).append_column("bin_id", pa.array(off // capacity, pa.int64()))
+
+    out_refs = [attach.remote(r, int(b)) for r, b in zip(refs, bases)]
+    return ray.data.from_arrow_refs(out_refs)

@@ -107,3 +107,37 @@ def test_redact_pii_counts_and_replacements(ray_session):
     assert out.loc[2, "clean_text"] == "call <PHONE> now"
     assert out.loc[3, "clean_text"] == texts[3]
     assert out.loc[4, "clean_text"] == "mixed <EMAIL> from <IP> dial <PHONE>"
+
+
+def test_pack_sequences_matches_cumsum(ray_session):
+    """Global exclusive prefix sum is exact and partitioning-invariant."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.transforms import pack_sequences
+
+    rng = np.random.default_rng(4)
+    n = 300
+    texts = [" ".join(f"w{j}" for j in range(k)) for k in rng.integers(0, 50, n)]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    tokens = np.array([0 if s == "" else s.count(" ") + 1 for s in texts])
+    offsets = np.concatenate([[0], np.cumsum(tokens)[:-1]])
+    for parts in (1, 16):
+        out = (
+            pack_sequences(
+                ray.data.from_pandas(df).repartition(parts), capacity=64
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert list(out["n_tokens"]) == list(tokens)
+        assert list(out["tok_offset"]) == list(offsets)
+        assert list(out["bin_id"]) == list(offsets // 64)
+
+
+def test_pack_sequences_rejects_bad_capacity(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.transforms import pack_sequences
+
+    t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["x"])})
+    with pytest.raises(ValueError):
+        pack_sequences(ray.data.from_arrow(t), capacity=0)
