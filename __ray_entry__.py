@@ -473,6 +473,17 @@ def _q_pack_sequences(sf_dir: str):
     )
 
 
+def _q_sample_token_budget(sf_dir: str):
+    """Deterministic hash-ordered subsample filling a 10k-token budget."""
+    from image_deduplication_3m_images_ray.extras.transforms import (
+        sample_token_budget,
+    )
+
+    return sample_token_budget(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), budget=10_000
+    ).sort("doc_id")
+
+
 def _q_subtract_corpus(sf_dir: str):
     """Drop every non-src0 doc whose text already exists in src0 (the
     dedup-the-new-crawl-against-the-trained-corpus primitive)."""
@@ -680,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "redact_pii": _q_redact_pii,
         "subtract_corpus": _q_subtract_corpus,
         "pack_sequences": _q_pack_sequences,
+        "sample_token_budget": _q_sample_token_budget,
     }
 
 
@@ -1376,6 +1388,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM s)
             SELECT doc_id, n_tokens, tok_offset, tok_offset // 2048 AS bin_id
             FROM o ORDER BY doc_id
+        """,
+        "sample_token_budget": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            s AS (SELECT doc_id,
+                         CASE WHEN length(nt) = 0 THEN 0
+                              ELSE length(nt) - length(replace(nt, ' ', '')) + 1
+                         END AS n_tokens
+                  FROM n),
+            h AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                         md5_number_lower(CAST(doc_id AS VARCHAR)) AS hk
+                  FROM s),
+            o AS (SELECT doc_id, n_tokens,
+                         CAST(coalesce(sum(n_tokens) OVER (
+                             ORDER BY hk, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                         ), 0) AS BIGINT) AS tok_offset
+                  FROM h)
+            SELECT doc_id, n_tokens, tok_offset FROM o
+            WHERE tok_offset < 10000 ORDER BY doc_id
         """,
     }
 

@@ -163,13 +163,37 @@ def pack_sequences(
 
     Output: (id_col, n_tokens, tok_offset, bin_id), exact.
     """
-    import ray
-    import ray.data
-
-    from ..functions.text import normalize_array
-
     if capacity <= 0:
         raise ValueError("pack_sequences: capacity must be positive")
+    offsets = _scan_token_offsets(
+        _count_tokens_ds(docs, id_col, batch_size), [id_col]
+    )
+    if offsets is None:
+        import ray.data
+
+        return ray.data.from_arrow(_empty_pack(id_col, with_bin=True))
+
+    def add_bin(t: pa.Table) -> pa.Table:
+        off = np.asarray(t["tok_offset"].to_numpy(zero_copy_only=False), np.int64)
+        return t.append_column("bin_id", pa.array(off // capacity, pa.int64()))
+
+    return offsets.map_batches(add_bin, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _empty_pack(id_col: str, with_bin: bool) -> pa.Table:
+    cols = {
+        id_col: pa.array([], pa.int64()),
+        "n_tokens": pa.array([], pa.int64()),
+        "tok_offset": pa.array([], pa.int64()),
+    }
+    if with_bin:
+        cols["bin_id"] = pa.array([], pa.int64())
+    return pa.table(cols)
+
+
+def _count_tokens_ds(docs: Dataset, id_col: str, batch_size: int) -> Dataset:
+    """(id, text) -> (id, n_tokens) under the ``token_stats`` contract."""
+    from ..functions.text import normalize_array
 
     def count_tokens(t: pa.Table) -> pa.Table:
         norm = normalize_array(t["text"])
@@ -184,14 +208,23 @@ def pack_sequences(
             {id_col: t[id_col], "n_tokens": pa.array(n_tokens, pa.int64())}
         )
 
-    counted = docs.map_batches(
+    return docs.map_batches(
         count_tokens, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     )
-    pinned = counted.sort(id_col).materialize()
+
+
+def _scan_token_offsets(counted: Dataset, sort_cols: list) -> Dataset | None:
+    """The distributed exclusive-prefix-sum scan: sort, per-block SUM scalars
+    to the driver, O(blocks) prefix, per-block ``tok_offset`` attach by
+    object ref.  Returns None on an empty dataset."""
+    import ray
+    import ray.data
+
+    pinned = counted.sort(sort_cols).materialize()
     refs = pinned.to_arrow_refs()
     if not refs:
-        return pinned
+        return None
 
     @ray.remote
     def block_sum(t: pa.Table) -> int:
@@ -207,9 +240,47 @@ def pack_sequences(
         n = np.asarray(t["n_tokens"].to_numpy(zero_copy_only=False), np.int64)
         off = base + np.concatenate([[0], np.cumsum(n)[:-1]]).astype(np.int64) \
             if len(n) else np.zeros(0, np.int64)
-        return t.append_column(
-            "tok_offset", pa.array(off, pa.int64())
-        ).append_column("bin_id", pa.array(off // capacity, pa.int64()))
+        return t.append_column("tok_offset", pa.array(off, pa.int64()))
 
     out_refs = [attach.remote(r, int(b)) for r, b in zip(refs, bases)]
     return ray.data.from_arrow_refs(out_refs)
+
+
+def sample_token_budget(
+    docs: Dataset, budget: int, id_col: str = "doc_id", batch_size: int = 4096
+) -> Dataset:
+    """Deterministic "train on N tokens" subsample: walk the corpus in
+    id-hash order and keep docs until the global token budget fills.
+
+    Order = ``md5(id)`` (the :func:`sample_uniform` hash — equals DuckDB
+    ``md5_number_lower(CAST(id AS VARCHAR))``, so the oracle replays the
+    identical walk) with id tiebreak; a doc is kept iff the budget was not
+    yet full when it arrived (``tok_offset < budget`` — the straddling doc
+    is INCLUDED, "fill until reached").  Same scan shape as
+    :func:`pack_sequences`: driver state is O(blocks) scalars.
+
+    Output: (id_col, n_tokens, tok_offset) for the kept docs.
+    """
+    from .relational import _md5_id_column
+
+    if budget <= 0:
+        raise ValueError("sample_token_budget: budget must be positive")
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "__hk", pa.array(_md5_id_column(t, id_col), pa.uint64())
+        )
+
+    counted = _count_tokens_ds(docs, id_col, batch_size).map_batches(
+        add_hash, batch_format="pyarrow", zero_copy_batch=True
+    )
+    offsets = _scan_token_offsets(counted, ["__hk", id_col])
+    if offsets is None:
+        import ray.data
+
+        return ray.data.from_arrow(_empty_pack(id_col, with_bin=False))
+
+    def keep(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t["tok_offset"], budget)).drop_columns(["__hk"])
+
+    return offsets.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)

@@ -141,3 +141,29 @@ def test_pack_sequences_rejects_bad_capacity(ray_session):
     t = pa.table({"doc_id": pa.array([0], pa.int64()), "text": pa.array(["x"])})
     with pytest.raises(ValueError):
         pack_sequences(ray.data.from_arrow(t), capacity=0)
+
+
+def test_sample_token_budget_matches_reference(ray_session):
+    """Hash-ordered walk keeps exactly the docs whose exclusive prefix sum
+    is under budget (straddler included), at several partitionings."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.transforms import sample_token_budget
+    from image_deduplication_3m_images_ray.functions.hashing import md5_u64
+
+    rng = np.random.default_rng(12)
+    n = 200
+    texts = [" ".join(f"w{j}" for j in range(k)) for k in rng.integers(0, 30, n)]
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    tokens = np.array([0 if s == "" else s.count(" ") + 1 for s in texts])
+    h = md5_u64([str(i) for i in range(n)])
+    order = np.lexsort((np.arange(n), h))
+    csum = np.concatenate([[0], np.cumsum(tokens[order])[:-1]])
+    budget = 800
+    want = sorted(int(d) for d, off in zip(order, csum) if off < budget)
+    for parts in (1, 8):
+        got = sample_token_budget(
+            ray.data.from_pandas(df).repartition(parts), budget=budget
+        ).to_pandas()
+        assert sorted(got["doc_id"]) == want, f"parts={parts}"
+    with pytest.raises(ValueError):
+        sample_token_budget(ray.data.from_pandas(df), budget=0)
