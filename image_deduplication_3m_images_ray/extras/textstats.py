@@ -1035,17 +1035,27 @@ def frequent_terms(
             f"frequent_terms: {n_cand} candidates exceed "
             f"max_candidates={max_candidates}; raise capacity"
         )
+    from ..functions.hashing import hash_tokens
+
     cand = np.sort(
         np.asarray([r["term"] for r in cand_ds.select_columns(["term"]).take_all()])
     )
-    cand_ref = ray.put(cand)
+    # u64-hash prefilter: per-batch membership runs on sorted uint64 (fast C
+    # compares) instead of object strings; the few hash hits are confirmed
+    # by exact string membership, so collisions cannot admit a wrong term
+    cand_h = np.sort(hash_tokens(cand))
+    cand_ref = ray.put((cand, cand_h))
 
     def recount(t: pa.Table) -> pa.Table:
-        cset = ray.get(cand_ref)
+        cset, cset_h = ray.get(cand_ref)
         uniq, counts = np.unique(_flat_terms(t), return_counts=True)
-        pos = np.searchsorted(cset, uniq)
-        pos[pos == len(cset)] = 0
-        hit = cset[pos] == uniq
+        uh = hash_tokens(uniq)
+        pos = np.searchsorted(cset_h, uh)
+        pos[pos == len(cset_h)] = 0
+        maybe = cset_h[pos] == uh
+        hit = maybe.copy()
+        if maybe.any():
+            hit[maybe] = np.isin(uniq[maybe], cset)
         return pa.table(
             {
                 "term": pa.array(uniq[hit], pa.string()),
