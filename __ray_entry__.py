@@ -473,6 +473,15 @@ def _q_pack_sequences(sf_dir: str):
     )
 
 
+def _q_ngram_counts(sf_dir: str):
+    """Corpus bigram counts pruned to count >= 3 (LM gram table)."""
+    from image_deduplication_3m_images_ray.extras.textstats import ngram_counts
+
+    return ngram_counts(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), n=2, min_count=3
+    ).sort("gram")
+
+
 def _q_sample_token_budget(sf_dir: str):
     """Deterministic hash-ordered subsample filling a 10k-token budget."""
     from image_deduplication_3m_images_ray.extras.transforms import (
@@ -692,6 +701,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subtract_corpus": _q_subtract_corpus,
         "pack_sequences": _q_pack_sequences,
         "sample_token_budget": _q_sample_token_budget,
+        "ngram_counts": _q_ngram_counts,
     }
 
 
@@ -1407,6 +1417,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM h)
             SELECT doc_id, n_tokens, tok_offset FROM o
             WHERE tok_offset < 10000 ORDER BY doc_id
+        """,
+        "ngram_counts": """
+            WITH base AS (SELECT string_split(text, ' ') AS toks FROM documents),
+            grams AS (
+                SELECT unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i+1])) AS gram
+                FROM base
+            )
+            SELECT gram, CAST(count(*) AS BIGINT) AS n FROM grams
+            GROUP BY gram HAVING count(*) >= 3 ORDER BY gram
         """,
     }
 

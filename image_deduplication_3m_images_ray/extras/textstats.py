@@ -1072,3 +1072,55 @@ def frequent_terms(
         .aggregate(Sum("n", alias_name="n"))
     )
     return exact.sort(["n", "term"], descending=[True, False]).limit(k)
+
+
+def ngram_counts(
+    docs: Dataset, n: int = 3, min_count: int = 2, batch_size: int = 4096
+) -> Dataset:
+    """Exact corpus word-``n``-gram counts, pruned to ``count >= min_count``
+    — the classic LM-counts / gram-table product.
+
+    Per batch, ONE vectorized gram pass (:func:`_word_ngram_strings`) and one
+    ``np.unique`` pre-aggregate the batch to distinct (gram, count) partials
+    (the combiner), then a single ``groupby(gram)`` sum and a map-side
+    ``HAVING`` filter.  Exactness requires the full distinct-gram table to
+    cross the exchange once (same contract as ``vocab_stats``); when only the
+    heavy head is wanted, :func:`frequent_terms`'s two-pass Misra–Gries shape
+    is the cheaper tool.  Docs with fewer than ``n`` tokens contribute
+    nothing; tokens split the raw text on single spaces (the
+    ``contamination_stats`` gram contract, so the SQL oracle reuses its
+    ``string_split``/``list_transform`` idiom).
+
+    Output: (gram, n) rows with n >= ``min_count``.
+    """
+    from ray.data.aggregate import Sum
+
+    if n < 1:
+        raise ValueError("ngram_counts: n must be >= 1")
+
+    def partial(t: pa.Table) -> pa.Table:
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        g, _, _ = _word_ngram_strings(col, n)
+        uniq, cnt = np.unique(g, return_counts=True)
+        return pa.table(
+            {
+                "gram": pa.array(uniq.astype(object), pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    grouped = (
+        docs.map_batches(
+            partial, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        .groupby("gram")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return grouped.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n"], min_count)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1077,3 +1077,38 @@ def test_subtract_corpus_no_overlap_returns_all(ray_session):
         ray.data.from_arrow(new), ray.data.from_arrow(base)
     ).to_pandas()
     assert sorted(got["doc_id"]) == [0, 1]
+
+
+def test_ngram_counts_matches_counter(ray_session):
+    import collections
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import ngram_counts
+
+    texts = [
+        "a b c a b",     # bigrams: 'a b' x2, 'b c', 'c a'
+        "a b",           # 'a b'
+        "x",             # too short for n=2: nothing
+        "",              # split('') -> ['']: nothing
+        "b c b c b c",
+    ]
+    truth = collections.Counter()
+    for s in texts:
+        toks = s.split(" ")
+        truth.update(" ".join(toks[i : i + 2]) for i in range(len(toks) - 1))
+    want = sorted((g, c) for g, c in truth.items() if c >= 2)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    for parts in (1, 3):
+        got = (
+            ngram_counts(ray.data.from_arrow(t).repartition(parts), n=2, min_count=2)
+            .to_pandas()
+            .sort_values("gram")
+        )
+        assert list(zip(got["gram"], got["n"])) == want, f"parts={parts}"
+    with pytest.raises(ValueError):
+        ngram_counts(ray.data.from_arrow(t), n=0)
