@@ -768,8 +768,11 @@ def subtract_corpus(
     is byte-identical to NO row of ``base``.
 
     The incremental-onboarding primitive (dedup the fresh crawl against the
-    corpus you already trained on).  Exact result, and the document text
-    never enters an exchange:
+    corpus you already trained on).  Exact result; the document text never
+    enters an exchange while the drop set fits the broadcast bound (above
+    ``broadcast_max_drops`` the fallback marker attach reshuffles the new
+    rows — text included — ONCE; raise the bound for a pure-broadcast plan,
+    it is an 8 B/drop cluster-scale object, not driver-heap-bounded state):
 
     1. both sides key by the 128-bit MD5 of the raw text (24 B/row; the
        ``exact_rep_stage`` contract — mis-grouping odds < 1e-15 at 10^12
@@ -795,27 +798,26 @@ def subtract_corpus(
     from ..functions.hashing import md5_128
     from ..util import shard_attach, sharded_group_map
 
-    def add_keys(keep_all: bool):
-        def fn(t: pa.Table) -> pa.Table:
-            lo, hi = md5_128(t[text_col].to_pylist())
-            cols = {
+    def add_keys(t: pa.Table) -> pa.Table:
+        lo, hi = md5_128(t[text_col].to_pylist())
+        return pa.table(
+            {
                 "doc_id": pc.cast(t[id_col], pa.uint64()),
                 "h_lo": pa.array(lo, pa.uint64()),
                 "h_hi": pa.array(hi, pa.uint64()),
             }
-            return pa.table(cols)
+        )
 
-        return fn
-
-    # consumed by (optionally) the Bloom build AND the exchange: pin once
+    # consumed by (optionally) the Bloom build AND the exchange: pin once.
+    # new_keys is consumed exactly once in every plan — no pin needed.
     base_keys = base.map_batches(
-        add_keys(False), batch_format="pyarrow", batch_size=batch_size,
+        add_keys, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
     ).materialize()
     new_keys = new.map_batches(
-        add_keys(True), batch_format="pyarrow", batch_size=batch_size,
+        add_keys, batch_format="pyarrow", batch_size=batch_size,
         zero_copy_batch=True,
-    ).materialize()
+    )
     n_base = base_keys.count()
 
     def mix(t: pa.Table) -> np.ndarray:

@@ -464,6 +464,8 @@ def group_rank(
     """
     import ray
 
+    if ntile < 1:
+        raise ValueError("group_rank: ntile must be >= 1")
     sort_cols, sort_desc = [key], [False]
     if value not in sort_cols:
         sort_cols.append(value)
@@ -474,14 +476,26 @@ def group_rank(
     sorted_ds = ds.sort(sort_cols, descending=sort_desc)
     pinned = sorted_ds.materialize()
     refs = pinned.to_arrow_refs()
-    if not refs:
-        return pinned
+    if not refs or pinned.count() == 0:
+        # keep the output contract on legitimately-empty input
+        import ray.data
+
+        schema = pinned.schema()
+        cols = {}
+        if schema is not None:
+            for name, typ in zip(schema.names, schema.types):
+                if not isinstance(typ, pa.DataType):
+                    typ = pa.string() if typ in (str, object) else pa.int64()
+                cols[name] = pa.array([], typ)
+        cols["rank"] = pa.array([], pa.int64())
+        cols["tile"] = pa.array([], pa.int64())
+        return ray.data.from_arrow(pa.table(cols))
 
     @ray.remote
     def block_counts(t: pa.Table):
-        kv = np.asarray(t[key].to_numpy(zero_copy_only=False), dtype=object)
-        if len(kv) == 0:
+        if t.num_rows == 0:  # a zero-row block may even lack the schema
             return [], []
+        kv = np.asarray(t[key].to_numpy(zero_copy_only=False), dtype=object)
         starts = segment_bounds(kv)
         return list(kv[starts[:-1]]), list(np.diff(starts).astype(np.int64))
 

@@ -1029,17 +1029,17 @@ def frequent_terms(
         )
     else:
         cand_ds = terms_only  # fewer than k distinct terms: all are candidates
-    n_cand = cand_ds.count()
-    if n_cand > max_candidates:
+    try:
+        # one pass: take_all's own limit gates BEFORE the driver holds them
+        cand_rows = cand_ds.select_columns(["term"]).take_all(limit=max_candidates)
+    except ValueError as e:
         raise ValueError(
-            f"frequent_terms: {n_cand} candidates exceed "
-            f"max_candidates={max_candidates}; raise capacity"
-        )
+            f"frequent_terms: candidates exceed max_candidates="
+            f"{max_candidates}; raise capacity"
+        ) from e
     from ..functions.hashing import hash_tokens
 
-    cand = np.sort(
-        np.asarray([r["term"] for r in cand_ds.select_columns(["term"]).take_all()])
-    )
+    cand = np.sort(np.asarray([r["term"] for r in cand_rows]))
     # u64-hash prefilter: per-batch membership runs on sorted uint64 (fast C
     # compares) instead of object strings; the few hash hits are confirmed
     # by exact string membership, so collisions cannot admit a wrong term

@@ -55,9 +55,14 @@ def chunk_docs(
 
 def chunk_table(t: pa.Table, W: int, S: int) -> pa.Table:
     """The :func:`chunk_docs` per-batch kernel (module-level so the property
-    suite can drive it on arbitrary unicode without a Ray session)."""
+    suite can drive it on arbitrary unicode without a Ray session).
+
+    Null text is treated as an empty document (one empty chunk) — a NaN
+    length would otherwise cast to INT64_MIN garbage and null rows would
+    skew the batch's ASCII gate."""
     text = t["text"]
     arr = text.combine_chunks() if isinstance(text, pa.ChunkedArray) else text
+    arr = pc.fill_null(arr, "")
     ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
     n = np.asarray(pc.utf8_length(arr).to_numpy(zero_copy_only=False), np.int64)
     c = (np.maximum(n - W, 0) + S - 1) // S + 1
@@ -79,19 +84,21 @@ def chunk_table(t: pa.Table, W: int, S: int) -> pa.Table:
         out_offs = np.zeros(len(lens) + 1, dtype=np.int64)
         if len(lens):
             out_offs[1:] = np.cumsum(lens)
+        # emitted as large_utf8 (offsets already int64): a >2 GiB chunk batch
+        # would overflow an int32-offset cast to utf8
         chunk_arr = pa.Array.from_buffers(
             pa.large_utf8(),
             len(lens),
             [None, pa.py_buffer(out_offs.tobytes()), pa.py_buffer(buf.tobytes())],
-        ).cast(pa.string())
+        )
     else:
         # unicode fallback: identical char semantics, per-doc Python
         texts = arr.to_pylist()
         chunks = [
-            (texts[d] or "")[i * S : i * S + W]
+            texts[d][i * S : i * S + W]
             for d, i in zip(chunk_doc, cidx)
         ]
-        chunk_arr = pa.array(chunks, pa.string())
+        chunk_arr = pa.array(chunks, pa.large_string())
     return pa.table(
         {
             "doc_id": pa.array(ids[chunk_doc]),
@@ -196,7 +203,11 @@ def _count_tokens_ds(docs: Dataset, id_col: str, batch_size: int) -> Dataset:
     from ..functions.text import normalize_array
 
     def count_tokens(t: pa.Table) -> pa.Table:
-        norm = normalize_array(t["text"])
+        col = t["text"]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        # null text counts as an empty doc (0 tokens), not NaN-cast garbage
+        norm = normalize_array(pc.fill_null(col, ""))
         n_chars = np.asarray(
             pc.utf8_length(norm).cast(pa.int64()).to_numpy(zero_copy_only=False)
         )
@@ -223,7 +234,7 @@ def _scan_token_offsets(counted: Dataset, sort_cols: list) -> Dataset | None:
 
     pinned = counted.sort(sort_cols).materialize()
     refs = pinned.to_arrow_refs()
-    if not refs:
+    if not refs or pinned.count() == 0:
         return None
 
     @ray.remote

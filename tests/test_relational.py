@@ -411,3 +411,23 @@ def test_group_rank_small_groups_and_gate(ray_session):
             value="n_chars",
             max_offset_entries=2,
         )
+
+
+def test_group_rank_empty_and_bad_ntile(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import group_rank
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.array([], dtype=np.int64),
+            "lang": pd.array([], dtype=str),
+            "n_chars": np.array([], dtype=np.int64),
+        }
+    )
+    out_ds = group_rank(ray.data.from_pandas(df), key="lang", value="n_chars")
+    # empty input keeps the output contract: rank/tile columns exist
+    # (checked on the schema — Ray's to_pandas drops columns on empty data)
+    assert {"rank", "tile"} <= set(out_ds.schema().names)
+    assert out_ds.count() == 0
+    with pytest.raises(ValueError, match="ntile"):
+        group_rank(ray.data.from_pandas(df), key="lang", value="n_chars", ntile=0)

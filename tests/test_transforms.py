@@ -167,3 +167,32 @@ def test_sample_token_budget_matches_reference(ray_session):
         assert sorted(got["doc_id"]) == want, f"parts={parts}"
     with pytest.raises(ValueError):
         sample_token_budget(ray.data.from_pandas(df), budget=0)
+
+
+def test_chunk_and_pack_handle_null_text(ray_session):
+    """Null text rows are treated as empty docs — no NaN-cast garbage, no
+    ASCII-gate skew (review finding)."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.transforms import (
+        chunk_docs,
+        pack_sequences,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(["abcd", None, "xy"], pa.string()),
+        }
+    )
+    ch = (
+        chunk_docs(ray.data.from_arrow(t), width=3, stride=2)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_id"])
+    )
+    assert list(zip(ch["doc_id"], ch["chunk_text"])) == [
+        (0, "abc"), (0, "cd"), (1, ""), (2, "xy")
+    ]
+    pk = pack_sequences(ray.data.from_arrow(t), capacity=4).to_pandas()
+    pk = pk.sort_values("doc_id").reset_index(drop=True)
+    assert list(pk["n_tokens"]) == [1, 0, 1]
+    assert list(pk["tok_offset"]) == [0, 1, 1]
