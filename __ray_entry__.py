@@ -473,6 +473,19 @@ def _q_pack_sequences(sf_dir: str):
     )
 
 
+def _q_frequent_terms_by_lang(sf_dir: str):
+    """Exact top-5 terms per language (per-group Misra-Gries two-pass)."""
+    from image_deduplication_3m_images_ray.extras.textstats import (
+        frequent_terms_by_group,
+    )
+
+    return frequent_terms_by_group(
+        _docs(sf_dir).select_columns(["doc_id", "text", "lang"]),
+        group_col="lang",
+        k=5,
+    ).sort(["group", "rank"])
+
+
 def _q_ngram_counts(sf_dir: str):
     """Corpus bigram counts pruned to count >= 3 (LM gram table)."""
     from image_deduplication_3m_images_ray.extras.textstats import ngram_counts
@@ -702,6 +715,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": _q_pack_sequences,
         "sample_token_budget": _q_sample_token_budget,
         "ngram_counts": _q_ngram_counts,
+        "frequent_terms_by_lang": _q_frequent_terms_by_lang,
     }
 
 
@@ -1427,6 +1441,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT gram, CAST(count(*) AS BIGINT) AS n FROM grams
             GROUP BY gram HAVING count(*) >= 3 ORDER BY gram
+        """,
+        "frequent_terms_by_lang": f"""
+            WITH n AS (SELECT lang, {_NORM} AS nt FROM documents),
+            tok AS (SELECT lang AS "group", unnest(string_split(nt, ' ')) AS term
+                    FROM n),
+            tc AS (SELECT "group", term, count(*) AS n
+                   FROM tok GROUP BY "group", term),
+            r AS (SELECT "group", term, CAST(n AS BIGINT) AS n,
+                         row_number() OVER (PARTITION BY "group"
+                             ORDER BY n DESC, term ASC) AS rank
+                  FROM tc)
+            SELECT "group", term, n, rank FROM r
+            WHERE rank <= 5 ORDER BY "group", rank
         """,
     }
 

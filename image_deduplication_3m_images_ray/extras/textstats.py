@@ -1124,3 +1124,257 @@ def ngram_counts(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def _group_topk_terms(ds: Dataset, value: str, k: int, num_shards: int = 32) -> Dataset:
+    """Per-group top-``k`` rows of a (group, term, value) table, ordered by
+    (value DESC, term ASC) — the string tiebreak `group_topk` doesn't take.
+    One group-hash-sharded exchange; vectorized selection per shard."""
+    from ..functions.hashing import hash_tokens
+    from ..util import sharded_group_map
+
+    def add_g(t: pa.Table) -> pa.Table:
+        g = np.asarray(t["group"].to_numpy(zero_copy_only=False), dtype=object)
+        return t.append_column(
+            "__g", pa.array(hash_tokens(g).astype(np.int64), pa.int64())
+        )
+
+    def shard_fn(g: pd.DataFrame) -> pd.DataFrame:
+        order = np.lexsort((g["term"].to_numpy(), -g[value].to_numpy(),
+                            g["group"].to_numpy()))
+        gs = g["group"].to_numpy()[order]
+        n = len(gs)
+        if n == 0:
+            return g.drop(columns="__g").head(0).assign(rank=np.zeros(0, np.int64))
+        new = np.ones(n, dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1
+        rank = np.arange(n, dtype=np.int64) - starts[seg]
+        keep = rank < k
+        out = g.iloc[order[keep]].drop(columns="__g").reset_index(drop=True)
+        out["rank"] = rank[keep] + 1
+        return out
+
+    return sharded_group_map(
+        ds.map_batches(add_g, batch_format="pyarrow", zero_copy_batch=True),
+        ["__g"], shard_fn, num_shards=num_shards, batch_format="pandas",
+    )
+
+
+def frequent_terms_by_group(
+    docs: Dataset,
+    group_col: str = "lang",
+    k: int = 10,
+    capacity: int = 4096,
+    batch_size: int = 4096,
+    max_candidates: int = 1_000_000,
+) -> Dataset:
+    """EXACT top-``k`` terms per group (e.g. per language) — the per-group
+    generalization of :func:`frequent_terms`, same two-pass Misra–Gries
+    shape with every bound tracked PER GROUP.
+
+    Pass 1 compresses each batch's (group, term) counts to ``capacity``
+    residuals per group per batch (one composite ``np.unique``, per-group
+    decrement via a vectorized segmented rank — no per-group Python), sums
+    residuals with one small groupby, and derives each group's provable
+    candidate superset from its own ``r_k(g)`` (k-th largest merged
+    residual) and ``D(g)`` (exact decrement total): a true-top-k term of
+    group g has residual >= r_k(g) - D(g); if ``r_k(g) <= D(g)`` the
+    operator raises naming the group.  Pass 2 recounts ONLY the broadcast
+    candidates (hash-prefiltered exact membership per group) and one
+    group-sharded top-k orders (n DESC, term ASC).
+
+    Groups must be low-cardinality (languages, sources): thresholds and the
+    candidate set are driver-bounded (``max_candidates``, raising).
+    Output: (group, term, n, rank), rank 1-based.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_tokens
+
+    def _flat_group_terms(t: pa.Table):
+        norm = normalize_array(t["text"])
+        toks = pc.split_pattern(norm, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+        groups = np.asarray(t[group_col].to_numpy(zero_copy_only=False), dtype=object)
+        doc_of = np.repeat(np.arange(len(groups), dtype=np.int64), np.diff(offs))
+        return groups[doc_of], flat
+
+    def _pair_counts(gflat: np.ndarray, flat: np.ndarray):
+        """distinct (group, term) with counts via one composite unique."""
+        ug, gi = np.unique(gflat, return_inverse=True)
+        ut, ti = np.unique(flat, return_inverse=True)
+        key = gi.astype(np.int64) * len(ut) + ti
+        ukey, counts = np.unique(key, return_counts=True)
+        return ug[ukey // len(ut)], ut[ukey % len(ut)], counts.astype(np.int64)
+
+    def summarize(t: pa.Table) -> pa.Table:
+        gflat, flat = _flat_group_terms(t)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "group": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "is_dec": pa.array([], pa.int8()),
+                    "residual": pa.array([], pa.int64()),
+                }
+            )
+        grp, term, counts = _pair_counts(gflat, flat)
+        # per-group decrement: the (capacity+1)-th largest in-batch count,
+        # via ONE lexsort + segmented rank (no per-group loop)
+        order = np.lexsort((-counts, grp))
+        gs, cs = grp[order], counts[order]
+        new = np.ones(len(gs), dtype=bool)
+        new[1:] = gs[1:] != gs[:-1]
+        starts = np.nonzero(new)[0]
+        seg = np.cumsum(new) - 1
+        rank = np.arange(len(gs), dtype=np.int64) - starts[seg]
+        # dec per segment: count at rank == capacity (0 if the group is small)
+        dec_seg = np.zeros(len(starts), dtype=np.int64)
+        at_cap = rank == capacity
+        dec_seg[seg[at_cap]] = cs[at_cap]
+        residual = cs - dec_seg[seg]
+        keep = residual > 0
+        out_g = np.concatenate([gs[keep], gs[starts]])
+        out_t = np.concatenate([term[order][keep], np.full(len(starts), "", object)])
+        out_d = np.concatenate(
+            [np.zeros(int(keep.sum()), np.int8), np.ones(len(starts), np.int8)]
+        )
+        out_r = np.concatenate([residual[keep], dec_seg])
+        return pa.table(
+            {
+                "group": pa.array(out_g, pa.string()),
+                "term": pa.array(out_t, pa.string()),
+                "is_dec": pa.array(out_d, pa.int8()),
+                "residual": pa.array(out_r, pa.int64()),
+            }
+        )
+
+    merged = (
+        docs.map_batches(
+            summarize, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        .groupby(["group", "term", "is_dec"])
+        .aggregate(Sum("residual", alias_name="residual"))
+        .materialize()
+    )
+
+    def _where_dec(val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["is_dec"], val))
+
+        return fn
+
+    d_by_group = {
+        r["group"]: int(r["residual"])
+        for r in merged.map_batches(
+            _where_dec(1), batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    }
+    terms_only = merged.map_batches(
+        _where_dec(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    # r_k per group from a distributed per-group top-k over residuals
+    top_rows = _group_topk_terms(terms_only, "residual", k).take_all()
+    per_group_depth: dict = {}
+    r_k: dict = {}
+    for r in top_rows:
+        g = r["group"]
+        per_group_depth[g] = per_group_depth.get(g, 0) + 1
+        r_k[g] = min(r_k.get(g, 1 << 62), int(r["residual"]))
+    thresholds: dict = {}
+    for g, depth in per_group_depth.items():
+        d_g = d_by_group.get(g, 0)
+        if depth < k:
+            thresholds[g] = 1  # fewer than k terms: every residual qualifies
+        elif r_k[g] <= d_g:
+            raise ValueError(
+                f"frequent_terms_by_group: cannot prove exact top-{k} for "
+                f"group {g!r} at capacity={capacity} (k-th residual "
+                f"{r_k[g]} <= total decrement {d_g}); raise capacity"
+            )
+        else:
+            thresholds[g] = r_k[g] - d_g
+    thr_ref = ray.put(thresholds)
+
+    def cand_filter(t: pa.Table) -> pa.Table:
+        thr = ray.get(thr_ref)
+        g = np.asarray(t["group"].to_numpy(zero_copy_only=False), dtype=object)
+        res = np.asarray(t["residual"].to_numpy(zero_copy_only=False), np.int64)
+        lim = np.asarray([thr.get(x, 1 << 62) for x in g], np.int64)
+        return t.filter(pa.array(res >= lim))
+
+    try:
+        cand_rows = (
+            terms_only.map_batches(
+                cand_filter, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .select_columns(["group", "term"])
+            .take_all(limit=max_candidates)
+        )
+    except ValueError as e:
+        raise ValueError(
+            f"frequent_terms_by_group: candidates exceed max_candidates="
+            f"{max_candidates}; raise capacity"
+        ) from e
+    by_group: dict = {}
+    for r in cand_rows:
+        by_group.setdefault(r["group"], []).append(r["term"])
+    cand_map = {}
+    for g, terms in by_group.items():
+        arr = np.sort(np.asarray(terms, dtype=object))
+        cand_map[g] = (arr, np.sort(hash_tokens(arr)))
+    cand_ref = ray.put(cand_map)
+
+    def recount(t: pa.Table) -> pa.Table:
+        cmap = ray.get(cand_ref)
+        gflat, flat = _flat_group_terms(t)
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "group": pa.array([], pa.string()),
+                    "term": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        grp, term, counts = _pair_counts(gflat, flat)
+        keep = np.zeros(len(grp), dtype=bool)
+        for g in np.unique(grp):  # loop over GROUPS (low-cardinality), not rows
+            if g not in cmap:
+                continue
+            cset, cset_h = cmap[g]
+            m = grp == g
+            th = hash_tokens(term[m])
+            pos = np.searchsorted(cset_h, th)
+            pos[pos == len(cset_h)] = 0
+            maybe = cset_h[pos] == th
+            sub = keep[m]
+            if maybe.any():
+                mm = np.zeros(len(th), dtype=bool)
+                mm[maybe] = np.isin(term[m][maybe], cset)
+                sub = mm
+            keep[m] = sub
+        return pa.table(
+            {
+                "group": pa.array(grp[keep], pa.string()),
+                "term": pa.array(term[keep], pa.string()),
+                "n": pa.array(counts[keep], pa.int64()),
+            }
+        )
+
+    exact = (
+        docs.map_batches(
+            recount, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        .groupby(["group", "term"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return _group_topk_terms(exact, "n", k)

@@ -1112,3 +1112,73 @@ def test_ngram_counts_matches_counter(ray_session):
         assert list(zip(got["gram"], got["n"])) == want, f"parts={parts}"
     with pytest.raises(ValueError):
         ngram_counts(ray.data.from_arrow(t), n=0)
+
+
+def test_frequent_terms_by_group_exact(ray_session):
+    """Per-group two-pass MG equals brute-force per-group counting on a
+    multi-language Zipf corpus, at two batch sizes."""
+    import collections
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import (
+        frequent_terms_by_group,
+    )
+
+    rng = np.random.default_rng(21)
+    rows = []
+    for lang, vsize in (("en", 1500), ("de", 900), ("fr", 40)):
+        vocab = np.array([f"{lang}_{i}" for i in range(vsize)])
+        w = 1.0 / np.arange(1, vsize + 1)
+        w /= w.sum()
+        for _ in range(80):
+            rows.append((lang, " ".join(rng.choice(vocab, size=100, p=w))))
+    truth = {}
+    for lang, text in rows:
+        c = truth.setdefault(lang, collections.Counter())
+        c.update(text.split(" "))
+    want = []
+    for lang in sorted(truth):
+        top = sorted(truth[lang].items(), key=lambda kv: (-kv[1], kv[0]))[:8]
+        want += [(lang, t, n, i + 1) for i, (t, n) in enumerate(top)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    for bs in (48, 240):
+        out = (
+            frequent_terms_by_group(
+                ray.data.from_arrow(t), group_col="lang", k=8,
+                capacity=192, batch_size=bs,
+            )
+            .to_pandas()
+            .sort_values(["group", "rank"])
+        )
+        got = list(zip(out["group"], out["term"], out["n"], out["rank"]))
+        assert got == want, f"batch_size={bs}"
+
+
+def test_frequent_terms_by_group_raises_per_group(ray_session):
+    """An unprovable group raises and NAMES the group."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import (
+        frequent_terms_by_group,
+    )
+
+    rng = np.random.default_rng(5)
+    vocab = np.array([f"u{i}" for i in range(4000)])
+    rows = [("flat", " ".join(rng.choice(vocab, size=100))) for _ in range(80)]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(rows)), pa.int64()),
+            "lang": pa.array([r[0] for r in rows], pa.string()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+        }
+    )
+    with pytest.raises(ValueError, match="flat"):
+        frequent_terms_by_group(
+            ray.data.from_arrow(t), group_col="lang", k=5, capacity=16,
+            batch_size=20,
+        )
