@@ -486,6 +486,19 @@ def _q_frequent_terms_by_lang(sf_dir: str):
     ).sort(["group", "rank"])
 
 
+def _q_winsorize(sf_dir: str):
+    """Doc lengths clipped to their language's [p1, p99] discrete quantiles."""
+    from image_deduplication_3m_images_ray.extras.relational import winsorize_by_group
+
+    return winsorize_by_group(
+        _docs(sf_dir).select_columns(["doc_id", "lang", "n_chars"]),
+        key="lang",
+        value="n_chars",
+        p_lo=0.01,
+        p_hi=0.99,
+    ).sort("doc_id")
+
+
 def _q_ngram_counts(sf_dir: str):
     """Corpus bigram counts pruned to count >= 3 (LM gram table)."""
     from image_deduplication_3m_images_ray.extras.textstats import ngram_counts
@@ -716,6 +729,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_token_budget": _q_sample_token_budget,
         "ngram_counts": _q_ngram_counts,
         "frequent_terms_by_lang": _q_frequent_terms_by_lang,
+        "winsorize": _q_winsorize,
     }
 
 
@@ -1454,6 +1468,16 @@ def oracle_sql() -> dict[str, str]:
                   FROM tc)
             SELECT "group", term, n, rank FROM r
             WHERE rank <= 5 ORDER BY "group", rank
+        """,
+        "winsorize": """
+            WITH b AS (SELECT lang,
+                              quantile_disc(n_chars, 0.01) AS lo,
+                              quantile_disc(n_chars, 0.99) AS hi
+                       FROM documents GROUP BY lang)
+            SELECT d.doc_id, d.lang, d.n_chars,
+                   CAST(least(greatest(d.n_chars, b.lo), b.hi) AS BIGINT)
+                       AS n_chars_w
+            FROM documents d JOIN b USING (lang) ORDER BY d.doc_id
         """,
     }
 

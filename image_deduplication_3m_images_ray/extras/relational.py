@@ -553,3 +553,58 @@ def group_rank(
     import ray.data
 
     return ray.data.from_arrow_refs(out_refs)
+
+
+def winsorize_by_group(
+    ds: Dataset,
+    key: str,
+    value: str,
+    p_lo: float = 0.01,
+    p_hi: float = 0.99,
+    num_shards: int = 64,
+    max_groups: int = 1_000_000,
+) -> Dataset:
+    """Winsorize: clip ``value`` to its group's [``p_lo``, ``p_hi``] discrete
+    quantiles — the standard per-stratum outlier cap before aggregate stats.
+
+    Bounds come from :func:`group_quantiles` (type-1 / ``quantile_disc``
+    parity, exact on int64 and float64), so the clip is bit-exact against
+    the SQL oracle.  The bounds table is one row per group — broadcast via
+    ``ray.put`` (gated by ``max_groups``, raising) and applied map-side; the
+    only exchange is the quantile computation's own.
+
+    Output: the input columns plus ``{value}_w`` (the clipped value).
+    """
+    import ray
+
+    if not (0.0 < p_lo <= p_hi < 1.0):
+        raise ValueError("winsorize_by_group: need 0 < p_lo <= p_hi < 1")
+    lo_col, hi_col = f"p{int(p_lo * 100)}", f"p{int(p_hi * 100)}"
+    if lo_col == hi_col and p_lo != p_hi:
+        raise ValueError(
+            "winsorize_by_group: p_lo and p_hi collide on the same "
+            "integer-percent column name; choose distinct percents"
+        )
+    q = group_quantiles(ds, key, value, qs=(p_lo, p_hi), num_shards=num_shards)
+    try:
+        rows = q.take_all(limit=max_groups)
+    except ValueError as e:
+        raise ValueError(
+            f"winsorize_by_group: more than max_groups={max_groups} groups"
+        ) from e
+    bounds = {r[key]: (r[lo_col], r[hi_col]) for r in rows}
+    bref = ray.put(bounds)
+
+    def clip(t: pa.Table) -> pa.Table:
+        b = ray.get(bref)
+        kv = np.asarray(t[key].to_numpy(zero_copy_only=False), dtype=object)
+        vtype = pa.float64() if pa.types.is_floating(t[value].type) else pa.int64()
+        v = np.asarray(pc.cast(t[value], vtype).to_numpy(zero_copy_only=False))
+        uk, inv = np.unique(kv, return_inverse=True) if len(kv) else (kv, kv)
+        if len(kv):
+            lo = np.asarray([b[x][0] for x in uk], dtype=v.dtype)
+            hi = np.asarray([b[x][1] for x in uk], dtype=v.dtype)
+            v = np.clip(v, lo[inv.astype(np.int64)], hi[inv.astype(np.int64)])
+        return t.append_column(f"{value}_w", pa.array(v, vtype))
+
+    return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)

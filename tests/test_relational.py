@@ -431,3 +431,40 @@ def test_group_rank_empty_and_bad_ntile(ray_session):
     assert out_ds.count() == 0
     with pytest.raises(ValueError, match="ntile"):
         group_rank(ray.data.from_pandas(df), key="lang", value="n_chars", ntile=0)
+
+
+def test_winsorize_by_group_matches_numpy(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import winsorize_by_group
+
+    rng = np.random.default_rng(17)
+    n = 400
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "lang": rng.choice(["en", "de"], n),
+            "n_chars": rng.integers(0, 10_000, n).astype(np.int64),
+        }
+    )
+    got = (
+        winsorize_by_group(
+            ray.data.from_pandas(df).repartition(8),
+            key="lang", value="n_chars", p_lo=0.05, p_hi=0.9,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # type-1 (quantile_disc) reference: element at ceil(q*n)-1 of the sorted
+    exp = df.copy()
+    for g, sub in df.groupby("lang"):
+        v = np.sort(sub["n_chars"].to_numpy())
+        lo = v[max(int(np.ceil(0.05 * len(v))) - 1, 0)]
+        hi = v[max(int(np.ceil(0.9 * len(v))) - 1, 0)]
+        exp.loc[sub.index, "n_chars_w"] = np.clip(sub["n_chars"], lo, hi)
+    exp = exp.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["n_chars_w"]) == list(exp["n_chars_w"].astype(np.int64))
+    with pytest.raises(ValueError):
+        winsorize_by_group(
+            ray.data.from_pandas(df), key="lang", value="n_chars", p_lo=0.0
+        )
