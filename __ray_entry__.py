@@ -486,6 +486,24 @@ def _q_frequent_terms_by_lang(sf_dir: str):
     ).sort(["group", "rank"])
 
 
+def _q_fuzzy_join(sf_dir: str):
+    """Even-id docs fuzzily matched against odd-id docs (Jaccard >= 0.4)."""
+    import pyarrow.compute as pc
+
+    from image_deduplication_3m_images_ray.extras.setsim import fuzzy_join
+
+    def side(par):
+        return _docs(sf_dir).map_batches(
+            lambda t, p=par: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    return fuzzy_join(side(0), side(1), threshold=0.4).sort(["doc_a", "doc_b"])
+
+
 def _q_winsorize(sf_dir: str):
     """Doc lengths clipped to their language's [p1, p99] discrete quantiles."""
     from image_deduplication_3m_images_ray.extras.relational import winsorize_by_group
@@ -730,6 +748,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": _q_ngram_counts,
         "frequent_terms_by_lang": _q_frequent_terms_by_lang,
         "winsorize": _q_winsorize,
+        "fuzzy_join": _q_fuzzy_join,
     }
 
 
@@ -1468,6 +1487,40 @@ def oracle_sql() -> dict[str, str]:
                   FROM tc)
             SELECT "group", term, n, rank FROM r
             WHERE rank <= 5 ORDER BY "group", rank
+        """,
+        "fuzzy_join": f"""
+            WITH
+            l0 AS (SELECT doc_id AS id, {_NORM} AS nt FROM documents
+                   WHERE doc_id % 2 = 0),
+            r0 AS (SELECT doc_id AS id, {_NORM} AS nt FROM documents
+                   WHERE doc_id % 2 = 1),
+            lt AS (SELECT id, nt, string_split(nt, ' ') AS toks FROM l0),
+            rt AS (SELECT id, nt, string_split(nt, ' ') AS toks FROM r0),
+            lsh AS (SELECT id,
+                      CASE WHEN len(toks) >= 5
+                           THEN list_distinct(
+                                [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)])
+                           ELSE [nt] END AS sh
+                    FROM lt),
+            rsh AS (SELECT id,
+                      CASE WHEN len(toks) >= 5
+                           THEN list_distinct(
+                                [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)])
+                           ELSE [nt] END AS sh
+                    FROM rt),
+            lg AS (SELECT id, unnest(sh) AS gram FROM lsh),
+            rg AS (SELECT id, unnest(sh) AS gram FROM rsh),
+            lsz AS (SELECT id, count(*) AS sz FROM lg GROUP BY id),
+            rsz AS (SELECT id, count(*) AS sz FROM rg GROUP BY id),
+            inter AS (SELECT a.id AS da, b.id AS db, count(*) AS i
+                      FROM lg a JOIN rg b ON a.gram = b.gram GROUP BY 1, 2)
+            SELECT da AS doc_a, db AS doc_b, CAST(i AS BIGINT) AS n_shared,
+                   round(CAST(i AS DOUBLE) / (sa.sz + sb.sz - i), 6) AS jaccard
+            FROM inter
+            JOIN lsz sa ON sa.id = da
+            JOIN rsz sb ON sb.id = db
+            WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
+            ORDER BY doc_a, doc_b
         """,
         "winsorize": """
             WITH b AS (SELECT lang,

@@ -310,3 +310,139 @@ def source_overlap(docs: Dataset, shingle_k: int = 5, num_shards: int = 64) -> D
             }
         )
     )
+
+
+def _emit_cross_pair_partials(g: dict, drop_above: int | None) -> dict:
+    """One gram-hash shard -> per-(left, right) partial intersection counts.
+
+    Like :func:`_emit_pair_partials` but pairs only ACROSS sides: each gram
+    bucket contributes (every left doc) x (every right doc) bearing it.
+    """
+    empty = {
+        "doc_a": np.empty(0, np.int64),
+        "doc_b": np.empty(0, np.int64),
+        "shared": np.empty(0, np.int64),
+        "sz_a": np.empty(0, np.int64),
+        "sz_b": np.empty(0, np.int64),
+    }
+    gram = np.asarray(g["gram"], dtype=U64)
+    doc = np.asarray(g["doc_id"], dtype=np.int64)
+    sz = np.asarray(g["sz"], dtype=np.int64)
+    side = np.asarray(g["side"], dtype=np.int8)
+    order = np.lexsort((doc, side, gram))
+    gram, doc, sz, side = gram[order], doc[order], sz[order], side[order]
+    bounds = segment_bounds(gram)
+    counts = np.diff(bounds)
+    a_p, b_p, sa_p, sb_p = [], [], [], []
+    mask = counts >= 2
+    if drop_above is not None:
+        mask &= counts <= drop_above
+    for m in np.nonzero(mask)[0]:
+        lo, hi = bounds[m], bounds[m + 1]
+        s = side[lo:hi]
+        nl = int((s == 0).sum())
+        nr = (hi - lo) - nl
+        if nl == 0 or nr == 0:
+            continue  # gram lives on one side only: no cross pair
+        ld, ls = doc[lo : lo + nl], sz[lo : lo + nl]  # side sorts 0 first
+        rd, rs = doc[lo + nl : hi], sz[lo + nl : hi]
+        a_p.append(np.repeat(ld, nr))
+        sa_p.append(np.repeat(ls, nr))
+        b_p.append(np.tile(rd, nl))
+        sb_p.append(np.tile(rs, nl))
+    if not a_p:
+        return empty
+    a = np.concatenate(a_p)
+    b = np.concatenate(b_p)
+    sa = np.concatenate(sa_p)
+    sb = np.concatenate(sb_p)
+    o = np.lexsort((b, a))
+    a, b, sa, sb = a[o], b[o], sa[o], sb[o]
+    first = np.ones(len(a), dtype=bool)
+    if len(a) > 1:
+        first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+    starts = np.nonzero(first)[0]
+    shared = np.diff(np.append(starts, len(a))).astype(np.int64)
+    return {
+        "doc_a": a[starts],
+        "doc_b": b[starts],
+        "shared": shared,
+        "sz_a": sa[starts],
+        "sz_b": sb[starts],
+    }
+
+
+def fuzzy_join(
+    left: Dataset,
+    right: Dataset,
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+    num_shards: int = 64,
+    drop_gram_docs_above: int | None = None,
+) -> Dataset:
+    """Similarity JOIN across two tables: every (left doc, right doc) pair
+    whose distinct-shingle Jaccard reaches ``threshold``.
+
+    The cross-corpus record-linkage primitive ("which fresh-crawl pages
+    nearly match something in the reference set?") — the set-similarity-join
+    literature's Jaccard join (Vernica et al., SIGMOD'10 shapes it the same
+    way: tokens -> gram postings -> gram-keyed candidate exchange -> exact
+    verify), built from the same postings/partials machinery as
+    :func:`containment_pairs` but pairing only ACROSS sides.  Both inputs
+    need (doc_id, text); text never enters an exchange (postings ship
+    (gram-hash, id, sz) rows, partial pair counts pre-sum per shard).
+
+    Output: (doc_a = left id, doc_b = right id, n_shared, jaccard >=
+    ``threshold``), jaccard rounded to 6 decimals after thresholding on the
+    exact quotient.  ``drop_gram_docs_above`` is the same IDF-style
+    stop-shingle knob as :func:`containment_pairs` (counts both sides).
+    """
+    if not (0 < threshold <= 1):
+        raise ValueError("threshold must be in (0, 1]")
+
+    def postings(side_val: int):
+        def fn(t: pa.Table) -> pa.Table:
+            p = _doc_gram_postings(t, shingle_k)
+            return p.append_column(
+                "side", pa.array(np.full(len(p), side_val, np.int8), pa.int8())
+            )
+
+        return fn
+
+    lp = left.select_columns(["doc_id", "text"]).map_batches(
+        postings(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    rp = right.select_columns(["doc_id", "text"]).map_batches(
+        postings(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = sharded_group_map(
+        lp.union(rp),
+        ["gram"],
+        lambda g: _emit_cross_pair_partials(g, drop_gram_docs_above),
+        num_shards=num_shards,
+    )
+
+    def finish(g: dict) -> dict:
+        a = np.asarray(g["doc_a"], dtype=np.int64)
+        b = np.asarray(g["doc_b"], dtype=np.int64)
+        sh = np.asarray(g["shared"], dtype=np.int64)
+        sa = np.asarray(g["sz_a"], dtype=np.int64)
+        sb = np.asarray(g["sz_b"], dtype=np.int64)
+        o = np.lexsort((b, a))
+        a, b, sh, sa, sb = a[o], b[o], sh[o], sa[o], sb[o]
+        first = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        starts = np.nonzero(first)[0]
+        tot = np.add.reduceat(sh, starts) if len(starts) else np.empty(0, np.int64)
+        a, b, sa, sb = a[starts], b[starts], sa[starts], sb[starts]
+        j = tot / (sa + sb - tot)
+        keep = j >= threshold
+        return {
+            "doc_a": a[keep],
+            "doc_b": b[keep],
+            "n_shared": tot[keep],
+            "jaccard": np.round(j[keep], 6),
+        }
+
+    return sharded_group_map(partials, ["doc_a", "doc_b"], finish, num_shards=num_shards)

@@ -192,3 +192,68 @@ def test_latest_by_key_matches_pandas(ray_session):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_fuzzy_join_matches_bruteforce(ray_session):
+    """Cross-table Jaccard join equals per-pair set arithmetic; within-side
+    pairs never emit."""
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+    from image_deduplication_3m_images_ray.extras.setsim import fuzzy_join
+    from image_deduplication_3m_images_ray.functions.text import normalize_array
+
+    rng = np.random.default_rng(31)
+    vocab = [f"w{i}" for i in range(300)]
+    base = list(rng.choice(vocab, 40))
+    left_texts = [
+        " ".join(base),                      # near-identical to right 0
+        " ".join(rng.choice(vocab, 40)),     # unrelated
+        " ".join(base[:20]),                 # partial overlap
+        "tiny",                              # short-doc sentinel
+    ]
+    right_texts = [
+        " ".join(base[:-1] + ["extra"]),     # near dup of left 0
+        " ".join(rng.choice(vocab, 40)),
+        "tiny",                              # short-doc exact match of left 3
+        " ".join(base),                      # exact dup of left 0
+    ]
+
+    def shingles(s):
+        toks = s.split(" ")
+        if len(toks) >= 5:
+            return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+        return {s}
+
+    want = []
+    for i, lt in enumerate(left_texts):
+        for j, rt in enumerate(right_texts):
+            a, b = shingles(lt), shingles(rt)
+            jac = len(a & b) / len(a | b)
+            if jac >= 0.3:
+                want.append((i, 100 + j, len(a & b), round(jac, 6)))
+    want.sort()
+    lds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(left_texts)), pa.int64()),
+                "text": pa.array(left_texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+    rds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(100, 100 + len(right_texts)), pa.int64()),
+                "text": pa.array(right_texts, pa.string()),
+            }
+        )
+    ).repartition(3)
+    out = (
+        fuzzy_join(lds, rds, threshold=0.3, num_shards=4)
+        .to_pandas()
+        .sort_values(["doc_a", "doc_b"])
+    )
+    got = list(zip(out["doc_a"], out["doc_b"], out["n_shared"], out["jaccard"]))
+    assert got == want
+    assert all(a < 100 <= b for a, b, *_ in got)  # strictly cross-side
