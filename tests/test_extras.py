@@ -1182,3 +1182,47 @@ def test_frequent_terms_by_group_raises_per_group(ray_session):
             ray.data.from_arrow(t), group_col="lang", k=5, capacity=16,
             batch_size=20,
         )
+
+
+def test_frequent_terms_exact_or_raise_randomized(ray_session):
+    """The MG soundness contract across random corpora/capacities: the
+    operator either returns the EXACT top-k or raises — never a silently
+    wrong answer."""
+    import collections
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import frequent_terms
+
+    for seed in range(8):
+        rng = np.random.default_rng(seed)
+        vsize = int(rng.integers(50, 2000))
+        vocab = np.array([f"v{i}" for i in range(vsize)])
+        zipf = rng.random() < 0.5
+        if zipf:
+            w = 1.0 / np.arange(1, vsize + 1)
+            w /= w.sum()
+        texts = [
+            " ".join(rng.choice(vocab, size=int(rng.integers(5, 80)),
+                                p=w if zipf else None))
+            for _ in range(int(rng.integers(20, 120)))
+        ]
+        truth = collections.Counter(tok for s in texts for tok in s.split(" "))
+        k = int(rng.integers(2, 12))
+        want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        t = pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        cap = int(rng.integers(8, 256))
+        bs = int(rng.integers(8, 64))
+        try:
+            out = frequent_terms(
+                ray.data.from_arrow(t), k=k, capacity=cap, batch_size=bs
+            ).to_pandas()
+        except ValueError as e:
+            assert "raise capacity" in str(e), (seed, e)
+            continue
+        got = list(zip(out["term"], out["n"]))
+        assert got == want, (seed, cap, bs)
