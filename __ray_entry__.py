@@ -486,6 +486,17 @@ def _q_frequent_terms_by_lang(sf_dir: str):
     ).sort(["group", "rank"])
 
 
+def _q_term_cooccurrence(sf_dir: str):
+    """Doc-level co-occurrence counts over the exact top-40 corpus terms."""
+    from image_deduplication_3m_images_ray.extras.textstats import term_cooccurrence
+
+    return term_cooccurrence(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        vocab_size=40,
+        min_count=3,
+    ).sort(["term_a", "term_b"])
+
+
 def _q_fuzzy_join(sf_dir: str):
     """Even-id docs fuzzily matched against odd-id docs (Jaccard >= 0.4)."""
     import pyarrow.compute as pc
@@ -749,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_terms_by_lang": _q_frequent_terms_by_lang,
         "winsorize": _q_winsorize,
         "fuzzy_join": _q_fuzzy_join,
+        "term_cooccurrence": _q_term_cooccurrence,
     }
 
 
@@ -1487,6 +1499,20 @@ def oracle_sql() -> dict[str, str]:
                   FROM tc)
             SELECT "group", term, n, rank FROM r
             WHERE rank <= 5 ORDER BY "group", rank
+        """,
+        "term_cooccurrence": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            tok AS (SELECT DISTINCT doc_id, term FROM
+                    (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM n)),
+            alltok AS (SELECT unnest(string_split(nt, ' ')) AS term FROM n),
+            tc AS (SELECT term, count(*) AS c FROM alltok GROUP BY term),
+            vocab AS (SELECT term FROM tc ORDER BY c DESC, term ASC LIMIT 40),
+            hits AS (SELECT doc_id, term FROM tok JOIN vocab USING (term))
+            SELECT a.term AS term_a, b.term AS term_b,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM hits a JOIN hits b ON a.doc_id = b.doc_id AND a.term < b.term
+            GROUP BY 1, 2 HAVING count(*) >= 3
+            ORDER BY term_a, term_b
         """,
         "fuzzy_join": f"""
             WITH

@@ -1378,3 +1378,111 @@ def frequent_terms_by_group(
         .aggregate(Sum("n", alias_name="n"))
     )
     return _group_topk_terms(exact, "n", k)
+
+
+def term_cooccurrence(
+    docs: Dataset,
+    vocab_size: int = 100,
+    min_count: int = 2,
+    capacity: int = 4096,
+    batch_size: int = 4096,
+) -> Dataset:
+    """Within-document co-occurrence counts over the top-``vocab_size``
+    corpus terms — the collocation / PMI base table.
+
+    ``n_docs(a, b)`` = number of docs containing BOTH terms (distinct
+    presence, not token counts), for unordered pairs of the exact top-V
+    vocabulary (from :func:`frequent_terms`, so the vocabulary itself is
+    certified-exact or the operator raises).  Restricting to top-V bounds
+    the quadratic blow-up by design: a doc emits at most V*(V-1)/2 pairs
+    and the output is <= that, whatever the corpus size.  Per batch: one
+    tokenize, a hash-prefiltered vocab membership, one composite
+    ``np.unique`` for per-doc distinct presence, and vectorized per-doc
+    pair emission pre-summed before ONE small groupby.  Scans ``docs``
+    twice (once inside ``frequent_terms``' own two passes, once here) —
+    pass a re-readable Dataset.
+
+    Output: (term_a < term_b, n_docs >= ``min_count``).
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_tokens
+    from ..util import segment_bounds
+
+    vocab_pd = frequent_terms(
+        docs, k=vocab_size, capacity=capacity, batch_size=batch_size
+    ).to_pandas()
+    vocab = np.sort(vocab_pd["term"].to_numpy(dtype=object))
+    vocab_h = np.sort(hash_tokens(vocab))
+    vref = ray.put((vocab, vocab_h))
+
+    def pairs(t: pa.Table) -> pa.Table:
+        vset, vset_h = ray.get(vref)
+        norm = normalize_array(t["text"])
+        toks = pc.split_pattern(norm, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+        doc_of = np.repeat(
+            np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs)
+        )
+        th = hash_tokens(flat)
+        pos = np.searchsorted(vset_h, th)
+        pos[pos == len(vset_h)] = 0
+        maybe = vset_h[pos] == th
+        hit = np.zeros(len(flat), dtype=bool)
+        if maybe.any():
+            hit[maybe] = np.isin(flat[maybe], vset)
+        empty = pa.table(
+            {
+                "term_a": pa.array([], pa.string()),
+                "term_b": pa.array([], pa.string()),
+                "n_docs": pa.array([], pa.int64()),
+            }
+        )
+        if not hit.any():
+            return empty
+        d = doc_of[hit]
+        vidx = np.searchsorted(vset, flat[hit])  # exact: all are members
+        # distinct (doc, vocab term) presence
+        key = np.unique(d * len(vset) + vidx)
+        dd, vv = key // len(vset), key % len(vset)
+        # per-doc pair emission: docs with >= 2 distinct vocab terms
+        starts = segment_bounds(dd) if len(dd) else np.zeros(1, np.int64)
+        a_p, b_p = [], []
+        for s, e in zip(starts[:-1], starts[1:]):
+            if e - s < 2:
+                continue
+            ia, ib = np.triu_indices(e - s, k=1)
+            a_p.append(vv[s:e][ia])
+            b_p.append(vv[s:e][ib])
+        if not a_p:
+            return empty
+        a = np.concatenate(a_p)
+        b = np.concatenate(b_p)
+        # pre-sum within the batch (combiner)
+        pk, cnt = np.unique(a * len(vset) + b, return_counts=True)
+        return pa.table(
+            {
+                "term_a": pa.array(vset[pk // len(vset)], pa.string()),
+                "term_b": pa.array(vset[pk % len(vset)], pa.string()),
+                "n_docs": pa.array(cnt.astype(np.int64), pa.int64()),
+            }
+        )
+
+    grouped = (
+        docs.map_batches(
+            pairs, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        .groupby(["term_a", "term_b"])
+        .aggregate(Sum("n_docs", alias_name="n_docs"))
+    )
+    return grouped.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["n_docs"], min_count)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -1226,3 +1226,42 @@ def test_frequent_terms_exact_or_raise_randomized(ray_session):
             continue
         got = list(zip(out["term"], out["n"]))
         assert got == want, (seed, cap, bs)
+
+
+def test_term_cooccurrence_matches_bruteforce(ray_session):
+    import collections
+    import itertools
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import term_cooccurrence
+
+    rng = np.random.default_rng(13)
+    vocab = np.array([f"c{i}" for i in range(60)])
+    w = 1.0 / np.arange(1, 61)
+    w /= w.sum()
+    texts = [" ".join(rng.choice(vocab, size=25, p=w)) for _ in range(120)]
+    # brute force over the exact top-10 vocabulary
+    cnt = collections.Counter(tok for s in texts for tok in s.split(" "))
+    top = {t for t, _ in sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]}
+    co = collections.Counter()
+    for s in texts:
+        present = sorted(set(s.split(" ")) & top)
+        co.update(itertools.combinations(present, 2))
+    want = sorted((a, b, n) for (a, b), n in co.items() if n >= 2)
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    for bs in (16, 200):
+        out = (
+            term_cooccurrence(
+                ray.data.from_arrow(t), vocab_size=10, min_count=2,
+                capacity=64, batch_size=bs,
+            )
+            .to_pandas()
+            .sort_values(["term_a", "term_b"])
+        )
+        got = list(zip(out["term_a"], out["term_b"], out["n_docs"]))
+        assert got == want, f"batch_size={bs}"
