@@ -486,6 +486,21 @@ def _q_frequent_terms_by_lang(sf_dir: str):
     ).sort(["group", "rank"])
 
 
+def _q_normalize_text(sf_dir: str):
+    """The engine's canonical normalization (NFC + lower + ws-collapse +
+    trim) exposed as a user-facing transform."""
+    import pyarrow as pa
+
+    from image_deduplication_3m_images_ray.functions.text import normalize_array
+
+    def fn(t):
+        return pa.table({"doc_id": t["doc_id"], "norm_text": normalize_array(t["text"])})
+
+    return _docs(sf_dir).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    ).sort("doc_id")
+
+
 def _q_term_cooccurrence(sf_dir: str):
     """Doc-level co-occurrence counts over the exact top-40 corpus terms."""
     from image_deduplication_3m_images_ray.extras.textstats import term_cooccurrence
@@ -761,6 +776,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": _q_winsorize,
         "fuzzy_join": _q_fuzzy_join,
         "term_cooccurrence": _q_term_cooccurrence,
+        "normalize_text": _q_normalize_text,
     }
 
 
@@ -1499,6 +1515,9 @@ def oracle_sql() -> dict[str, str]:
                   FROM tc)
             SELECT "group", term, n, rank FROM r
             WHERE rank <= 5 ORDER BY "group", rank
+        """,
+        "normalize_text": f"""
+            SELECT doc_id, {_NORM} AS norm_text FROM documents ORDER BY doc_id
         """,
         "term_cooccurrence": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
