@@ -396,6 +396,14 @@ def fuzzy_join(
     ``threshold``), jaccard rounded to 6 decimals after thresholding on the
     exact quotient.  ``drop_gram_docs_above`` is the same IDF-style
     stop-shingle knob as :func:`containment_pairs` (counts both sides).
+
+    Scale note: like ``containment_pairs``, candidate generation is EXACT —
+    every shared shingle proposes its pair — so boilerplate-heavy corpora
+    should set ``drop_gram_docs_above``.  When only high-Jaccard matches are
+    wanted at full corpus scale, the flagship MinHash-LSH pipeline
+    (``stages/banding.py`` -> ``stages/verify.py``) is the
+    recall-tunable candidate generator; this operator is the exact,
+    oracle-checkable join.
     """
     if not (0 < threshold <= 1):
         raise ValueError("threshold must be in (0, 1]")
