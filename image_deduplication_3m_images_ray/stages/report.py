@@ -68,21 +68,73 @@ def _finish_report(j: Dataset, cfg: DedupConfig) -> Dataset:
     return rep.select_columns(["url", "doc_id", "cluster_id", "cluster_size", "quality", "status"])
 
 
+def _gated_cluster_attach(
+    base: Dataset,
+    clusters: Dataset,
+    key: str,
+    cfg: DedupConfig,
+    broadcast_max_entries: int = 5_000_000,
+) -> Dataset:
+    """Attach ``cluster_id`` to ``base`` by ``key`` — map-side broadcast
+    lookup when the cluster map fits, hash-sharded attach above the bound
+    (the ``exact_rep_stage`` size-gated two-plan contract, stages/exact.py).
+
+    The cluster map holds one row per doc that appears in a VERIFIED pair —
+    the dup fraction of the corpus, usually far below the broadcast bound —
+    so the common case removes one of the report tail's serial exchanges
+    (16 B/entry in the broadcast object; missing keys take sentinel 0, the
+    same contract ``shard_attach(how="left_outer")`` fills).
+    """
+    import ray as _ray
+
+    pinned = clusters.materialize()
+    if pinned.count() > broadcast_max_entries:
+        return shard_attach(
+            base,
+            pinned,
+            key=key,
+            payload={"cluster_id": "cluster_id"},
+            num_shards=cfg.group_shards,
+            how="left_outer",
+        )
+    parts = [t for t in _ray.get(pinned.to_arrow_refs()) if t.num_rows]
+    if parts:
+        tbl = pa.concat_tables(parts).combine_chunks()
+        ids = np.asarray(tbl[key].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        cids = np.asarray(
+            tbl["cluster_id"].to_numpy(zero_copy_only=False), dtype=np.uint64
+        )
+        order = np.argsort(ids, kind="stable")
+        ids, cids = ids[order], cids[order]
+    else:
+        ids = np.empty(0, np.uint64)
+        cids = np.empty(0, np.uint64)
+    ref = _ray.put((ids, cids))
+
+    def attach(t: pa.Table) -> pa.Table:
+        ids_, cids_ = _ray.get(ref)
+        kv = np.asarray(t[key].to_numpy(zero_copy_only=False), dtype=np.uint64)
+        cid = np.zeros(len(kv), np.uint64)
+        if len(ids_) and len(kv):
+            pos = np.searchsorted(ids_, kv)
+            pos[pos == len(ids_)] = len(ids_) - 1
+            hit = ids_[pos] == kv
+            cid[hit] = cids_[pos[hit]]
+        return t.append_column("cluster_id", pa.array(cid, pa.uint64()))
+
+    return base.map_batches(
+        attach, batch_format="pyarrow", batch_size=cfg.batch_size, zero_copy_batch=True
+    )
+
+
 def report_stage(docs: Dataset, clusters: Dataset, cfg: DedupConfig) -> Dataset:
     """docs(doc_id,url,n_chars) x clusters(doc_id,cluster_id) -> report.
 
-    Left-outer hash join (clusters cover only docs that appear in verified
+    Left-outer join (clusters cover only docs that appear in verified
     pairs); sentinel cluster_id 0 means a singleton whose cluster is itself.
     """
     base = docs.select_columns(["doc_id", "url", "n_chars"])
-    j = shard_attach(
-        base,
-        clusters,
-        key="doc_id",
-        payload={"cluster_id": "cluster_id"},
-        num_shards=cfg.group_shards,
-        how="left_outer",
-    )
+    j = _gated_cluster_attach(base, clusters, "doc_id", cfg)
     return _finish_report(j, cfg)
 
 
@@ -97,14 +149,7 @@ def report_stage_from_reps(docs_rep: Dataset, rep_clusters: Dataset, cfg: DedupC
 
     base = docs_rep.select_columns(["doc_id", "url", "n_chars", "rep_id"])
     rc = rename_columns(rep_clusters, {"doc_id": "rep_id", "cluster_id": "cluster_id"})
-    j = shard_attach(
-        base,
-        rc,
-        key="rep_id",
-        payload={"cluster_id": "cluster_id"},
-        num_shards=cfg.group_shards,
-        how="left_outer",
-    )
+    j = _gated_cluster_attach(base, rc, "rep_id", cfg)
 
     def fallback(t: pa.Table) -> pa.Table:
         cid = np.asarray(t["cluster_id"].to_numpy(zero_copy_only=False), dtype=np.uint64)
