@@ -717,6 +717,16 @@ def _q_latest_by_key(sf_dir: str):
     ).sort("event_id")
 
 
+def _q_lm_perplexity(sf_dir: str):
+    """Every doc scored by the add-one bigram LM trained on the corpus
+    itself (CCNet-style perplexity bucketing; min_count=2 head pruning)."""
+    from image_deduplication_3m_images_ray.extras.lm import lm_score
+
+    return lm_score(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), min_count=2
+    ).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -777,6 +787,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_join": _q_fuzzy_join,
         "term_cooccurrence": _q_term_cooccurrence,
         "normalize_text": _q_normalize_text,
+        "lm_perplexity": _q_lm_perplexity,
     }
 
 
@@ -1566,6 +1577,39 @@ def oracle_sql() -> dict[str, str]:
             JOIN rsz sb ON sb.id = db
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
             ORDER BY doc_a, doc_b
+        """,
+        "lm_perplexity": """
+            WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents),
+            big AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS gram FROM tk),
+            ctxtok AS (SELECT unnest(toks[1:len(toks)-1]) AS tok FROM tk),
+            model AS (SELECT gram, count(*) AS c FROM big
+                      GROUP BY gram HAVING count(*) >= 2),
+            ctx AS (SELECT tok, count(*) AS c1 FROM ctxtok GROUP BY tok),
+            voc AS (SELECT count(DISTINCT tok) AS v
+                    FROM (SELECT unnest(toks) AS tok FROM tk)),
+            term AS (SELECT b.doc_id,
+                            CAST(floor(log2(CAST(ctx.c1 + voc.v AS DOUBLE)
+                                            / CAST(COALESCE(model.c, 0) + 1
+                                                   AS DOUBLE))
+                                       * 1000000.0 + 0.5) AS BIGINT) AS mb,
+                            CASE WHEN model.c IS NULL THEN 1 ELSE 0 END AS oov
+                     FROM big b
+                     LEFT JOIN model USING (gram)
+                     JOIN ctx ON ctx.tok = split_part(b.gram, ' ', 1)
+                     CROSS JOIN voc),
+            agg AS (SELECT doc_id, count(*) AS nb, sum(oov) AS noov,
+                           sum(mb) AS smb
+                    FROM term GROUP BY doc_id)
+            SELECT d.doc_id,
+                   CAST(COALESCE(agg.nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(agg.noov, 0) AS BIGINT) AS n_oov,
+                   CAST(COALESCE(agg.smb, 0) AS BIGINT) AS sum_microbits,
+                   CASE WHEN agg.nb IS NULL THEN 0.0
+                        ELSE CAST(agg.smb AS DOUBLE) / 1000000.0 / agg.nb
+                   END AS bits_per_bigram
+            FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
         """,
         "winsorize": """
             WITH b AS (SELECT lang,
