@@ -283,6 +283,16 @@ def _q_segment_dedup(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_boilerplate_removal(sf_dir: str):
+    from image_deduplication_3m_images_ray.extras.dedup_ops import (
+        remove_frequent_segments,
+    )
+
+    return remove_frequent_segments(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), max_docs=2, seg_tokens=10
+    ).sort("doc_id")
+
+
 def _q_minhash_lsh_clusters(sf_dir: str):
     from image_deduplication_3m_images_ray.config import DedupConfig
     from image_deduplication_3m_images_ray.extras.dedup_ops import minhash_lsh_clusters
@@ -750,6 +760,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "semantic_dedup": _q_semantic_dedup,
         "segment_dedup": _q_segment_dedup,
+        "boilerplate_removal": _q_boilerplate_removal,
         "ann_topk": _q_ann_topk,
         "ann_ivf_topk": _q_ann_ivf_topk,
         "minhash_lsh_clusters": _q_minhash_lsh_clusters,
@@ -1109,6 +1120,25 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_segs,
                    CAST(count(*) - count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_removed
             FROM r GROUP BY doc_id ORDER BY doc_id
+        """,
+        "boilerplate_removal": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM n),
+            ex AS (SELECT doc_id, toks,
+                          unnest(range(0, (len(toks) + 9) // 10)) AS pidx
+                   FROM tk),
+            seg AS (SELECT doc_id, pidx,
+                           array_to_string(
+                               toks[pidx*10+1 : least(pidx*10+10, len(toks))], ' ') AS seg
+                    FROM ex),
+            freq AS (SELECT seg FROM seg
+                     GROUP BY seg HAVING count(DISTINCT doc_id) > 2)
+            SELECT doc_id,
+                   COALESCE(string_agg(seg, ' ' ORDER BY pidx)
+                            FILTER (WHERE seg NOT IN (SELECT seg FROM freq)), '') AS clean_text,
+                   count(*) AS n_segs,
+                   CAST(count(*) FILTER (WHERE seg IN (SELECT seg FROM freq)) AS BIGINT) AS n_removed
+            FROM seg GROUP BY doc_id ORDER BY doc_id
         """,
         "semantic_dedup": f"""
             WITH RECURSIVE

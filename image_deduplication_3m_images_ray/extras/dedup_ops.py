@@ -629,6 +629,74 @@ def embedding_cosine_pairs(
     )
 
 
+def _explode_segments(t: pa.Table, W: int) -> pa.Table:
+    """(doc_id, text) batch -> (doc_id, pidx, seg, seg_hash) segment rows.
+
+    Shared segmenter for :func:`segment_dedup` and
+    :func:`remove_frequent_segments`: normalized text splits into fixed
+    ``W``-token windows.  Zero-copy-shaped — token boundaries come from one
+    vectorized space-scan over the batch's flat UTF-8 buffer and segment
+    strings are built with a single byte-gather (no per-doc Python).  Empty
+    docs contribute one ``''`` segment (matches SQL ``string_split('', ' ')``).
+    """
+    from ..functions.hashing import _ranges, hash_tokens
+    from ..functions.text import flat_utf8_view
+
+    norm = normalize_array(t["text"])
+    arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+    offs, data = flat_utf8_view(arr)
+    ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
+    doc_start, doc_end = offs[:-1], offs[1:]
+    nonempty = doc_end > doc_start
+    sp = np.nonzero(data == 32)[0]
+    # tokens per nonempty doc = spaces inside it + 1 (normalized text has
+    # single spaces, no leading/trailing)
+    n_sp = np.searchsorted(sp, doc_end) - np.searchsorted(sp, doc_start)
+    n_tok = np.where(nonempty, n_sp + 1, 0)
+    # flat token boundary arrays (global byte positions), doc-major
+    tok_starts = np.sort(np.concatenate([doc_start[nonempty], sp + 1]))
+    tok_ends = np.sort(np.concatenate([sp, doc_end[nonempty]]))
+    tok_base = np.concatenate([[0], np.cumsum(n_tok)])[:-1]
+    n_seg = (n_tok + W - 1) // W  # 0 for empty docs (handled below)
+    seg_doc = np.repeat(np.arange(len(ids), dtype=np.int64), n_seg)
+    pidx = _ranges(n_seg[n_seg > 0]) if n_seg.sum() else np.zeros(0, np.int64)
+    a = tok_base[seg_doc] + pidx * W
+    last = np.minimum(a + W, (tok_base + n_tok)[seg_doc]) - 1
+    sbyte = tok_starts[a] if len(a) else np.zeros(0, np.int64)
+    ebyte = tok_ends[last] if len(a) else np.zeros(0, np.int64)
+    lens = ebyte - sbyte
+    gather = (
+        np.repeat(sbyte, lens) + _ranges(lens) if lens.sum() else np.zeros(0, np.int64)
+    )
+    buf = data[gather]
+    seg_offsets = np.zeros(len(lens) + 1, dtype=np.int32)
+    if len(lens):
+        seg_offsets[1:] = np.cumsum(lens).astype(np.int32)
+    seg_arr = pa.Array.from_buffers(
+        pa.utf8(),
+        len(lens),
+        [None, pa.py_buffer(seg_offsets.tobytes()), pa.py_buffer(buf.tobytes())],
+    )
+    out_ids = ids[seg_doc]
+    out_pidx = pidx
+    # empty docs contribute one '' segment (matches SQL string_split('',' '))
+    empty_idx = np.nonzero(~nonempty)[0]
+    if len(empty_idx):
+        seg_arr = pa.concat_arrays([seg_arr, pa.array([""] * len(empty_idx), pa.utf8())])
+        out_ids = np.concatenate([out_ids, ids[empty_idx]])
+        out_pidx = np.concatenate([out_pidx, np.zeros(len(empty_idx), np.int64)])
+    segs_np = np.asarray(seg_arr.to_numpy(zero_copy_only=False), dtype=object)
+    h = splitmix64(hash_tokens(segs_np))
+    return pa.table(
+        {
+            "doc_id": pa.array(out_ids),
+            "pidx": pa.array(out_pidx, pa.int64()),
+            "seg": seg_arr,
+            "seg_hash": pa.array(h, pa.uint64()),
+        }
+    )
+
+
 def segment_dedup(docs: Dataset, seg_tokens: int = 10, num_shards: int = 64) -> Dataset:
     """Sub-document (CCNet-style line/paragraph) dedup with first-wins removal.
 
@@ -642,74 +710,18 @@ def segment_dedup(docs: Dataset, seg_tokens: int = 10, num_shards: int = 64) -> 
     hash-grouping first-wins pass (deduplication.py:240-283) at sub-document
     granularity.
 
-    Segment EXTRACTION is zero-copy-shaped: token boundaries come from one
-    vectorized space-scan over the batch's flat UTF-8 buffer and segment
-    strings are built with a single byte-gather (no per-doc Python in the
-    explode).  Two exchanges: first-wins on the segment hash, reassembly on
-    doc_id; both ship (doc_id, pidx, segment) rows once.  Reassembly does one
-    ``" ".join`` per doc — inherent string assembly (output-size-bounded),
-    same shape as the inverted-index posting join.
+    Segment EXTRACTION is zero-copy-shaped (see :func:`_explode_segments`).
+    Two exchanges: first-wins on the segment hash, reassembly on doc_id; both
+    ship (doc_id, pidx, segment) rows once.  Reassembly does one ``" ".join``
+    per doc — inherent string assembly (output-size-bounded), same shape as
+    the inverted-index posting join.
     """
-    from ..functions.hashing import _ranges, hash_tokens, splitmix64
-    from ..functions.text import flat_utf8_view, normalize_array
     from ..util import sharded_group_map
 
     W = seg_tokens
 
     def explode(t: pa.Table) -> pa.Table:
-        norm = normalize_array(t["text"])
-        arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
-        offs, data = flat_utf8_view(arr)
-        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False))
-        doc_start, doc_end = offs[:-1], offs[1:]
-        nonempty = doc_end > doc_start
-        sp = np.nonzero(data == 32)[0]
-        # tokens per nonempty doc = spaces inside it + 1 (normalized text has
-        # single spaces, no leading/trailing)
-        n_sp = np.searchsorted(sp, doc_end) - np.searchsorted(sp, doc_start)
-        n_tok = np.where(nonempty, n_sp + 1, 0)
-        # flat token boundary arrays (global byte positions), doc-major
-        tok_starts = np.sort(np.concatenate([doc_start[nonempty], sp + 1]))
-        tok_ends = np.sort(np.concatenate([sp, doc_end[nonempty]]))
-        tok_base = np.concatenate([[0], np.cumsum(n_tok)])[:-1]
-        n_seg = (n_tok + W - 1) // W  # 0 for empty docs (handled below)
-        seg_doc = np.repeat(np.arange(len(ids), dtype=np.int64), n_seg)
-        pidx = _ranges(n_seg[n_seg > 0]) if n_seg.sum() else np.zeros(0, np.int64)
-        a = tok_base[seg_doc] + pidx * W
-        last = np.minimum(a + W, (tok_base + n_tok)[seg_doc]) - 1
-        sbyte = tok_starts[a] if len(a) else np.zeros(0, np.int64)
-        ebyte = tok_ends[last] if len(a) else np.zeros(0, np.int64)
-        lens = ebyte - sbyte
-        gather = (
-            np.repeat(sbyte, lens) + _ranges(lens) if lens.sum() else np.zeros(0, np.int64)
-        )
-        buf = data[gather]
-        seg_offsets = np.zeros(len(lens) + 1, dtype=np.int32)
-        if len(lens):
-            seg_offsets[1:] = np.cumsum(lens).astype(np.int32)
-        seg_arr = pa.Array.from_buffers(
-            pa.utf8(),
-            len(lens),
-            [None, pa.py_buffer(seg_offsets.tobytes()), pa.py_buffer(buf.tobytes())],
-        )
-        out_ids = ids[seg_doc]
-        out_pidx = pidx
-        # empty docs contribute one '' segment (matches SQL string_split('',' '))
-        empty_idx = np.nonzero(~nonempty)[0]
-        if len(empty_idx):
-            seg_arr = pa.concat_arrays([seg_arr, pa.array([""] * len(empty_idx), pa.utf8())])
-            out_ids = np.concatenate([out_ids, ids[empty_idx]])
-            out_pidx = np.concatenate([out_pidx, np.zeros(len(empty_idx), np.int64)])
-        segs_np = np.asarray(seg_arr.to_numpy(zero_copy_only=False), dtype=object)
-        h = splitmix64(hash_tokens(segs_np))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_ids),
-                "pidx": pa.array(out_pidx, pa.int64()),
-                "seg": seg_arr,
-                "seg_hash": pa.array(h, pa.uint64()),
-            }
-        )
+        return _explode_segments(t, W)
 
     def first_wins(g: pd.DataFrame) -> pd.DataFrame:
         segs = g["seg"].to_numpy()
@@ -930,4 +942,177 @@ def subtract_corpus(
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def remove_frequent_segments(
+    docs: Dataset,
+    max_docs: int,
+    seg_tokens: int = 10,
+    num_shards: int = 64,
+    frequent_max_rows: int = 5_000_000,
+    batch_size: int = 1024,
+) -> Dataset:
+    """Boilerplate removal: drop every segment that occurs in MORE THAN
+    ``max_docs`` distinct documents, keeping all other occurrences.
+
+    The frequency-based sibling of :func:`segment_dedup` (RefinedWeb /
+    Dolma-style "frequent line removal": nav bars, cookie banners and footers
+    repeat across thousands of pages; prose does not).  Segmentation is the
+    shared :func:`_explode_segments` contract (normalized text, fixed
+    ``seg_tokens``-token windows — real corpora would segment on newlines).
+    Output: (doc_id, clean_text, n_segs, n_removed), one row per input doc.
+
+    Scale shape — cheaper than segment_dedup's two full exchanges because
+    frequency removal needs only the GLOBAL frequent set, not a first-wins
+    winner per occurrence:
+
+    1. count pass: per batch, segments dedupe to per-batch-distinct strings
+       (one ``np.unique``; MD5 runs once per distinct string), distinct
+       (doc, segment) incidences reduce to partial counts, and ONE sharded
+       exchange of 24 B (md5-128, count) rows sums them exactly — document
+       text never shuffles, and per-batch combining bounds the exchange at
+       distinct-segments-per-batch rows;
+    2. the frequent set (total > max_docs) is by construction <=
+       total_occurrences / max_docs rows; it is size-gated by
+       ``frequent_max_rows`` (explicit raise — 16 B/entry, 80 MB at the
+       default bound) and broadcast ONCE via ``ray.put``;
+    3. scrub pass: embarrassingly parallel — re-explode, test membership
+       against the sorted broadcast set (:func:`member128`, exact on both
+       md5 halves), rebuild each doc in-batch.  ZERO exchanges; docs are
+       whole within their batch so no reassembly shuffle is needed.
+
+    Reference analog: the hash-grouping dedup pass
+    (/root/reference/modules/deduplication.py:240-283) inverted from
+    keep-first to drop-frequent at sub-document granularity.
+    """
+    import ray as _ray
+
+    from ..functions.hashing import md5_128, member128
+    from ..util import sharded_group_map
+
+    if max_docs < 1:
+        raise ValueError("remove_frequent_segments: max_docs must be >= 1")
+    W = seg_tokens
+
+    def _seg_arrays(t: pa.Table):
+        ex = _explode_segments(t, W)
+        segs = np.asarray(ex["seg"].to_numpy(zero_copy_only=False), dtype=object)
+        doc = np.asarray(ex["doc_id"].to_numpy(zero_copy_only=False))
+        pidx = np.asarray(ex["pidx"].to_numpy(zero_copy_only=False))
+        return segs, doc, pidx
+
+    def partial(t: pa.Table) -> pa.Table:
+        segs, doc, _ = _seg_arrays(t)
+        if len(segs) == 0:
+            return pa.table(
+                {
+                    "h_lo": pa.array([], pa.uint64()),
+                    "h_hi": pa.array([], pa.uint64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        uniq, inv = np.unique(segs, return_inverse=True)
+        # distinct (doc, segment) incidences; docs are whole within a batch,
+        # so summing these partials across batches = exact distinct-doc count
+        _, d_inv = np.unique(doc, return_inverse=True)
+        codes = np.unique(d_inv.astype(np.int64) * np.int64(len(uniq)) + inv)
+        n_per = np.bincount(codes % len(uniq), minlength=len(uniq)).astype(np.int64)
+        lo, hi = md5_128(uniq)
+        return pa.table(
+            {
+                "h_lo": pa.array(lo, pa.uint64()),
+                "h_hi": pa.array(hi, pa.uint64()),
+                "n": pa.array(n_per, pa.int64()),
+            }
+        )
+
+    def total(g: dict) -> dict:
+        lo = np.asarray(g["h_lo"], dtype=U64)
+        hi = np.asarray(g["h_hi"], dtype=U64)
+        n = np.asarray(g["n"], dtype=np.int64)
+        if len(lo) == 0:
+            return {"h_lo": lo, "h_hi": hi}
+        order = np.lexsort((hi, lo))
+        lo, hi, n = lo[order], hi[order], n[order]
+        new = np.ones(len(lo), dtype=bool)
+        new[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        starts = np.nonzero(new)[0]
+        totals = np.add.reduceat(n, starts)
+        keep = totals > max_docs
+        return {"h_lo": lo[starts][keep], "h_hi": hi[starts][keep]}
+
+    # docs feeds the count pass AND the scrub pass: pin once (the
+    # materialize-once contract — no double execution of a lazy upstream)
+    mat = docs.materialize()
+    counts = mat.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    freq = sharded_group_map(
+        counts, ["h_lo", "h_hi"], total, num_shards=num_shards
+    ).materialize()
+    n_freq = freq.count()
+    if n_freq > frequent_max_rows:
+        raise ValueError(
+            f"remove_frequent_segments: {n_freq} frequent segments exceed "
+            f"frequent_max_rows={frequent_max_rows}; raise the bound (the "
+            "broadcast is 16 B/entry, cluster-scale not driver-bounded) or "
+            "raise max_docs"
+        )
+    if n_freq:
+        parts = [
+            (
+                np.asarray(t["h_lo"].to_numpy(zero_copy_only=False), dtype=U64),
+                np.asarray(t["h_hi"].to_numpy(zero_copy_only=False), dtype=U64),
+            )
+            for t in _ray.get(freq.to_arrow_refs())
+            if t.num_rows
+        ]
+        flo = np.concatenate([p[0] for p in parts])
+        fhi = np.concatenate([p[1] for p in parts])
+        order = np.lexsort((fhi, flo))
+        flo, fhi = flo[order], fhi[order]
+    else:
+        flo = np.zeros(0, U64)
+        fhi = np.zeros(0, U64)
+    fref = _ray.put((flo, fhi))
+
+    empty = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "clean_text": pa.array([], pa.utf8()),
+            "n_segs": pa.array([], pa.int64()),
+            "n_removed": pa.array([], pa.int64()),
+        }
+    )
+
+    def scrub(t: pa.Table) -> pa.Table:
+        segs, doc, pidx = _seg_arrays(t)
+        if len(segs) == 0:
+            return empty
+        uniq, inv = np.unique(segs, return_inverse=True)
+        lo, hi = md5_128(uniq)
+        slo, shi = _ray.get(fref)
+        drop = member128(slo, shi, lo, hi)[inv]
+        order = np.lexsort((pidx, doc))
+        doc, segs, drop = doc[order], segs[order], drop[order]
+        new = np.ones(len(doc), dtype=bool)
+        new[1:] = doc[1:] != doc[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(doc))
+        n_removed = np.add.reduceat(drop.astype(np.int64), starts)
+        texts = [
+            " ".join(segs[s:e][~drop[s:e]]) for s, e in zip(starts, ends)
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(doc[starts]),
+                "clean_text": pa.array(texts, pa.utf8()),
+                "n_segs": pa.array((ends - starts).astype(np.int64), pa.int64()),
+                "n_removed": pa.array(n_removed, pa.int64()),
+            }
+        )
+
+    return mat.map_batches(
+        scrub, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )

@@ -556,3 +556,24 @@ def md5_128(values) -> tuple[np.ndarray, np.ndarray]:
         lo[i] = int.from_bytes(d[8:16], "little")
         hi[i] = int.from_bytes(d[0:8], "little")
     return lo, hi
+
+
+def member128(flo: np.ndarray, fhi: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Exact membership of 128-bit keys (lo, hi) in a set (flo, fhi).
+
+    ``(flo, fhi)`` must be lexsorted by (lo, hi) — ``np.lexsort((fhi, flo))``
+    order.  Vectorized double-searchsorted on the lo half; the (vanishingly
+    rare) duplicate-lo runs fall back to a per-row scan of the run.  Both
+    halves are compared, so the test is exact over md5-128 keys — no
+    64-bit-collision false positives.
+    """
+    m = np.zeros(len(lo), dtype=bool)
+    if len(flo) == 0 or len(lo) == 0:
+        return m
+    left = np.searchsorted(flo, lo, "left")
+    right = np.searchsorted(flo, lo, "right")
+    single = right - left == 1
+    m[single] = fhi[left[single]] == hi[single]
+    for i in np.nonzero(right - left > 1)[0]:
+        m[i] = hi[i] in fhi[left[i] : right[i]]
+    return m

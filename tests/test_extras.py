@@ -578,14 +578,16 @@ def test_approx_distinct_hll(ray_session):
     rng = np.random.default_rng(9)
     parts = []
     truth = {"a": 20000, "b": 3000, "c": 50}
-    for g, n_distinct in truth.items():
+    # deterministic per-group offset: hash(g) is PYTHONHASHSEED-randomized,
+    # which made the estimate (and this test) vary across interpreter runs
+    for gi, (g, n_distinct) in enumerate(truth.items()):
         vals = rng.integers(0, n_distinct, n_distinct * 3)  # dups everywhere
         vals = np.concatenate([vals, np.arange(n_distinct)])  # ensure full range
         parts.append(
             pa.table(
                 {
                     "g": pa.array([g] * len(vals), pa.string()),
-                    "v": pa.array(vals + hash(g) % 10**6 * 10**6, pa.int64()),
+                    "v": pa.array(vals + (gi + 1) * 10**8, pa.int64()),
                 }
             )
         )
@@ -1265,3 +1267,97 @@ def test_term_cooccurrence_matches_bruteforce(ray_session):
         )
         got = list(zip(out["term_a"], out["term_b"], out["n_docs"]))
         assert got == want, f"batch_size={bs}"
+
+
+def test_member128_exact():
+    from image_deduplication_3m_images_ray.functions.hashing import member128
+
+    flo = np.array([1, 5, 5, 5, 9], np.uint64)
+    fhi = np.array([2, 3, 7, 9, 1], np.uint64)  # lexsorted by (lo, hi)
+    lo = np.array([1, 5, 5, 5, 9, 9, 4, 1], np.uint64)
+    hi = np.array([2, 3, 9, 8, 1, 2, 4, 3], np.uint64)
+    got = member128(flo, fhi, lo, hi)
+    assert got.tolist() == [True, True, True, False, True, False, False, False]
+    # empty set / empty probes
+    e = np.zeros(0, np.uint64)
+    assert member128(e, e, lo, hi).sum() == 0
+    assert len(member128(flo, fhi, e, e)) == 0
+
+
+def test_remove_frequent_segments(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.dedup_ops import (
+        remove_frequent_segments,
+    )
+
+    boiler = " ".join(f"s{i}" for i in range(10))   # in 3 docs -> frequent
+    rare = " ".join(f"r{i}" for i in range(10))     # in 2 docs -> kept
+    uniq_b = " ".join(f"b{i}" for i in range(7))    # partial tail window
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                [
+                    boiler + " " + rare,
+                    boiler + " " + uniq_b,
+                    boiler + " " + rare,
+                    "",  # single '' segment, appears once -> kept
+                ],
+                pa.string(),
+            ),
+        }
+    )
+    out = (
+        remove_frequent_segments(
+            ray.data.from_arrow(t).repartition(3), max_docs=2, seg_tokens=10,
+            num_shards=3,
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "clean_text"] == rare and out.loc[1, "n_removed"] == 1
+    assert out.loc[2, "clean_text"] == uniq_b and out.loc[2, "n_removed"] == 1
+    assert out.loc[3, "clean_text"] == rare and out.loc[3, "n_segs"] == 2
+    assert out.loc[4, "clean_text"] == "" and out.loc[4, "n_removed"] == 0
+    # occurrence semantics: EVERY occurrence of a frequent segment drops,
+    # including repeats inside one doc
+    t2 = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [boiler + " " + boiler, boiler, boiler + " " + rare], pa.string()
+            ),
+        }
+    )
+    out2 = (
+        remove_frequent_segments(
+            ray.data.from_arrow(t2), max_docs=2, seg_tokens=10, num_shards=2
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # boiler is in 3 distinct docs (> 2): dropped everywhere
+    assert out2.loc[1, "clean_text"] == "" and out2.loc[1, "n_removed"] == 2
+    assert out2.loc[3, "clean_text"] == rare
+    # nothing frequent -> identity on normalized text
+    out3 = (
+        remove_frequent_segments(
+            ray.data.from_arrow(t), max_docs=10, seg_tokens=10, num_shards=2
+        )
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (out3["n_removed"] == 0).all()
+    assert out3.loc[1, "clean_text"] == boiler + " " + rare
+    # validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_docs"):
+        remove_frequent_segments(ray.data.from_arrow(t), max_docs=0)
+    with _pytest.raises(ValueError, match="frequent_max_rows"):
+        remove_frequent_segments(
+            ray.data.from_arrow(t2), max_docs=2, frequent_max_rows=0
+        )
