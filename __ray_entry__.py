@@ -737,6 +737,18 @@ def _q_lm_perplexity(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_gopher_quality(sf_dir: str):
+    """Gopher rule-set quality signals (Rae et al. 2021) per document, with
+    the composite keep flag at the published default thresholds."""
+    from image_deduplication_3m_images_ray.extras.textstats import gopher_quality
+
+    # min_stopwords=1: the synthetic corpus tops out at one distinct Gopher
+    # stopword per doc, so the published default (2) would zero the keep flag.
+    return gopher_quality(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), min_stopwords=1
+    ).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -799,6 +811,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_cooccurrence": _q_term_cooccurrence,
         "normalize_text": _q_normalize_text,
         "lm_perplexity": _q_lm_perplexity,
+        "gopher_quality": _q_gopher_quality,
     }
 
 
@@ -1640,6 +1653,48 @@ def oracle_sql() -> dict[str, str]:
                         ELSE CAST(agg.smb AS DOUBLE) / 1000000.0 / agg.nb
                    END AS bits_per_bigram
             FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+        """,
+        "gopher_quality": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            s AS (SELECT doc_id,
+                         length(nt) AS nc,
+                         CASE WHEN nt = '' THEN 0
+                              ELSE length(nt) - length(replace(nt, ' ', '')) + 1
+                         END AS nw,
+                         length(nt) - length(replace(nt, ' ', '')) AS nsp,
+                         length(nt) - length(replace(nt, '#', '')) AS nhash,
+                         (length(nt) - length(replace(nt, '...', ''))) // 3 AS nell,
+                         CASE WHEN nt = '' THEN 0
+                              ELSE len(list_filter(string_split(nt, ' '),
+                                                   x -> regexp_matches(x, '[a-z]')))
+                         END AS nalpha,
+                         (CASE WHEN contains(' ' || nt || ' ', ' the ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' be ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' to ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' of ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' and ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' that ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' have ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' with ') THEN 1 ELSE 0 END
+                         ) AS nstop
+                  FROM n),
+            m AS (SELECT doc_id,
+                         CAST(nw AS BIGINT) AS n_words,
+                         CASE WHEN nw > 0 THEN CAST(nc - nsp AS DOUBLE) / nw
+                              ELSE 0.0 END AS mean_word_len,
+                         CAST(nhash + nell AS DOUBLE) / greatest(nw, 1) AS symbol_ratio,
+                         CAST(nalpha AS DOUBLE) / greatest(nw, 1) AS alpha_word_ratio,
+                         CAST(nstop AS BIGINT) AS n_stop
+                  FROM s)
+            SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+                   alpha_word_ratio, n_stop,
+                   CASE WHEN n_words >= 50 AND n_words <= 100000
+                             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                             AND symbol_ratio <= 0.1
+                             AND alpha_word_ratio >= 0.8
+                             AND n_stop >= 1
+                        THEN 1 ELSE 0 END AS keep
+            FROM m ORDER BY doc_id
         """,
         "winsorize": """
             WITH b AS (SELECT lang,

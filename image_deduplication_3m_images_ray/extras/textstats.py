@@ -161,6 +161,121 @@ def quality_scores(docs: Dataset, batch_size: int = 4096) -> Dataset:
     return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
 
 
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    docs: Dataset,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: tuple = GOPHER_STOPWORDS,
+    batch_size: int = 4096,
+) -> Dataset:
+    """Gopher quality heuristics (Rae et al. 2021, table A1) per document.
+
+    The published rule set over the NORMALIZED text, embarrassingly parallel
+    and fully vectorized (no exchange, no state):
+
+    - ``n_words`` in [min_words, max_words];
+    - ``mean_word_len`` (non-space chars / words) in [min, max];
+    - ``symbol_ratio`` = (count('#') + non-overlapping count('...')) / words
+      <= max_symbol_ratio;
+    - ``alpha_word_ratio`` = fraction of words containing >= 1 of [a-z]
+      >= min_alpha_word_ratio (byte-exact under UTF-8: continuation bytes
+      are >= 0x80, so the scan never false-matches inside a multibyte char);
+    - at least ``min_stopwords`` DISTINCT ``stopwords`` present as whole
+      tokens.
+
+    Output: (doc_id, n_words, mean_word_len, symbol_ratio, alpha_word_ratio,
+    n_stop, keep) — per-rule values plus the composite 0/1 ``keep``, so a
+    pipeline can either filter on keep or re-threshold downstream.  The
+    line-based Gopher rules (bullet/ellipsis line starts) need newline
+    structure this corpus lacks and are intentionally omitted.  Reference
+    analog: the extension/validity predicate gate
+    (/root/reference/modules/blob_manager.py filter step) upgraded to the
+    published web-text rule set.
+    """
+    sw = tuple(stopwords)
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"])
+        arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+        n_chars = np.asarray(
+            pc.utf8_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        offs, data = flat_utf8_view(arr)
+        ds_, de_ = offs[:-1], offs[1:]
+        nonempty = de_ > ds_
+        sp = np.nonzero(data == 32)[0]
+        n_sp = np.searchsorted(sp, de_) - np.searchsorted(sp, ds_)
+        n_words = np.where(nonempty, n_sp + 1, 0).astype(np.int64)
+        denom = np.maximum(n_words, 1).astype(np.float64)
+        mean_word_len = (n_chars - n_sp) / denom * (n_words > 0)
+        # symbols: '#' occurrences + non-overlapping '...' (SQL replace parity)
+        hashes = np.asarray(
+            pc.count_substring(arr, "#").cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+        replaced = pc.replace_substring(arr, pattern="...", replacement="")
+        ell = (
+            n_chars
+            - np.asarray(
+                pc.utf8_length(replaced).cast(pa.int64()).to_numpy(zero_copy_only=False)
+            )
+        ) // 3
+        symbol_ratio = (hashes + ell) / denom
+        # words containing at least one [a-z] byte
+        alpha = (data >= 97) & (data <= 122)
+        csum = np.zeros(len(data) + 1, dtype=np.int64)
+        np.cumsum(alpha, out=csum[1:])
+        tok_starts = np.sort(np.concatenate([ds_[nonempty], sp + 1]))
+        tok_ends = np.sort(np.concatenate([sp, de_[nonempty]]))
+        has_alpha = (csum[tok_ends] - csum[tok_starts]) > 0
+        alpha_counts = np.zeros(len(n_words), dtype=np.int64)
+        if len(has_alpha):
+            base = np.concatenate([[0], np.cumsum(n_words)])[:-1]
+            alpha_counts[nonempty] = np.add.reduceat(
+                has_alpha.astype(np.int64), base[nonempty]
+            )
+        alpha_word_ratio = alpha_counts / denom
+        # distinct whole-token stopword presence
+        # join [" ", arr, " "] with "" separator (the LAST arg is the separator)
+        padded = pc.binary_join_element_wise(" ", arr, " ", "")
+        n_stop = np.zeros(len(n_words), dtype=np.int64)
+        for w in sw:
+            n_stop += np.asarray(
+                pc.match_substring(padded, f" {w} ").to_numpy(zero_copy_only=False)
+            )
+        keep = (
+            (n_words >= min_words)
+            & (n_words <= max_words)
+            & (mean_word_len >= min_mean_word_len)
+            & (mean_word_len <= max_mean_word_len)
+            & (symbol_ratio <= max_symbol_ratio)
+            & (alpha_word_ratio >= min_alpha_word_ratio)
+            & (n_stop >= min_stopwords)
+        )
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_words": pa.array(n_words, pa.int64()),
+                "mean_word_len": pa.array(mean_word_len, pa.float64()),
+                "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
+                "alpha_word_ratio": pa.array(alpha_word_ratio, pa.float64()),
+                "n_stop": pa.array(n_stop, pa.int64()),
+                "keep": pa.array(keep.astype(np.int32), pa.int32()),
+            }
+        )
+
+    return docs.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+
+
 _STOPWORDS = {
     "en": {"the", "and", "of", "to", "a", "in", "is", "that", "it", "for", "was", "with", "on"},
     "de": {"der", "die", "das", "und", "ist", "von", "mit", "den", "nicht", "ein", "eine", "zu"},

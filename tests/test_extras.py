@@ -1361,3 +1361,76 @@ def test_remove_frequent_segments(ray_session):
         remove_frequent_segments(
             ray.data.from_arrow(t2), max_docs=2, frequent_max_rows=0
         )
+
+
+def test_gopher_quality_matches_python_reference(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import (
+        GOPHER_STOPWORDS,
+        gopher_quality,
+    )
+    from image_deduplication_3m_images_ray.functions.text import normalize_text
+
+    docs = [
+        # long clean English-ish doc with several distinct stopwords
+        "the cat sat on the mat and it was good to have that style with flair "
+        "plus some extra words here to make the document long enough overall",
+        "",  # empty -> everything 0, keep 0
+        "### ... ... # word",  # symbol-heavy
+        "123 456 789 012 345 678",  # no alpha words
+        "Héllo Wörld naïve café crème brûlée",  # multibyte; all words have a-z
+        "ΑΒΓΔ ΕΖΗΘ ΙΚΛΜ",  # greek only: no a-z bytes anywhere
+        "the the the the the",  # distinct stopwords = 1, not 5
+        "a... b...c ...... d",  # non-overlapping '...' = 3
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(docs)), pa.int64()),
+                "text": pa.array(docs, pa.string()),
+            }
+        )
+    )
+    kw = dict(
+        min_words=5,
+        max_words=100,
+        min_mean_word_len=2.0,
+        max_mean_word_len=10.0,
+        max_symbol_ratio=0.1,
+        min_alpha_word_ratio=0.8,
+        min_stopwords=2,
+    )
+    out = gopher_quality(ds, **kw).to_pandas().set_index("doc_id").sort_index()
+
+    for i, raw in enumerate(docs):
+        nt = normalize_text(raw)
+        words = nt.split(" ") if nt else []
+        n_words = len(words)
+        denom = max(n_words, 1)
+        mean_wl = (len(nt) - nt.count(" ")) / denom * (n_words > 0)
+        sym = (nt.count("#") + nt.count("...")) / denom
+        alpha = sum(
+            1 for w in words if any(97 <= b <= 122 for b in w.encode("utf-8"))
+        ) / denom
+        n_stop = sum(1 for w in GOPHER_STOPWORDS if f" {w} " in f" {nt} ")
+        keep = int(
+            kw["min_words"] <= n_words <= kw["max_words"]
+            and kw["min_mean_word_len"] <= mean_wl <= kw["max_mean_word_len"]
+            and sym <= kw["max_symbol_ratio"]
+            and alpha >= kw["min_alpha_word_ratio"]
+            and n_stop >= kw["min_stopwords"]
+        )
+        row = out.loc[i]
+        assert row["n_words"] == n_words, i
+        assert row["mean_word_len"] == pytest.approx(mean_wl), i
+        assert row["symbol_ratio"] == pytest.approx(sym), i
+        assert row["alpha_word_ratio"] == pytest.approx(alpha), i
+        assert row["n_stop"] == n_stop, i
+        assert row["keep"] == keep, i
+    # the planted outcomes actually exercise both branches of every rule
+    assert out.loc[0, "keep"] == 1
+    assert (out.loc[[1, 2, 3, 5, 6], "keep"] == 0).all()
+    # '...' is counted non-overlapping: a...(1) b...c(1) ......(2) -> 4 over 4 words
+    assert out.loc[7, "symbol_ratio"] == pytest.approx(4 / 4)
+    assert out.loc[6, "n_stop"] == 1
+    assert out.loc[5, "alpha_word_ratio"] == 0.0
