@@ -737,6 +737,39 @@ def _q_lm_perplexity(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_perplexity_buckets(sf_dir: str):
+    """CCNet head/middle/tail: per-language perplexity terciles of the
+    self-trained bigram LM score (NTILE(3) over bits, doc_id tiebreak)."""
+    from image_deduplication_3m_images_ray.extras.lm import perplexity_buckets
+
+    return perplexity_buckets(
+        _docs(sf_dir).select_columns(["doc_id", "text", "lang"]), min_count=2
+    ).sort("doc_id")
+
+
+def _q_hash_split(sf_dir: str):
+    """Deterministic 90/5/5 train/val/test assignment by id-hash bucket."""
+    from image_deduplication_3m_images_ray.extras.relational import hash_split
+
+    return hash_split(
+        _docs(sf_dir).select_columns(["doc_id"]),
+        fractions={"train": 0.9, "val": 0.05, "test": 0.05},
+    ).sort("doc_id")
+
+
+def _q_resample_mixture(sf_dir: str):
+    """Rebalance three sources to a 50/30/20 mixture of a 40-doc budget,
+    keeping each source's floor(w*total) smallest-hash docs."""
+    from image_deduplication_3m_images_ray.extras.relational import resample_to_mixture
+
+    return resample_to_mixture(
+        _docs(sf_dir).select_columns(["doc_id", "source"]),
+        key="source",
+        weights={"src0": 0.5, "src1": 0.3, "src2": 0.2},
+        total=40,
+    ).sort("doc_id")
+
+
 def _q_gopher_quality(sf_dir: str):
     """Gopher rule-set quality signals (Rae et al. 2021) per document, with
     the composite keep flag at the published default thresholds."""
@@ -812,6 +845,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalize_text": _q_normalize_text,
         "lm_perplexity": _q_lm_perplexity,
         "gopher_quality": _q_gopher_quality,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "hash_split": _q_hash_split,
+        "resample_mixture": _q_resample_mixture,
     }
 
 
@@ -822,6 +858,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # matches functions.text.normalize_array exactly: NFC, then lower, then
 # whitespace collapse, then trim
 _NORM = "trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))"
+
+# the self-trained add-one bigram LM score per doc (extras.lm.lm_score with
+# min_count=2), as a reusable CTE chain ending in
+# lmscored(doc_id, n_bigrams, n_oov, sum_microbits, bits_per_bigram) —
+# shared by the lm_perplexity and perplexity_buckets oracles
+_LM_SCORED_CTES = """
+            tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents),
+            big AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS gram FROM tk),
+            ctxtok AS (SELECT unnest(toks[1:len(toks)-1]) AS tok FROM tk),
+            model AS (SELECT gram, count(*) AS c FROM big
+                      GROUP BY gram HAVING count(*) >= 2),
+            ctx AS (SELECT tok, count(*) AS c1 FROM ctxtok GROUP BY tok),
+            voc AS (SELECT count(DISTINCT tok) AS v
+                    FROM (SELECT unnest(toks) AS tok FROM tk)),
+            term AS (SELECT b.doc_id,
+                            CAST(floor(log2(CAST(ctx.c1 + voc.v AS DOUBLE)
+                                            / CAST(COALESCE(model.c, 0) + 1
+                                                   AS DOUBLE))
+                                       * 1000000.0 + 0.5) AS BIGINT) AS mb,
+                            CASE WHEN model.c IS NULL THEN 1 ELSE 0 END AS oov
+                     FROM big b
+                     LEFT JOIN model USING (gram)
+                     JOIN ctx ON ctx.tok = split_part(b.gram, ' ', 1)
+                     CROSS JOIN voc),
+            agg AS (SELECT doc_id, count(*) AS nb, sum(oov) AS noov,
+                           sum(mb) AS smb
+                    FROM term GROUP BY doc_id),
+            lmscored AS (SELECT d.doc_id,
+                   CAST(COALESCE(agg.nb, 0) AS BIGINT) AS n_bigrams,
+                   CAST(COALESCE(agg.noov, 0) AS BIGINT) AS n_oov,
+                   CAST(COALESCE(agg.smb, 0) AS BIGINT) AS sum_microbits,
+                   CASE WHEN agg.nb IS NULL THEN 0.0
+                        ELSE CAST(agg.smb AS DOUBLE) / 1000000.0 / agg.nb
+                   END AS bits_per_bigram
+            FROM documents d LEFT JOIN agg USING (doc_id))
+"""
 
 # the redact_pii oracle interpolates the SAME RE2 patterns the operator runs
 from image_deduplication_3m_images_ray.extras.transforms import PII_PATTERNS as _PII
@@ -1621,38 +1695,50 @@ def oracle_sql() -> dict[str, str]:
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
             ORDER BY doc_a, doc_b
         """,
-        "lm_perplexity": """
-            WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
-                        FROM documents),
-            big AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
-                        i -> toks[i] || ' ' || toks[i+1])) AS gram FROM tk),
-            ctxtok AS (SELECT unnest(toks[1:len(toks)-1]) AS tok FROM tk),
-            model AS (SELECT gram, count(*) AS c FROM big
-                      GROUP BY gram HAVING count(*) >= 2),
-            ctx AS (SELECT tok, count(*) AS c1 FROM ctxtok GROUP BY tok),
-            voc AS (SELECT count(DISTINCT tok) AS v
-                    FROM (SELECT unnest(toks) AS tok FROM tk)),
-            term AS (SELECT b.doc_id,
-                            CAST(floor(log2(CAST(ctx.c1 + voc.v AS DOUBLE)
-                                            / CAST(COALESCE(model.c, 0) + 1
-                                                   AS DOUBLE))
-                                       * 1000000.0 + 0.5) AS BIGINT) AS mb,
-                            CASE WHEN model.c IS NULL THEN 1 ELSE 0 END AS oov
-                     FROM big b
-                     LEFT JOIN model USING (gram)
-                     JOIN ctx ON ctx.tok = split_part(b.gram, ' ', 1)
-                     CROSS JOIN voc),
-            agg AS (SELECT doc_id, count(*) AS nb, sum(oov) AS noov,
-                           sum(mb) AS smb
-                    FROM term GROUP BY doc_id)
-            SELECT d.doc_id,
-                   CAST(COALESCE(agg.nb, 0) AS BIGINT) AS n_bigrams,
-                   CAST(COALESCE(agg.noov, 0) AS BIGINT) AS n_oov,
-                   CAST(COALESCE(agg.smb, 0) AS BIGINT) AS sum_microbits,
-                   CASE WHEN agg.nb IS NULL THEN 0.0
-                        ELSE CAST(agg.smb AS DOUBLE) / 1000000.0 / agg.nb
-                   END AS bits_per_bigram
-            FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id
+        "lm_perplexity": f"""
+            WITH {_LM_SCORED_CTES}
+            SELECT doc_id, n_bigrams, n_oov, sum_microbits, bits_per_bigram
+            FROM lmscored ORDER BY doc_id
+        """,
+        "perplexity_buckets": f"""
+            WITH {_LM_SCORED_CTES},
+            j AS (SELECT s.doc_id, d.lang, s.bits_per_bigram
+                  FROM lmscored s JOIN documents d USING (doc_id)),
+            r AS (SELECT doc_id, lang, bits_per_bigram,
+                         CAST(row_number() OVER w AS BIGINT) AS rank,
+                         CAST(ntile(3) OVER w AS BIGINT) AS tile
+                  FROM j
+                  WINDOW w AS (PARTITION BY lang
+                               ORDER BY bits_per_bigram, doc_id))
+            SELECT doc_id, lang, bits_per_bigram, rank, tile,
+                   CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM r ORDER BY doc_id
+        """,
+        "hash_split": """
+            WITH b AS (SELECT doc_id,
+                   CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 10000
+                        AS BIGINT) AS bucket
+                 FROM documents)
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 9000 THEN 'train'
+                        WHEN bucket < 9500 THEN 'val'
+                        ELSE 'test' END AS split
+            FROM b ORDER BY doc_id
+        """,
+        "resample_mixture": """
+            WITH r AS (SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                        PARTITION BY source
+                        ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR))
+                                 % 9223372036854775808,
+                                 doc_id) AS BIGINT) AS rank
+                 FROM documents)
+            SELECT doc_id, source, rank FROM r
+            WHERE (source = 'src0' AND rank <= 20)
+               OR (source = 'src1' AND rank <= 12)
+               OR (source = 'src2' AND rank <= 8)
+            ORDER BY doc_id
         """,
         "gopher_quality": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),

@@ -52,7 +52,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ray.data import Dataset
 
-__all__ = ["lm_score"]
+__all__ = ["lm_score", "perplexity_buckets"]
 
 U64 = np.uint64
 
@@ -117,6 +117,7 @@ def lm_score(
     max_model_rows: int = 50_000_000,
     num_shards: int = 64,
     batch_size: int = 1024,
+    passthrough_cols: tuple = (),
 ) -> Dataset:
     """Score every doc by its add-one-smoothed bigram LM surprisal.
 
@@ -134,6 +135,8 @@ def lm_score(
       ``bits_per_bigram = sum_microbits / 1e6 / n_bigrams`` the
       cross-entropy estimate (0.0 for docs with < 2 tokens).  Lower bits =
       more model-like text; 2**bits is the conventional perplexity.
+      ``passthrough_cols`` are copied from the input batch into the output
+      unchanged (e.g. ``lang`` for downstream per-language bucketing).
 
     Raises when the pruned model or context table exceeds
     ``max_model_rows`` (the explicit-broadcast-bound contract shared with
@@ -280,16 +283,73 @@ def lm_score(
             nb = np.zeros(n_rows, np.int64)
             noov = np.zeros(n_rows, np.int64)
         bits = np.where(nb > 0, (smb / 1e6) / np.maximum(nb, 1), 0.0)
-        return pa.table(
-            {
-                id_col: t[id_col],
-                "n_bigrams": pa.array(nb, pa.int64()),
-                "n_oov": pa.array(noov, pa.int64()),
-                "sum_microbits": pa.array(smb, pa.int64()),
-                "bits_per_bigram": pa.array(bits, pa.float64()),
-            }
-        )
+        cols = {
+            id_col: t[id_col],
+            "n_bigrams": pa.array(nb, pa.int64()),
+            "n_oov": pa.array(noov, pa.int64()),
+            "sum_microbits": pa.array(smb, pa.int64()),
+            "bits_per_bigram": pa.array(bits, pa.float64()),
+        }
+        for c in passthrough_cols:
+            cols[c] = t[c]
+        return pa.table(cols)
 
     return docs.map_batches(
         score, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
+
+
+def perplexity_buckets(
+    docs: Dataset,
+    model_docs: Dataset | None = None,
+    min_count: int = 2,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_model_rows: int = 50_000_000,
+) -> Dataset:
+    """CCNet head/middle/tail split: per-language perplexity terciles.
+
+    Wenzek et al. (CCNet, LREC 2020) stratify each language of Common Crawl
+    into three equal-count buckets by LM perplexity — "head" (most
+    model-like, lowest bits) through "tail" — and train on head+middle.
+    This composes two existing primitives with no new exchange shapes:
+
+    1. :func:`lm_score` (self-scoring by default) with ``lang_col`` passed
+       through — one model exchange + one broadcast + one stateless scan;
+    2. :func:`relational.group_rank` over ``(lang, bits_per_bigram, id)``
+       with ``ntile=3`` — ONE distributed sort; languages are the canonical
+       low-cardinality group key that operator is built for.
+
+    Output: (id_col, lang_col, bits_per_bigram, rank, tile, bucket) where
+    ``tile`` is SQL ``NTILE(3)`` over ``ORDER BY bits_per_bigram, id`` within
+    the language and ``bucket`` maps 1/2/3 -> 'head'/'middle'/'tail'.
+    Docs with < 2 tokens score 0.0 bits and therefore land in 'head'
+    deterministically — filter ``n_bigrams == 0`` upstream if that skews a
+    real corpus.
+    """
+    from .relational import group_rank
+
+    scored = lm_score(
+        docs,
+        model_docs=model_docs,
+        min_count=min_count,
+        text_col=text_col,
+        id_col=id_col,
+        max_model_rows=max_model_rows,
+        passthrough_cols=(lang_col,),
+    ).select_columns([id_col, lang_col, "bits_per_bigram"])
+    ranked = group_rank(
+        scored, key=lang_col, value="bits_per_bigram", id_col=id_col,
+        descending=False, ntile=3,
+    )
+
+    _NAMES = pa.array(["head", "middle", "tail"], pa.string())
+
+    def label(t: pa.Table) -> pa.Table:
+        tile = t["tile"]
+        if isinstance(tile, pa.ChunkedArray):
+            tile = tile.combine_chunks()
+        return t.append_column("bucket", _NAMES.take(pc.subtract(tile, 1)))
+
+    return ranked.map_batches(label, batch_format="pyarrow", zero_copy_batch=True)

@@ -307,6 +307,55 @@ def sample_uniform(ds: Dataset, id_col: str = "doc_id", mod: int = 10, keep: int
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def hash_split(
+    ds: Dataset,
+    fractions: dict,
+    id_col: str = "doc_id",
+    buckets: int = 10_000,
+) -> Dataset:
+    """Deterministic train/val/test assignment by id-hash bucket.
+
+    ``fractions`` maps split name -> fraction (must sum to 1.0 within 1e-9);
+    each row's bucket is ``md5(id) % buckets`` and splits own contiguous
+    bucket ranges in dict order, cut at ``round(cum_fraction * buckets)``.
+    Embarrassingly parallel, no shuffle, no driver state: the same row lands
+    in the same split on every run, machine, and partitioning — the property
+    a 100 TB corpus needs so a later re-run (or a different engine) can
+    reproduce the exact eval holdout.  Rounding note: a fraction smaller
+    than ``1/buckets`` can round to an empty range — raise ``buckets``
+    for fine splits.
+
+    Output: the input columns plus ``bucket`` (int64) and ``split`` (string).
+    Reference analog: the reference's deterministic test-path routing
+    predicate (/root/reference/modules/blob_manager.py) generalized to
+    proportional holdout assignment.
+    """
+    if not fractions:
+        raise ValueError("hash_split: fractions must be non-empty")
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"hash_split: fractions sum to {total}, expected 1.0")
+    if any(f < 0 for f in fractions.values()):
+        raise ValueError("hash_split: fractions must be >= 0")
+    names = list(fractions)
+    cum = 0.0
+    cuts = []  # exclusive upper bucket bound per split
+    for n in names:
+        cum += fractions[n]
+        cuts.append(int(round(cum * buckets)))
+    cuts[-1] = buckets  # guard float drift on the last edge
+    bounds = np.asarray(cuts, dtype=np.int64)
+    name_arr = pa.array(names, pa.string())
+
+    def fn(t: pa.Table) -> pa.Table:
+        b = (_md5_id_column(t, id_col) % np.uint64(buckets)).astype(np.int64)
+        idx = np.searchsorted(bounds, b, side="right")
+        t = t.append_column("bucket", pa.array(b, pa.int64()))
+        return t.append_column("split", name_arr.take(pa.array(idx, pa.int64())))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def sample_per_group(
     ds: Dataset, key: str, k: int, id_col: str = "doc_id", num_shards: int = 64
 ) -> Dataset:
@@ -332,6 +381,55 @@ def sample_per_group(
         return t.drop_columns(["__h"])
 
     return out.map_batches(drop_h, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def resample_to_mixture(
+    ds: Dataset,
+    key: str,
+    weights: dict,
+    total: int,
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Deterministic domain-mixture construction: keep exactly
+    ``floor(weights[g] * total)`` rows per ``key`` group, chosen in id-hash
+    order (a uniform without-replacement draw per group).
+
+    The "rebalance sources to a target mixture" step of a training-data
+    pipeline (DoReMi-style weights, recomputed elsewhere, applied here).
+    Groups absent from ``weights`` are dropped; a group smaller than its
+    cap keeps all its rows (the caller can renormalize and re-run if exact
+    totals matter).  Reuses :func:`group_rank` (ONE distributed sort on
+    ``(key, hash, id)``; ``key`` must be low-cardinality, the same contract)
+    rather than :func:`sample_per_group` because caps differ per group.
+    The hash is reduced mod 2**63 so the rank order is identical in int64
+    and in the SQL oracle's UBIGINT — full-width uint64 would reorder
+    around the sign bit.
+
+    Output: (id_col, key, rank) for kept rows, rank 1..cap in hash order.
+    """
+    if total < 0:
+        raise ValueError("resample_to_mixture: total must be >= 0")
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("resample_to_mixture: weights must be >= 0")
+    caps = {g: int(w * total) for g, w in weights.items()}
+
+    def add_h(t: pa.Table) -> pa.Table:
+        h = (_md5_id_column(t, id_col) % np.uint64(2**63)).astype(np.int64)
+        t = t.select([id_col, key])
+        return t.append_column("__h", pa.array(h, pa.int64()))
+
+    withh = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = group_rank(withh, key=key, value="__h", id_col=id_col,
+                        descending=False, ntile=1)
+
+    def keep(t: pa.Table) -> pa.Table:
+        kv = np.asarray(t[key].to_numpy(zero_copy_only=False), dtype=object)
+        ug, inv = np.unique(kv, return_inverse=True)
+        cap = np.fromiter((caps.get(g, 0) for g in ug), np.int64, len(ug))[inv]
+        rk = np.asarray(t["rank"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return t.filter(pa.array(rk <= cap)).select([id_col, key, "rank"])
+
+    return ranked.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def group_quantiles(

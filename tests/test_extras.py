@@ -1381,7 +1381,7 @@ def test_gopher_quality_matches_python_reference(ray_session):
         "Héllo Wörld naïve café crème brûlée",  # multibyte; all words have a-z
         "ΑΒΓΔ ΕΖΗΘ ΙΚΛΜ",  # greek only: no a-z bytes anywhere
         "the the the the the",  # distinct stopwords = 1, not 5
-        "a... b...c ...... d",  # non-overlapping '...' = 3
+        "a... b...c ...... d",  # non-overlapping '...' = 4
     ]
     ds = ray.data.from_arrow(
         pa.table(

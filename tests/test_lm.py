@@ -151,3 +151,53 @@ def test_lm_score_sum_is_order_exact(ray_session):
     b = lm_score(_ds(texts, parts=16), min_count=2).sort("doc_id").to_pandas()
     assert list(a.sum_microbits) == list(b.sum_microbits)
     assert list(a.bits_per_bigram) == list(b.bits_per_bigram)
+
+
+def test_perplexity_buckets_ccnet_terciles(ray_session):
+    """Bucket = NTILE(3) per lang over (bits asc, doc_id); sizes and
+    membership match a Python replay of lm_score's own output."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.lm import lm_score, perplexity_buckets
+
+    rng = np.random.default_rng(7)
+    langs, texts, ids = [], [], []
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta"]
+    for i in range(40):
+        lang = "aa" if i % 3 else "bb"
+        n = int(rng.integers(2, 30))
+        texts.append(" ".join(rng.choice(words, n)))
+        langs.append(lang)
+        ids.append(1000 - i)  # non-monotone ids exercise the tiebreak
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "text": pa.array(texts, pa.string()),
+            "lang": pa.array(langs, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    out = perplexity_buckets(ds, min_count=2).to_pandas()
+
+    scored = lm_score(ds, min_count=2).to_pandas().set_index("doc_id")
+    bits = {i: scored.loc[i, "bits_per_bigram"] for i in ids}
+    for lang in ("aa", "bb"):
+        members = sorted(
+            (i for i, l in zip(ids, langs) if l == lang),
+            key=lambda i: (bits[i], i),
+        )
+        n, q = len(members), 3
+        hi, cut = -(-n // q), n % q  # ceil, and how many buckets get it
+        expect = {}
+        pos = 0
+        for tile in range(1, q + 1):
+            size = hi if (cut == 0 or tile <= cut) else n // q
+            for j, m in enumerate(members[pos : pos + size]):
+                expect[m] = (pos + j + 1, tile)
+            pos += size
+        sub = out[out["lang"] == lang].set_index("doc_id")
+        assert len(sub) == n
+        for m in members:
+            assert sub.loc[m, "rank"] == expect[m][0], m
+            assert sub.loc[m, "tile"] == expect[m][1], m
+        name = {1: "head", 2: "middle", 3: "tail"}
+        assert (sub["bucket"] == sub["tile"].map(name)).all()

@@ -468,3 +468,96 @@ def test_winsorize_by_group_matches_numpy(ray_session):
         winsorize_by_group(
             ray.data.from_pandas(df), key="lang", value="n_chars", p_lo=0.0
         )
+
+
+def test_hash_split_deterministic_and_proportional(ray_session):
+    import hashlib
+    import struct
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import hash_split
+
+    n = 400
+    ids = np.arange(n, dtype=np.int64) * 7 + 3  # non-contiguous ids
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+    fr = {"train": 0.8, "val": 0.0, "test": 0.2}
+    out = (
+        hash_split(ray.data.from_arrow(tbl).repartition(5), fr, buckets=10)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == n
+
+    def bucket(i):
+        d = hashlib.md5(str(i).encode()).digest()
+        return struct.unpack("<Q", d[8:16])[0] % 10
+
+    for i in ids:
+        b = bucket(i)
+        assert out.loc[i, "bucket"] == b
+        assert out.loc[i, "split"] == ("train" if b < 8 else "test"), i
+    # zero-fraction split owns an empty bucket range
+    assert (out["split"] != "val").all()
+    assert set(out["split"]) == {"train", "test"}
+    # identical assignment regardless of partitioning
+    out2 = (
+        hash_split(ray.data.from_arrow(tbl), fr, buckets=10)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (out["split"] == out2["split"]).all()
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(ray.data.from_arrow(tbl), {"a": 0.5, "b": 0.6})
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(ray.data.from_arrow(tbl), {})
+
+
+def test_resample_to_mixture_exact_caps(ray_session):
+    import hashlib
+    import struct
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import resample_to_mixture
+
+    rng = np.random.default_rng(11)
+    n = 300
+    src = rng.choice(["a", "b", "c", "d"], n)
+    ids = rng.permutation(n).astype(np.int64) + 100
+    tbl = pa.table(
+        {"doc_id": pa.array(ids, pa.int64()), "source": pa.array(src, pa.string())}
+    )
+    weights = {"a": 0.5, "b": 0.3, "c": 0.2}  # 'd' dropped entirely
+    total = 60
+    out = (
+        resample_to_mixture(
+            ray.data.from_arrow(tbl).repartition(6), "source", weights, total
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+
+    def h(i):
+        d = hashlib.md5(str(i).encode()).digest()
+        return struct.unpack("<Q", d[8:16])[0] % 2**63
+
+    for g, w in weights.items():
+        cap = int(w * total)
+        members = sorted((i for i, s in zip(ids, src) if s == g), key=lambda i: (h(i), i))
+        expect = set(members[:cap])
+        got = set(out[out["source"] == g]["doc_id"])
+        assert got == expect, g
+        assert len(got) == min(cap, len(members))
+        # ranks are 1..cap in hash order
+        sub = out[out["source"] == g].set_index("doc_id")
+        for r, m in enumerate(members[:cap], 1):
+            assert sub.loc[m, "rank"] == r
+    assert (out["source"] != "d").all()
+    # a cap larger than the group keeps the whole group
+    out2 = resample_to_mixture(
+        ray.data.from_arrow(tbl), "source", {"a": 1.0}, 10_000
+    ).to_pandas()
+    assert len(out2) == (src == "a").sum()
+    with pytest.raises(ValueError, match="total"):
+        resample_to_mixture(ray.data.from_arrow(tbl), "source", {"a": 1.0}, -1)
