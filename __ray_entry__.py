@@ -747,6 +747,17 @@ def _q_perplexity_buckets(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_knn_graph(sf_dir: str):
+    """Exact 5-NN graph over the embeddings table (self excluded)."""
+    from image_deduplication_3m_images_ray.extras.similarity import knn_graph
+
+    out = knn_graph(
+        _embeddings(sf_dir).select_columns(["vec_id", "embedding"]), k=5
+    ).to_pandas()
+    out["cosine"] = np.round(out["cosine"], 6)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _q_hash_split(sf_dir: str):
     """Deterministic 90/5/5 train/val/test assignment by id-hash bucket."""
     from image_deduplication_3m_images_ray.extras.relational import hash_split
@@ -848,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "perplexity_buckets": _q_perplexity_buckets,
         "hash_split": _q_hash_split,
         "resample_mixture": _q_resample_mixture,
+        "knn_graph": _q_knn_graph,
     }
 
 
@@ -1714,6 +1726,22 @@ def oracle_sql() -> dict[str, str]:
                    CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM r ORDER BY doc_id
+        """,
+        "knn_graph": """
+            WITH s AS (
+                SELECT a.vec_id AS query_id, b.vec_id AS vec_id,
+                       list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                              CAST(b.embedding AS DOUBLE[])) AS c
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ),
+            r AS (
+                SELECT query_id, vec_id, c,
+                       row_number() OVER (PARTITION BY query_id
+                                          ORDER BY c DESC, vec_id) AS rank
+                FROM s
+            )
+            SELECT query_id, vec_id, round(c, 6) AS cosine, rank
+            FROM r WHERE rank <= 5 ORDER BY query_id, rank
         """,
         "hash_split": """
             WITH b AS (SELECT doc_id,

@@ -90,6 +90,69 @@ def ann_brute_force_topk(
     return partial.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
 
 
+def knn_graph(
+    embeddings: Dataset,
+    k: int = 10,
+    exclude_self: bool = True,
+    broadcast_max_rows: int = 100_000,
+    concurrency: int = 4,
+    batch_size: int = 4096,
+) -> Dataset:
+    """Exact k-nearest-neighbor graph over the table's own vectors.
+
+    Every vector is both query and candidate: the normalized matrix is
+    broadcast ONCE (``ray.put``), the same pinned dataset streams through
+    :class:`_TopKActor` batch-by-batch (one float64 matmul per batch,
+    partial top-(k+1) per batch so dropping the self-hit still leaves k
+    candidates), and a per-query merge takes the global top-k.  The
+    ``materialize()``-once / count / broadcast / scan discipline mirrors
+    :func:`dedup_ops.embedding_cosine_pairs`, including the explicit RAISE
+    above ``broadcast_max_rows``: at corpus scale use
+    :func:`ann_ivf_topk` with the corpus itself as the query shard stream
+    (approximate recall) instead of silently degrading.
+
+    Output: (query_id, vec_id, cosine, rank) with rank 1..k per query over
+    ``ORDER BY cosine DESC, vec_id``; self-pairs excluded by default.
+    The k-NN graph is the input to graph-based semantic dedup and
+    duplicate-cluster mining (SemDeDup-style pipelines).
+    """
+    import ray as _ray
+
+    if k < 1:
+        raise ValueError("knn_graph: k must be >= 1")
+    mat_ds = embeddings.materialize()
+    n = mat_ds.count()
+    if n > broadcast_max_rows:
+        raise ValueError(
+            f"knn_graph: {n} rows exceed broadcast_max_rows="
+            f"{broadcast_max_rows} for the exact plan; run ann_ivf_topk "
+            "with the table streamed as queries for the approximate scale "
+            "path, or raise the bound if the matrix fits every worker heap"
+        )
+    tbl = pa.concat_tables(_ray.get(mat_ds.to_arrow_refs())).combine_chunks()
+    ids, matrix = embeddings_to_matrix(tbl)
+    ref = _ray.put((ids, _l2_normalize(matrix)))
+    kk = k + 1 if exclude_self else k
+    partial = mat_ds.map_batches(
+        _TopKActor,
+        fn_constructor_args=(ref, kk),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        out = g.sort_values(["cosine", "vec_id"], ascending=[False, True], kind="mergesort")
+        if exclude_self:
+            out = out[out["vec_id"] != out["query_id"]]
+        out = out.head(k).copy()
+        out["rank"] = np.arange(1, len(out) + 1, dtype=np.int64)
+        return out
+
+    return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
 def _hyperplane_margins(matrix: np.ndarray, n_bits: int, seed: int) -> np.ndarray:
     """(n, n_bits) signed projections onto the table's random hyperplanes.
 

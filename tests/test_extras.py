@@ -1434,3 +1434,37 @@ def test_gopher_quality_matches_python_reference(ray_session):
     assert out.loc[7, "symbol_ratio"] == pytest.approx(4 / 4)
     assert out.loc[6, "n_stop"] == 1
     assert out.loc[5, "alpha_word_ratio"] == 0.0
+
+
+def test_knn_graph_matches_numpy(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.similarity import knn_graph
+
+    tbl, _ = _embeddings(n=120, d=16, seed=9)
+    ds = ray.data.from_arrow(tbl).repartition(4)
+    m = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = norm @ norm.T
+    k = 4
+    out = knn_graph(ds, k=k, concurrency=2, batch_size=32).to_pandas()
+    assert len(out) == 120 * k
+    for qi in range(120):
+        row = sim[qi].copy()
+        row[qi] = -np.inf  # self excluded
+        expect = list(np.lexsort((np.arange(120), -row))[:k])
+        sub = out[out["query_id"] == qi].sort_values("rank")
+        assert list(sub["vec_id"]) == expect, qi
+        assert list(sub["rank"]) == [1, 2, 3, 4]
+        assert (sub["vec_id"] != qi).all()
+    # include_self: self is always rank 1 at cosine 1.0
+    out2 = knn_graph(ds, k=2, exclude_self=False, batch_size=32).to_pandas()
+    first = out2[out2["rank"] == 1]
+    assert (first["vec_id"] == first["query_id"]).all()
+    assert np.allclose(first["cosine"], 1.0)
+    # explicit raise above the broadcast bound; k >= 1 validation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="broadcast_max_rows"):
+        knn_graph(ds, k=2, broadcast_max_rows=10)
+    with _pytest.raises(ValueError, match="k must be"):
+        knn_graph(ds, k=0)
