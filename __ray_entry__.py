@@ -747,6 +747,27 @@ def _q_perplexity_buckets(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_epoch_shuffle(sf_dir: str):
+    """Deterministic epoch-1 global shuffle order (salted-hash rank)."""
+    from image_deduplication_3m_images_ray.extras.transforms import epoch_shuffle
+
+    return epoch_shuffle(
+        _docs(sf_dir).select_columns(["doc_id"]), epoch=1
+    ).sort("doc_id")
+
+
+def _q_centroid_distances(sf_dir: str):
+    """Cosine of every embedding to its label-group centroid (SemDeDup
+    cluster-hygiene signal)."""
+    from image_deduplication_3m_images_ray.extras.similarity import centroid_distances
+
+    out = centroid_distances(
+        _embeddings(sf_dir).select_columns(["vec_id", "embedding", "label"])
+    ).to_pandas()
+    out["cos_centroid"] = np.round(out["cos_centroid"], 6)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact 5-NN graph over the embeddings table (self excluded)."""
     from image_deduplication_3m_images_ray.extras.similarity import knn_graph
@@ -860,6 +881,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "resample_mixture": _q_resample_mixture,
         "knn_graph": _q_knn_graph,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "centroid_distances": _q_centroid_distances,
     }
 
 
@@ -1726,6 +1749,33 @@ def oracle_sql() -> dict[str, str]:
                    CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM r ORDER BY doc_id
+        """,
+        "epoch_shuffle": """
+            SELECT doc_id,
+                   CAST(row_number() OVER (
+                        ORDER BY md5_number_lower(CAST(doc_id AS VARCHAR)
+                                                  || ':' || '1')
+                                 % 9223372036854775808,
+                                 doc_id) AS BIGINT) AS pos
+            FROM documents ORDER BY doc_id
+        """,
+        "centroid_distances": """
+            WITH e AS (SELECT vec_id, label,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            u AS (SELECT vec_id, label, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos
+                  FROM e),
+            c AS (SELECT label, pos, avg(x) AS cx FROM u GROUP BY label, pos),
+            d AS (SELECT u.vec_id, u.label,
+                         sum(u.x * c.cx) AS dot,
+                         sum(u.x * u.x) AS vv,
+                         sum(c.cx * c.cx) AS cc
+                  FROM u JOIN c USING (label, pos)
+                  GROUP BY u.vec_id, u.label)
+            SELECT vec_id, label,
+                   round(dot / (sqrt(vv) * sqrt(cc)), 6) AS cos_centroid
+            FROM d ORDER BY vec_id
         """,
         "knn_graph": """
             WITH s AS (

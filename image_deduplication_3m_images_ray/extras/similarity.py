@@ -153,6 +153,120 @@ def knn_graph(
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
 
 
+def centroid_distances(
+    embeddings: Dataset,
+    label_col: str = "label",
+    concurrency: int = 4,
+    batch_size: int = 4096,
+    max_labels: int = 100_000,
+) -> Dataset:
+    """Cosine of every vector to its own group's mean-embedding centroid.
+
+    The SemDeDup-style cluster-hygiene signal (Abbas et al. 2023): within a
+    (pre-assigned) cluster, vectors far from the centroid are outliers and
+    near-centroid extreme values flag degenerate clusters; semantic-dedup
+    keep-policies also rank cluster members by this value.
+
+    Two passes over a materialize()d input, no all-to-all exchange:
+
+    1. PARTIALS — each batch folds to (label, count, sum-vector) with one
+       ``np.unique`` + ``np.add.at``; per-block output is O(labels x dim),
+       merged on the driver (the per-block-scalars contract — ``label_col``
+       must be low-cardinality, enforced by ``max_labels``).
+    2. SCORE — centroids broadcast once via ``ray.put``; each batch computes
+       ``cos(v, c_label)`` with vectorized float64 arithmetic.
+
+    Output: (vec_id, label, cos_centroid).  Float caveat: centroid sums
+    fold block-wise, DuckDB's fold row-wise — both are exact to ~1e-13
+    relative, far inside the oracle's 1e-6 rounding quantum (the
+    ``embedding_cosine_pairs`` tolerance argument).
+    """
+    import ray as _ray
+
+    pinned = embeddings.materialize()
+
+    def partials(t: pa.Table) -> pa.Table:
+        ids, rows = embeddings_to_matrix(t)
+        labels = np.asarray(t[label_col].to_numpy(zero_copy_only=False))
+        ul, inv = np.unique(labels, return_inverse=True)
+        sums = np.zeros((len(ul), rows.shape[1]), np.float64)
+        np.add.at(sums, inv, rows)
+        counts = np.bincount(inv, minlength=len(ul)).astype(np.int64)
+        return pa.table(
+            {
+                "label": pa.array(ul),
+                "n": pa.array(counts, pa.int64()),
+                "s": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sums.reshape(-1), pa.float64()), sums.shape[1]
+                ),
+            }
+        )
+
+    part_tbls = [
+        b
+        for b in _ray.get(
+            pinned.map_batches(
+                partials, batch_format="pyarrow", batch_size=batch_size,
+                zero_copy_batch=True,
+            ).to_arrow_refs()
+        )
+        if b.num_rows
+    ]
+    if not part_tbls:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    label_col: pa.array([], pa.int64()),
+                    "cos_centroid": pa.array([], pa.float64()),
+                }
+            )
+        )
+    merged = pa.concat_tables(part_tbls).combine_chunks()
+    lbl = np.asarray(merged["label"].to_numpy(zero_copy_only=False))
+    ul, inv = np.unique(lbl, return_inverse=True)
+    if len(ul) > max_labels:
+        raise ValueError(
+            f"centroid_distances: {len(ul)} labels exceed max_labels="
+            f"{max_labels}; this operator broadcasts one centroid per label "
+            "— shard by label range upstream for higher-cardinality keys"
+        )
+    d = merged.schema.field("s").type.list_size
+    sums = np.asarray(
+        merged["s"].combine_chunks().flatten().to_numpy(zero_copy_only=False),
+        dtype=np.float64,
+    ).reshape(len(lbl), d)
+    tot = np.zeros((len(ul), d), np.float64)
+    np.add.at(tot, inv, sums)
+    cnt = np.zeros(len(ul), np.int64)
+    np.add.at(cnt, inv, np.asarray(merged["n"].to_numpy(zero_copy_only=False)))
+    centroids = tot / cnt[:, None]
+    ref = _ray.put((ul, centroids, np.sqrt(np.sum(centroids * centroids, axis=1))))
+
+    def score(t: pa.Table) -> pa.Table:
+        labels_sorted, cents, cnorms = _ray.get(ref)
+        ids, rows = embeddings_to_matrix(t)
+        labels = np.asarray(t[label_col].to_numpy(zero_copy_only=False))
+        li = np.searchsorted(labels_sorted, labels)
+        dot = np.einsum("ij,ij->i", rows, cents[li])
+        vnorm = np.sqrt(np.einsum("ij,ij->i", rows, rows))
+        cos = dot / (vnorm * cnorms[li])
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                label_col: t[label_col],
+                "cos_centroid": pa.array(cos, pa.float64()),
+            }
+        )
+
+    return pinned.map_batches(
+        score, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, zero_copy_batch=True,
+    )
+
+
 def _hyperplane_margins(matrix: np.ndarray, n_bits: int, seed: int) -> np.ndarray:
     """(n, n_bits) signed projections onto the table's random hyperplanes.
 

@@ -295,3 +295,44 @@ def sample_token_budget(
         return t.filter(pc.less(t["tok_offset"], budget)).drop_columns(["__hk"])
 
     return offsets.map_batches(keep, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def epoch_shuffle(ds: Dataset, epoch: int = 0, id_col: str = "doc_id") -> Dataset:
+    """Deterministic global training order for one epoch: every row's
+    position is the rank of ``md5(id ':' epoch)`` — a full reshuffle per
+    epoch that is reproducible across runs, machines and partitionings
+    (unlike ``random_shuffle``, whose order depends on block layout).
+
+    A training job consumes the corpus in ``pos`` order (or range-partitions
+    by ``pos`` into worker shards); resuming mid-epoch is "skip pos < N",
+    which a seeded in-memory shuffle cannot offer at 100 TB.  ONE
+    distributed sort (reuses :func:`relational.group_rank` under a constant
+    group key); the salted hash is reduced mod 2**63 so int64 rank order
+    matches the SQL oracle's UBIGINT order.
+
+    Output: (id_col, pos), pos = 1-based position in the epoch's order.
+    """
+    from ..functions.hashing import md5_u64
+    from .relational import group_rank
+
+    if epoch < 0:
+        raise ValueError("epoch_shuffle: epoch must be >= 0")
+    salt = str(epoch)
+
+    def add_h(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t[id_col], pa.string())
+        salted = pc.binary_join_element_wise(ids, salt, ":")
+        h = (md5_u64(salted.to_pylist()) % np.uint64(2**63)).astype(np.int64)
+        out = t.select([id_col])
+        out = out.append_column("__h", pa.array(h, pa.int64()))
+        return out.append_column("__k", pa.array(np.zeros(len(h), np.int8), pa.int8()))
+
+    withh = ds.map_batches(add_h, batch_format="pyarrow", zero_copy_batch=True)
+    ranked = group_rank(
+        withh, key="__k", value="__h", id_col=id_col, descending=False, ntile=1
+    )
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({id_col: t[id_col], "pos": t["rank"]})
+
+    return ranked.map_batches(finish, batch_format="pyarrow", zero_copy_batch=True)

@@ -1468,3 +1468,40 @@ def test_knn_graph_matches_numpy(ray_session):
         knn_graph(ds, k=2, broadcast_max_rows=10)
     with _pytest.raises(ValueError, match="k must be"):
         knn_graph(ds, k=0)
+
+
+def test_centroid_distances_matches_numpy(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.similarity import centroid_distances
+
+    rng = np.random.default_rng(21)
+    n, d = 150, 8
+    m = rng.standard_normal((n, d))
+    labels = rng.integers(0, 4, n).astype(np.int32)
+    labels[0] = 9  # singleton label: cosine to its own centroid is 1.0
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.astype(np.float32).reshape(-1), pa.float32()), d
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    out = (
+        centroid_distances(ray.data.from_arrow(tbl).repartition(5), batch_size=32)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    m64 = m.astype(np.float32).astype(np.float64)  # replay the storage cast
+    for lab in np.unique(labels):
+        rows = m64[labels == lab]
+        c = rows.mean(axis=0)
+        for vid in np.nonzero(labels == lab)[0]:
+            v = m64[vid]
+            expect = v @ c / (np.linalg.norm(v) * np.linalg.norm(c))
+            assert out.loc[vid, "cos_centroid"] == pytest.approx(expect, abs=1e-9), vid
+    assert out.loc[0, "cos_centroid"] == pytest.approx(1.0)
+    with pytest.raises(ValueError, match="max_labels"):
+        centroid_distances(ray.data.from_arrow(tbl), max_labels=2)

@@ -196,3 +196,40 @@ def test_chunk_and_pack_handle_null_text(ray_session):
     pk = pk.sort_values("doc_id").reset_index(drop=True)
     assert list(pk["n_tokens"]) == [1, 0, 1]
     assert list(pk["tok_offset"]) == [0, 1, 1]
+
+
+def test_epoch_shuffle_deterministic_permutation(ray_session):
+    import hashlib
+    import struct
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.transforms import epoch_shuffle
+
+    n = 200
+    ids = (np.arange(n, dtype=np.int64) * 13 + 5)[::-1].copy()
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+    def h(i, epoch):
+        d = hashlib.md5(f"{i}:{epoch}".encode()).digest()
+        return struct.unpack("<Q", d[8:16])[0] % 2**63
+
+    out = (
+        epoch_shuffle(ray.data.from_arrow(tbl).repartition(7), epoch=3)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert sorted(out["pos"]) == list(range(1, n + 1))  # a permutation
+    expect = sorted(ids, key=lambda i: (h(i, 3), i))
+    for rank, i in enumerate(expect, 1):
+        assert out.loc[i, "pos"] == rank
+    # a different epoch is a different permutation of the same ids
+    out0 = epoch_shuffle(ray.data.from_arrow(tbl), epoch=0).to_pandas().set_index("doc_id")
+    assert sorted(out0["pos"]) == list(range(1, n + 1))
+    assert (out0["pos"].reindex(out.index) != out["pos"]).any()
+    # partitioning does not change the order
+    out2 = epoch_shuffle(ray.data.from_arrow(tbl), epoch=3).to_pandas().set_index("doc_id")
+    assert (out2["pos"].reindex(out.index) == out["pos"]).all()
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="epoch"):
+        epoch_shuffle(ray.data.from_arrow(tbl), epoch=-1)
