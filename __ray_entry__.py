@@ -747,6 +747,37 @@ def _q_perplexity_buckets(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_collocations(sf_dir: str):
+    """PMI collocations over the exact top-40 vocabulary (doc-level
+    probabilities, min 3 co-occurring docs)."""
+    from image_deduplication_3m_images_ray.extras.textstats import collocations
+
+    out = collocations(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), vocab_size=40, min_count=3
+    ).to_pandas()
+    out["pmi"] = np.round(out["pmi"], 6)
+    return out
+
+
+def _q_importance_sample(sf_dir: str):
+    """Deterministic Bernoulli(weight) keep with weight = min(n_chars,2000)/2000."""
+    import pyarrow as pa
+
+    from image_deduplication_3m_images_ray.extras.relational import importance_sample
+
+    def add_w(t: pa.Table) -> pa.Table:
+        nc = np.asarray(t["n_chars"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        w = np.minimum(nc, 2000) / 2000.0
+        return t.append_column("weight", pa.array(w, pa.float64()))
+
+    ds = (
+        _docs(sf_dir)
+        .select_columns(["doc_id", "n_chars"])
+        .map_batches(add_w, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return importance_sample(ds, "weight").sort("doc_id")
+
+
 def _q_epoch_shuffle(sf_dir: str):
     """Deterministic epoch-1 global shuffle order (salted-hash rank)."""
     from image_deduplication_3m_images_ray.extras.transforms import epoch_shuffle
@@ -883,6 +914,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_graph": _q_knn_graph,
         "epoch_shuffle": _q_epoch_shuffle,
         "centroid_distances": _q_centroid_distances,
+        "collocations": _q_collocations,
+        "importance_sample": _q_importance_sample,
     }
 
 
@@ -1749,6 +1782,40 @@ def oracle_sql() -> dict[str, str]:
                    CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                         ELSE 'tail' END AS bucket
             FROM r ORDER BY doc_id
+        """,
+        "collocations": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            tok AS (SELECT DISTINCT doc_id, term FROM
+                    (SELECT doc_id, unnest(string_split(nt, ' ')) AS term FROM n)),
+            alltok AS (SELECT unnest(string_split(nt, ' ')) AS term FROM n),
+            tc AS (SELECT term, count(*) AS c FROM alltok GROUP BY term),
+            vocab AS (SELECT term FROM tc ORDER BY c DESC, term ASC LIMIT 40),
+            hits AS (SELECT doc_id, term FROM tok JOIN vocab USING (term)),
+            df AS (SELECT term, count(*) AS nd FROM hits GROUP BY term),
+            nn AS (SELECT count(*) AS n_total FROM documents),
+            prs AS (SELECT a.term AS term_a, b.term AS term_b,
+                           count(*) AS n_ab
+                    FROM hits a JOIN hits b
+                      ON a.doc_id = b.doc_id AND a.term < b.term
+                    GROUP BY 1, 2 HAVING count(*) >= 3)
+            SELECT term_a, term_b, CAST(n_ab AS BIGINT) AS n_ab,
+                   round(log2(CAST(n_ab * nn.n_total AS DOUBLE)
+                              / (da.nd * db.nd)), 6) AS pmi
+            FROM prs
+            CROSS JOIN nn
+            JOIN df da ON da.term = prs.term_a
+            JOIN df db ON db.term = prs.term_b
+            ORDER BY term_a, term_b
+        """,
+        "importance_sample": """
+            SELECT doc_id, n_chars,
+                   least(n_chars, 2000) / 2000.0 AS weight
+            FROM documents
+            WHERE CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                       % 9223372036854775808 AS DOUBLE)
+                  / 9223372036854775808.0
+                  < least(n_chars, 2000) / 2000.0
+            ORDER BY doc_id
         """,
         "epoch_shuffle": """
             SELECT doc_id,

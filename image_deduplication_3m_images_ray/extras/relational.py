@@ -307,6 +307,33 @@ def sample_uniform(ds: Dataset, id_col: str = "doc_id", mod: int = 10, keep: int
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def importance_sample(
+    ds: Dataset, weight_col: str, id_col: str = "doc_id"
+) -> Dataset:
+    """Deterministic per-row Bernoulli(weight) keep: a row survives iff
+    ``md5(id) mod 2^63, as a [0, 1) double, < weight``.
+
+    The quality-weighted soft-filtering step (keep high-quality docs with
+    probability ~1, low-quality with probability ~w) with every property a
+    resumable 100 TB pipeline needs: stateless, shuffle-free, and the SAME
+    rows survive on every run, machine and partitioning — plus SQL-exact
+    (the uint63 -> double cast rounds identically in numpy and DuckDB, and
+    dividing by 2^63 is exact).  Weights outside [0, 1] behave as clamped:
+    w <= 0 never keeps, w >= 1 always keeps.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        h = (_md5_id_column(t, id_col) % np.uint64(2**63)).astype(
+            np.float64
+        ) / float(2**63)
+        w = np.asarray(
+            t[weight_col].to_numpy(zero_copy_only=False), dtype=np.float64
+        )
+        return t.filter(pa.array(h < w))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def hash_split(
     ds: Dataset,
     fractions: dict,

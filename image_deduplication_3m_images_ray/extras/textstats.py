@@ -1495,6 +1495,54 @@ def frequent_terms_by_group(
     return _group_topk_terms(exact, "n", k)
 
 
+def _vocab_presence(t: pa.Table, vset: np.ndarray, vset_h: np.ndarray):
+    """Batch -> distinct (doc row index, vocab index) presence pairs.
+
+    One tokenize over the normalized text, a u64-hash prefilter against the
+    sorted vocab hashes (``np.isin`` string confirm only on maybe-hits), and
+    one composite ``np.unique`` for per-doc distinct presence.  Shared by
+    :func:`term_cooccurrence` and :func:`collocations`.
+    """
+    from ..functions.hashing import hash_tokens
+
+    norm = normalize_array(t["text"])
+    toks = pc.split_pattern(norm, pattern=" ")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    offs = offs - offs[0]
+    flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+    doc_of = np.repeat(np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs))
+    th = hash_tokens(flat)
+    pos = np.searchsorted(vset_h, th)
+    pos[pos == len(vset_h)] = 0
+    maybe = vset_h[pos] == th
+    hit = np.zeros(len(flat), dtype=bool)
+    if maybe.any():
+        hit[maybe] = np.isin(flat[maybe], vset)
+    if not hit.any():
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    d = doc_of[hit]
+    vidx = np.searchsorted(vset, flat[hit])  # exact: all are members
+    key = np.unique(d * len(vset) + vidx)
+    return key // len(vset), key % len(vset)
+
+
+def _presence_pairs(dd: np.ndarray, vv: np.ndarray):
+    """Per-doc unordered vocab-index pairs from distinct presence arrays."""
+    from ..util import segment_bounds
+
+    starts = segment_bounds(dd) if len(dd) else np.zeros(1, np.int64)
+    a_p, b_p = [], []
+    for s, e in zip(starts[:-1], starts[1:]):
+        if e - s < 2:
+            continue
+        ia, ib = np.triu_indices(e - s, k=1)
+        a_p.append(vv[s:e][ia])
+        b_p.append(vv[s:e][ib])
+    return a_p, b_p
+
+
 def term_cooccurrence(
     docs: Dataset,
     vocab_size: int = 100,
@@ -1534,23 +1582,7 @@ def term_cooccurrence(
 
     def pairs(t: pa.Table) -> pa.Table:
         vset, vset_h = ray.get(vref)
-        norm = normalize_array(t["text"])
-        toks = pc.split_pattern(norm, pattern=" ")
-        if isinstance(toks, pa.ChunkedArray):
-            toks = toks.combine_chunks()
-        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-        offs = offs - offs[0]
-        flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
-        doc_of = np.repeat(
-            np.arange(len(offs) - 1, dtype=np.int64), np.diff(offs)
-        )
-        th = hash_tokens(flat)
-        pos = np.searchsorted(vset_h, th)
-        pos[pos == len(vset_h)] = 0
-        maybe = vset_h[pos] == th
-        hit = np.zeros(len(flat), dtype=bool)
-        if maybe.any():
-            hit[maybe] = np.isin(flat[maybe], vset)
+        dd, vv = _vocab_presence(t, vset, vset_h)
         empty = pa.table(
             {
                 "term_a": pa.array([], pa.string()),
@@ -1558,22 +1590,7 @@ def term_cooccurrence(
                 "n_docs": pa.array([], pa.int64()),
             }
         )
-        if not hit.any():
-            return empty
-        d = doc_of[hit]
-        vidx = np.searchsorted(vset, flat[hit])  # exact: all are members
-        # distinct (doc, vocab term) presence
-        key = np.unique(d * len(vset) + vidx)
-        dd, vv = key // len(vset), key % len(vset)
-        # per-doc pair emission: docs with >= 2 distinct vocab terms
-        starts = segment_bounds(dd) if len(dd) else np.zeros(1, np.int64)
-        a_p, b_p = [], []
-        for s, e in zip(starts[:-1], starts[1:]):
-            if e - s < 2:
-                continue
-            ia, ib = np.triu_indices(e - s, k=1)
-            a_p.append(vv[s:e][ia])
-            b_p.append(vv[s:e][ib])
+        a_p, b_p = _presence_pairs(dd, vv)
         if not a_p:
             return empty
         a = np.concatenate(a_p)
@@ -1601,3 +1618,117 @@ def term_cooccurrence(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def collocations(
+    docs: Dataset,
+    vocab_size: int = 100,
+    min_count: int = 2,
+    capacity: int = 4096,
+    batch_size: int = 4096,
+) -> Dataset:
+    """Doc-level PMI collocations over the certified-exact top-V vocabulary.
+
+    ``pmi(a, b) = log2(n_ab * N / (n_a * n_b))`` with doc-level
+    probabilities: ``n_ab`` = docs containing both terms, ``n_a`` = docs
+    containing the term, ``N`` = total docs.  One tagged-union combiner pass
+    (kind 0 = pair partials, kind 1 = per-term doc-frequency partials — the
+    :func:`_vocab_presence` kernel feeds both) into ONE small groupby; the
+    fold-out is <= V + V*(V-1)/2 rows by construction, so the final PMI
+    assembly is a bounded driver-side join.  The integer product
+    ``n_ab * N`` is formed before the single float division, matching the
+    SQL oracle bit-for-bit up to log2's 1-ulp (absorbed by the 1e-6 round).
+
+    Output: (term_a < term_b, n_ab >= min_count, pmi), sorted.
+    """
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..functions.hashing import hash_tokens
+
+    vocab_pd = frequent_terms(
+        docs, k=vocab_size, capacity=capacity, batch_size=batch_size
+    ).to_pandas()
+    vocab = np.sort(vocab_pd["term"].to_numpy(dtype=object))
+    vocab_h = np.sort(hash_tokens(vocab))
+    vref = ray.put((vocab, vocab_h))
+    n_total = docs.count()
+
+    def fold(t: pa.Table) -> pa.Table:
+        vset, vset_h = ray.get(vref)
+        dd, vv = _vocab_presence(t, vset, vset_h)
+        kinds, tas, tbs, ns = [], [], [], []
+        if len(vv):
+            uv, cv = np.unique(vv, return_counts=True)
+            kinds.append(np.ones(len(uv), np.int8))
+            tas.append(vset[uv])
+            tbs.append(np.full(len(uv), "", dtype=object))
+            ns.append(cv.astype(np.int64))
+        a_p, b_p = _presence_pairs(dd, vv)
+        if a_p:
+            a, b = np.concatenate(a_p), np.concatenate(b_p)
+            pk, cnt = np.unique(a * len(vset) + b, return_counts=True)
+            kinds.append(np.zeros(len(pk), np.int8))
+            tas.append(vset[pk // len(vset)])
+            tbs.append(vset[pk % len(vset)])
+            ns.append(cnt.astype(np.int64))
+        return pa.table(
+            {
+                "kind": pa.array(
+                    np.concatenate(kinds) if kinds else np.zeros(0, np.int8),
+                    pa.int8(),
+                ),
+                "term_a": pa.array(
+                    np.concatenate(tas) if tas else np.zeros(0, object),
+                    pa.string(),
+                ),
+                "term_b": pa.array(
+                    np.concatenate(tbs) if tbs else np.zeros(0, object),
+                    pa.string(),
+                ),
+                "n": pa.array(
+                    np.concatenate(ns) if ns else np.zeros(0, np.int64),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    small = (
+        docs.map_batches(
+            fold, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        .groupby(["kind", "term_a", "term_b"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    df = small[small["kind"] == 1].set_index("term_a")["n"]
+    prs = small[(small["kind"] == 0) & (small["n"] >= min_count)]
+    if len(prs) == 0:
+        out = pd.DataFrame(
+            {
+                "term_a": pd.Series([], dtype=object),
+                "term_b": pd.Series([], dtype=object),
+                "n_ab": pd.Series([], dtype=np.int64),
+                "pmi": pd.Series([], dtype=np.float64),
+            }
+        )
+        return ray.data.from_pandas(out)
+    n_ab = prs["n"].to_numpy(np.int64)
+    n_a = df.reindex(prs["term_a"]).to_numpy(np.int64)
+    n_b = df.reindex(prs["term_b"]).to_numpy(np.int64)
+    pmi = np.log2((n_ab * n_total).astype(np.float64) / (n_a * n_b))
+    out = (
+        pd.DataFrame(
+            {
+                "term_a": prs["term_a"].to_numpy(dtype=object),
+                "term_b": prs["term_b"].to_numpy(dtype=object),
+                "n_ab": n_ab,
+                "pmi": pmi,
+            }
+        )
+        .sort_values(["term_a", "term_b"])
+        .reset_index(drop=True)
+    )
+    return ray.data.from_pandas(out)

@@ -1505,3 +1505,89 @@ def test_centroid_distances_matches_numpy(ray_session):
     assert out.loc[0, "cos_centroid"] == pytest.approx(1.0)
     with pytest.raises(ValueError, match="max_labels"):
         centroid_distances(ray.data.from_arrow(tbl), max_labels=2)
+
+
+def test_collocations_pmi_matches_counter(ray_session):
+    import collections
+    import itertools
+    import math
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import collocations
+    from image_deduplication_3m_images_ray.functions.text import normalize_text
+
+    rng = np.random.default_rng(17)
+    vocab = [f"t{i}" for i in range(12)]
+    docs = []
+    for _ in range(80):
+        n = int(rng.integers(3, 15))
+        docs.append(" ".join(rng.choice(vocab, n)))
+    docs.append("")  # empty doc still counts toward N
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs, pa.string()),
+        }
+    )
+    out = (
+        collocations(
+            ray.data.from_arrow(t).repartition(4), vocab_size=8, min_count=2,
+            batch_size=16,
+        )
+        .to_pandas()
+        .set_index(["term_a", "term_b"])
+    )
+    # python reference over the SAME top-8 vocabulary (count desc, term asc)
+    allcnt = collections.Counter(
+        w for d in docs for w in normalize_text(d).split(" ") if d
+    )
+    top = sorted(allcnt, key=lambda w: (-allcnt[w], w))[:8]
+    df = collections.Counter()
+    co = collections.Counter()
+    for d in docs:
+        present = sorted(set(normalize_text(d).split(" ")) & set(top))
+        df.update(present)
+        co.update(itertools.combinations(present, 2))
+    N = len(docs)
+    expect = {p: c for p, c in co.items() if c >= 2}
+    assert set(out.index) == set(expect)
+    for (a, b), c in expect.items():
+        assert out.loc[(a, b), "n_ab"] == c
+        pmi = math.log2(c * N / (df[a] * df[b]))
+        assert out.loc[(a, b), "pmi"] == pytest.approx(pmi, abs=1e-9)
+
+
+def test_importance_sample_deterministic(ray_session):
+    import hashlib
+    import struct
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.relational import importance_sample
+
+    n = 500
+    ids = np.arange(n, dtype=np.int64) + 1000
+    w = np.where(ids % 3 == 0, 0.0, np.where(ids % 3 == 1, 1.0, 0.4))
+    t = pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "weight": pa.array(w, pa.float64()),
+        }
+    )
+    out = (
+        importance_sample(ray.data.from_arrow(t).repartition(6), "weight")
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+
+    def u(i):
+        d = hashlib.md5(str(i).encode()).digest()
+        return (struct.unpack("<Q", d[8:16])[0] % 2**63) / 2**63
+
+    expect = {int(i) for i, wi in zip(ids, w) if u(i) < wi}
+    assert set(out["doc_id"]) == expect
+    assert not any(i % 3 == 0 for i in out["doc_id"])  # w=0 never kept
+    kept1 = {int(i) for i in out["doc_id"] if i % 3 == 1}
+    assert kept1 == {int(i) for i in ids if i % 3 == 1}  # w=1 always kept
+    # w=0.4 keeps ~40%
+    n04 = sum(1 for i in out["doc_id"] if i % 3 == 2)
+    assert 0.25 * (n / 3) < n04 < 0.55 * (n / 3)
