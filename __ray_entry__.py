@@ -845,6 +845,18 @@ def _q_gopher_quality(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_curate_corpus(sf_dir: str):
+    """End-to-end curation: Gopher filter -> exact dedup keep-first ->
+    CCNet perplexity-bucket cut (head+middle kept), as one composition."""
+    from image_deduplication_3m_images_ray.extras.curate import curate_corpus
+
+    # min_stopwords=1 for the same synthetic-corpus reason as _q_gopher_quality
+    return curate_corpus(
+        _docs(sf_dir).select_columns(["doc_id", "text", "lang"]),
+        gopher_kwargs={"min_stopwords": 1},
+    ).sort("doc_id")
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -916,6 +928,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "centroid_distances": _q_centroid_distances,
         "collocations": _q_collocations,
         "importance_sample": _q_importance_sample,
+        "curate_corpus": _q_curate_corpus,
     }
 
 
@@ -930,10 +943,12 @@ _NORM = "trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))"
 # the self-trained add-one bigram LM score per doc (extras.lm.lm_score with
 # min_count=2), as a reusable CTE chain ending in
 # lmscored(doc_id, n_bigrams, n_oov, sum_microbits, bits_per_bigram) —
-# shared by the lm_perplexity and perplexity_buckets oracles
-_LM_SCORED_CTES = """
+# shared by the lm_perplexity / perplexity_buckets / curate_corpus oracles;
+# ``src`` is the (doc_id, text) relation the model trains on AND scores
+def _lm_scored_ctes(src: str = "documents") -> str:
+    return f"""
             tk AS (SELECT doc_id, string_split(text, ' ') AS toks
-                        FROM documents),
+                        FROM {src}),
             big AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
                         i -> toks[i] || ' ' || toks[i+1])) AS gram FROM tk),
             ctxtok AS (SELECT unnest(toks[1:len(toks)-1]) AS tok FROM tk),
@@ -962,8 +977,62 @@ _LM_SCORED_CTES = """
                    CASE WHEN agg.nb IS NULL THEN 0.0
                         ELSE CAST(agg.smb AS DOUBLE) / 1000000.0 / agg.nb
                    END AS bits_per_bigram
-            FROM documents d LEFT JOIN agg USING (doc_id))
+            FROM {src} d LEFT JOIN agg USING (doc_id))
 """
+
+
+_LM_SCORED_CTES = _lm_scored_ctes()
+
+
+# the Gopher rule metrics per doc (extras.textstats.gopher_quality), as a
+# reusable CTE chain ending in gqm(doc_id, n_words, mean_word_len,
+# symbol_ratio, alpha_word_ratio, n_stop) — the caller applies its own
+# threshold expression.  Shared by the gopher_quality and curate_corpus
+# oracles.
+def _gopher_metrics_ctes(src: str = "documents") -> str:
+    return f"""
+            gn AS (SELECT doc_id, {_NORM} AS nt FROM {src}),
+            gs AS (SELECT doc_id,
+                         length(nt) AS nc,
+                         CASE WHEN nt = '' THEN 0
+                              ELSE length(nt) - length(replace(nt, ' ', '')) + 1
+                         END AS nw,
+                         length(nt) - length(replace(nt, ' ', '')) AS nsp,
+                         length(nt) - length(replace(nt, '#', '')) AS nhash,
+                         (length(nt) - length(replace(nt, '...', ''))) // 3 AS nell,
+                         CASE WHEN nt = '' THEN 0
+                              ELSE len(list_filter(string_split(nt, ' '),
+                                                   x -> regexp_matches(x, '[a-z]')))
+                         END AS nalpha,
+                         (CASE WHEN contains(' ' || nt || ' ', ' the ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' be ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' to ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' of ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' and ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' that ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' have ') THEN 1 ELSE 0 END
+                          + CASE WHEN contains(' ' || nt || ' ', ' with ') THEN 1 ELSE 0 END
+                         ) AS nstop
+                  FROM gn),
+            gqm AS (SELECT doc_id,
+                         CAST(nw AS BIGINT) AS n_words,
+                         CASE WHEN nw > 0 THEN CAST(nc - nsp AS DOUBLE) / nw
+                              ELSE 0.0 END AS mean_word_len,
+                         CAST(nhash + nell AS DOUBLE) / greatest(nw, 1) AS symbol_ratio,
+                         CAST(nalpha AS DOUBLE) / greatest(nw, 1) AS alpha_word_ratio,
+                         CAST(nstop AS BIGINT) AS n_stop
+                  FROM gs)
+"""
+
+
+# the keep predicate at the thresholds every driver query uses
+# (published defaults except min_stopwords=1 — see _q_gopher_quality)
+_GOPHER_KEEP = """(n_words >= 50 AND n_words <= 100000
+                             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+                             AND symbol_ratio <= 0.1
+                             AND alpha_word_ratio >= 0.8
+                             AND n_stop >= 1)"""
+
 
 # the redact_pii oracle interpolates the SAME RE2 patterns the operator runs
 from image_deduplication_3m_images_ray.extras.transforms import PII_PATTERNS as _PII
@@ -1886,46 +1955,32 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY doc_id
         """,
         "gopher_quality": f"""
-            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
-            s AS (SELECT doc_id,
-                         length(nt) AS nc,
-                         CASE WHEN nt = '' THEN 0
-                              ELSE length(nt) - length(replace(nt, ' ', '')) + 1
-                         END AS nw,
-                         length(nt) - length(replace(nt, ' ', '')) AS nsp,
-                         length(nt) - length(replace(nt, '#', '')) AS nhash,
-                         (length(nt) - length(replace(nt, '...', ''))) // 3 AS nell,
-                         CASE WHEN nt = '' THEN 0
-                              ELSE len(list_filter(string_split(nt, ' '),
-                                                   x -> regexp_matches(x, '[a-z]')))
-                         END AS nalpha,
-                         (CASE WHEN contains(' ' || nt || ' ', ' the ') THEN 1 ELSE 0 END
-                          + CASE WHEN contains(' ' || nt || ' ', ' be ') THEN 1 ELSE 0 END
-                          + CASE WHEN contains(' ' || nt || ' ', ' to ') THEN 1 ELSE 0 END
-                          + CASE WHEN contains(' ' || nt || ' ', ' of ') THEN 1 ELSE 0 END
-                          + CASE WHEN contains(' ' || nt || ' ', ' and ') THEN 1 ELSE 0 END
-                          + CASE WHEN contains(' ' || nt || ' ', ' that ') THEN 1 ELSE 0 END
-                          + CASE WHEN contains(' ' || nt || ' ', ' have ') THEN 1 ELSE 0 END
-                          + CASE WHEN contains(' ' || nt || ' ', ' with ') THEN 1 ELSE 0 END
-                         ) AS nstop
-                  FROM n),
-            m AS (SELECT doc_id,
-                         CAST(nw AS BIGINT) AS n_words,
-                         CASE WHEN nw > 0 THEN CAST(nc - nsp AS DOUBLE) / nw
-                              ELSE 0.0 END AS mean_word_len,
-                         CAST(nhash + nell AS DOUBLE) / greatest(nw, 1) AS symbol_ratio,
-                         CAST(nalpha AS DOUBLE) / greatest(nw, 1) AS alpha_word_ratio,
-                         CAST(nstop AS BIGINT) AS n_stop
-                  FROM s)
+            WITH {_gopher_metrics_ctes()}
             SELECT doc_id, n_words, mean_word_len, symbol_ratio,
                    alpha_word_ratio, n_stop,
-                   CASE WHEN n_words >= 50 AND n_words <= 100000
-                             AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
-                             AND symbol_ratio <= 0.1
-                             AND alpha_word_ratio >= 0.8
-                             AND n_stop >= 1
-                        THEN 1 ELSE 0 END AS keep
-            FROM m ORDER BY doc_id
+                   CASE WHEN {_GOPHER_KEEP} THEN 1 ELSE 0 END AS keep
+            FROM gqm ORDER BY doc_id
+        """,
+        "curate_corpus": f"""
+            WITH {_gopher_metrics_ctes()},
+            kept AS (SELECT doc_id FROM gqm WHERE {_GOPHER_KEEP}),
+            surv AS (SELECT d.doc_id, d.text, d.lang
+                     FROM documents d JOIN kept USING (doc_id)
+                     QUALIFY row_number() OVER (PARTITION BY d.text
+                                                ORDER BY d.doc_id) = 1),
+            {_lm_scored_ctes("surv")},
+            j AS (SELECT s.doc_id, v.lang, s.bits_per_bigram
+                  FROM lmscored s JOIN surv v USING (doc_id)),
+            r AS (SELECT doc_id, lang, bits_per_bigram,
+                         CAST(row_number() OVER w AS BIGINT) AS rank,
+                         CAST(ntile(3) OVER w AS BIGINT) AS tile
+                  FROM j
+                  WINDOW w AS (PARTITION BY lang
+                               ORDER BY bits_per_bigram, doc_id))
+            SELECT doc_id, lang, bits_per_bigram, rank, tile,
+                   CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                        ELSE 'tail' END AS bucket
+            FROM r WHERE tile <= 2 ORDER BY doc_id
         """,
         "winsorize": """
             WITH b AS (SELECT lang,

@@ -52,6 +52,30 @@ def exact_dedup_clusters(docs: Dataset) -> Dataset:
     return sharded_group_map(hashed, ["text_hash"], assign, batch_format="pandas")
 
 
+def exact_dedup_keep_first_rows(docs: Dataset) -> Dataset:
+    """Distinct-by-text keep-min-doc_id, returning the survivors' FULL rows
+    (all input columns) — the composable form for pipelines that keep
+    processing the surviving text (:func:`extras.curate.curate_corpus`).
+    Same single hash-partitioned exchange as :func:`exact_dedup_clusters`,
+    with the byte-exact text split inside the group fn."""
+    import pandas as pd
+
+    from ..functions.hashing import U64, splitmix64
+    from ..util import sharded_group_map
+
+    def add_hash(t: pa.Table) -> pa.Table:
+        texts = np.asarray(t["text"].to_pylist(), dtype=object)
+        h = splitmix64(pd.util.hash_array(texts).astype(U64))
+        return t.append_column("text_hash", pa.array(h, pa.uint64()))
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        win = g.groupby(["text_hash", "text"], sort=False)["doc_id"].transform("min")
+        return g[g["doc_id"] == win].drop(columns=["text_hash"])
+
+    hashed = docs.map_batches(add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return sharded_group_map(hashed, ["text_hash"], first, batch_format="pandas")
+
+
 def exact_dedup_keep_first(docs: Dataset) -> Dataset:
     """Distinct-by-text keep-min-doc_id -> (doc_id) of the survivors."""
     clusters = exact_dedup_clusters(docs)

@@ -201,75 +201,128 @@ def gopher_quality(
     published web-text rule set.
     """
     sw = tuple(stopwords)
+    th = (
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_ratio, min_alpha_word_ratio, min_stopwords,
+    )
 
     def fn(t: pa.Table) -> pa.Table:
-        norm = normalize_array(t["text"])
-        arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
-        n_chars = np.asarray(
-            pc.utf8_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
-        )
-        offs, data = flat_utf8_view(arr)
-        ds_, de_ = offs[:-1], offs[1:]
-        nonempty = de_ > ds_
-        sp = np.nonzero(data == 32)[0]
-        n_sp = np.searchsorted(sp, de_) - np.searchsorted(sp, ds_)
-        n_words = np.where(nonempty, n_sp + 1, 0).astype(np.int64)
-        denom = np.maximum(n_words, 1).astype(np.float64)
-        mean_word_len = (n_chars - n_sp) / denom * (n_words > 0)
-        # symbols: '#' occurrences + non-overlapping '...' (SQL replace parity)
-        hashes = np.asarray(
-            pc.count_substring(arr, "#").cast(pa.int64()).to_numpy(zero_copy_only=False)
-        )
-        replaced = pc.replace_substring(arr, pattern="...", replacement="")
-        ell = (
-            n_chars
-            - np.asarray(
-                pc.utf8_length(replaced).cast(pa.int64()).to_numpy(zero_copy_only=False)
-            )
-        ) // 3
-        symbol_ratio = (hashes + ell) / denom
-        # words containing at least one [a-z] byte
-        alpha = (data >= 97) & (data <= 122)
-        csum = np.zeros(len(data) + 1, dtype=np.int64)
-        np.cumsum(alpha, out=csum[1:])
-        tok_starts = np.sort(np.concatenate([ds_[nonempty], sp + 1]))
-        tok_ends = np.sort(np.concatenate([sp, de_[nonempty]]))
-        has_alpha = (csum[tok_ends] - csum[tok_starts]) > 0
-        alpha_counts = np.zeros(len(n_words), dtype=np.int64)
-        if len(has_alpha):
-            base = np.concatenate([[0], np.cumsum(n_words)])[:-1]
-            alpha_counts[nonempty] = np.add.reduceat(
-                has_alpha.astype(np.int64), base[nonempty]
-            )
-        alpha_word_ratio = alpha_counts / denom
-        # distinct whole-token stopword presence
-        # join [" ", arr, " "] with "" separator (the LAST arg is the separator)
-        padded = pc.binary_join_element_wise(" ", arr, " ", "")
-        n_stop = np.zeros(len(n_words), dtype=np.int64)
-        for w in sw:
-            n_stop += np.asarray(
-                pc.match_substring(padded, f" {w} ").to_numpy(zero_copy_only=False)
-            )
-        keep = (
-            (n_words >= min_words)
-            & (n_words <= max_words)
-            & (mean_word_len >= min_mean_word_len)
-            & (mean_word_len <= max_mean_word_len)
-            & (symbol_ratio <= max_symbol_ratio)
-            & (alpha_word_ratio >= min_alpha_word_ratio)
-            & (n_stop >= min_stopwords)
-        )
+        m, keep = _gopher_metrics(t, sw, th)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "n_words": pa.array(n_words, pa.int64()),
-                "mean_word_len": pa.array(mean_word_len, pa.float64()),
-                "symbol_ratio": pa.array(symbol_ratio, pa.float64()),
-                "alpha_word_ratio": pa.array(alpha_word_ratio, pa.float64()),
-                "n_stop": pa.array(n_stop, pa.int64()),
+                "n_words": pa.array(m["n_words"], pa.int64()),
+                "mean_word_len": pa.array(m["mean_word_len"], pa.float64()),
+                "symbol_ratio": pa.array(m["symbol_ratio"], pa.float64()),
+                "alpha_word_ratio": pa.array(m["alpha_word_ratio"], pa.float64()),
+                "n_stop": pa.array(m["n_stop"], pa.int64()),
                 "keep": pa.array(keep.astype(np.int32), pa.int32()),
             }
         )
+
+    return docs.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+
+
+def _gopher_metrics(t: pa.Table, sw: tuple, th: tuple):
+    """Batch -> ({rule-value arrays}, composite keep bool array).
+
+    The vectorized Gopher rule kernel shared by :func:`gopher_quality`
+    (emit values) and :func:`gopher_filter` (filter rows).  ``th`` packs the
+    thresholds in :func:`gopher_quality` parameter order.
+    """
+    (min_words, max_words, min_mwl, max_mwl, max_sym, min_alpha, min_stop) = th
+    norm = normalize_array(t["text"])
+    arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+    n_chars = np.asarray(
+        pc.utf8_length(arr).cast(pa.int64()).to_numpy(zero_copy_only=False)
+    )
+    offs, data = flat_utf8_view(arr)
+    ds_, de_ = offs[:-1], offs[1:]
+    nonempty = de_ > ds_
+    sp = np.nonzero(data == 32)[0]
+    n_sp = np.searchsorted(sp, de_) - np.searchsorted(sp, ds_)
+    n_words = np.where(nonempty, n_sp + 1, 0).astype(np.int64)
+    denom = np.maximum(n_words, 1).astype(np.float64)
+    mean_word_len = (n_chars - n_sp) / denom * (n_words > 0)
+    # symbols: '#' occurrences + non-overlapping '...' (SQL replace parity)
+    hashes = np.asarray(
+        pc.count_substring(arr, "#").cast(pa.int64()).to_numpy(zero_copy_only=False)
+    )
+    replaced = pc.replace_substring(arr, pattern="...", replacement="")
+    ell = (
+        n_chars
+        - np.asarray(
+            pc.utf8_length(replaced).cast(pa.int64()).to_numpy(zero_copy_only=False)
+        )
+    ) // 3
+    symbol_ratio = (hashes + ell) / denom
+    # words containing at least one [a-z] byte
+    alpha = (data >= 97) & (data <= 122)
+    csum = np.zeros(len(data) + 1, dtype=np.int64)
+    np.cumsum(alpha, out=csum[1:])
+    tok_starts = np.sort(np.concatenate([ds_[nonempty], sp + 1]))
+    tok_ends = np.sort(np.concatenate([sp, de_[nonempty]]))
+    has_alpha = (csum[tok_ends] - csum[tok_starts]) > 0
+    alpha_counts = np.zeros(len(n_words), dtype=np.int64)
+    if len(has_alpha):
+        base = np.concatenate([[0], np.cumsum(n_words)])[:-1]
+        alpha_counts[nonempty] = np.add.reduceat(
+            has_alpha.astype(np.int64), base[nonempty]
+        )
+    alpha_word_ratio = alpha_counts / denom
+    # distinct whole-token stopword presence
+    # join [" ", arr, " "] with "" separator (the LAST arg is the separator)
+    padded = pc.binary_join_element_wise(" ", arr, " ", "")
+    n_stop = np.zeros(len(n_words), dtype=np.int64)
+    for w in sw:
+        n_stop += np.asarray(
+            pc.match_substring(padded, f" {w} ").to_numpy(zero_copy_only=False)
+        )
+    keep = (
+        (n_words >= min_words)
+        & (n_words <= max_words)
+        & (mean_word_len >= min_mwl)
+        & (mean_word_len <= max_mwl)
+        & (symbol_ratio <= max_sym)
+        & (alpha_word_ratio >= min_alpha)
+        & (n_stop >= min_stop)
+    )
+    metrics = {
+        "n_words": n_words,
+        "mean_word_len": mean_word_len,
+        "symbol_ratio": symbol_ratio,
+        "alpha_word_ratio": alpha_word_ratio,
+        "n_stop": n_stop,
+    }
+    return metrics, keep
+
+
+def gopher_filter(
+    docs: Dataset,
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_ratio: float = 0.8,
+    min_stopwords: int = 2,
+    stopwords: tuple = GOPHER_STOPWORDS,
+    batch_size: int = 4096,
+) -> Dataset:
+    """Keep only rows passing the composite :func:`gopher_quality` rule —
+    the filtering form for pipeline composition (all input columns pass
+    through; no exchange)."""
+    sw = tuple(stopwords)
+    th = (
+        min_words, max_words, min_mean_word_len, max_mean_word_len,
+        max_symbol_ratio, min_alpha_word_ratio, min_stopwords,
+    )
+
+    def fn(t: pa.Table) -> pa.Table:
+        _, keep = _gopher_metrics(t, sw, th)
+        return t.filter(pa.array(keep))
 
     return docs.map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
