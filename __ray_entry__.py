@@ -799,6 +799,20 @@ def _q_centroid_distances(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_semdedup(sf_dir: str):
+    """SemDeDup within-cluster duplicate flags (Abbas et al. 2023): drop a
+    vector iff a better-ranked same-cluster member (farther from the
+    centroid) lies within 0.3 cosine."""
+    from image_deduplication_3m_images_ray.extras.similarity import semdedup_prune
+
+    out = semdedup_prune(
+        _embeddings(sf_dir).select_columns(["vec_id", "embedding", "label"]),
+        threshold=0.3,
+    ).to_pandas()
+    out["cos_centroid"] = np.round(out["cos_centroid"], 6)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact 5-NN graph over the embeddings table (self excluded)."""
     from image_deduplication_3m_images_ray.extras.similarity import knn_graph
@@ -929,6 +943,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "collocations": _q_collocations,
         "importance_sample": _q_importance_sample,
         "curate_corpus": _q_curate_corpus,
+        "semdedup": _q_semdedup,
     }
 
 
@@ -1912,6 +1927,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, label,
                    round(dot / (sqrt(vv) * sqrt(cc)), 6) AS cos_centroid
             FROM d ORDER BY vec_id
+        """,
+        "semdedup": """
+            WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+                              CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            u AS (SELECT vec_id, label, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos
+                  FROM e),
+            c AS (SELECT label, pos, avg(x) AS cx FROM u GROUP BY label, pos),
+            d AS (SELECT u.vec_id, u.label,
+                         sum(u.x * c.cx) AS dot,
+                         sum(u.x * u.x) AS vv,
+                         sum(c.cx * c.cx) AS cc
+                  FROM u JOIN c USING (label, pos)
+                  GROUP BY u.vec_id, u.label),
+            cd AS (SELECT vec_id, label, dot / (sqrt(vv) * sqrt(cc)) AS cosc
+                   FROM d),
+            dup AS (SELECT DISTINCT i.vec_id
+                    FROM cd i
+                    JOIN cd j ON i.label = j.label AND i.vec_id <> j.vec_id
+                    JOIN e ei ON ei.vec_id = i.vec_id
+                    JOIN e ej ON ej.vec_id = j.vec_id
+                    WHERE list_cosine_similarity(ei.v, ej.v) >= 0.3
+                      AND (j.cosc < i.cosc
+                           OR (j.cosc = i.cosc AND j.vec_id < i.vec_id)))
+            SELECT cd.vec_id, cd.label, round(cd.cosc, 6) AS cos_centroid,
+                   CAST(CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END
+                        AS INTEGER) AS is_dup
+            FROM cd LEFT JOIN dup ON dup.vec_id = cd.vec_id
+            ORDER BY cd.vec_id
         """,
         "knn_graph": """
             WITH s AS (

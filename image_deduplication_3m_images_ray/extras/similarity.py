@@ -17,6 +17,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 
@@ -184,6 +185,58 @@ def centroid_distances(
     import ray as _ray
 
     pinned = embeddings.materialize()
+    ref = _label_centroids(pinned, label_col, batch_size, max_labels,
+                           "centroid_distances")
+    if ref is None:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    label_col: pa.array([], pa.int64()),
+                    "cos_centroid": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def score(t: pa.Table) -> pa.Table:
+        labels_sorted, cents, cnorms = _ray.get(ref)
+        ids, rows = embeddings_to_matrix(t)
+        labels = np.asarray(t[label_col].to_numpy(zero_copy_only=False))
+        li = np.searchsorted(labels_sorted, labels)
+        dot = np.einsum("ij,ij->i", rows, cents[li])
+        vnorm = np.sqrt(np.einsum("ij,ij->i", rows, rows))
+        cos = dot / (vnorm * cnorms[li])
+        return pa.table(
+            {
+                "vec_id": t["vec_id"],
+                label_col: t[label_col],
+                "cos_centroid": pa.array(cos, pa.float64()),
+            }
+        )
+
+    return pinned.map_batches(
+        score, batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency, zero_copy_batch=True,
+    )
+
+
+def _label_centroids(
+    pinned: Dataset, label_col: str, batch_size: int, max_labels: int, op: str
+):
+    """materialize()d (vec_id, embedding, label) -> ``ray.put``-ref of
+    (sorted unique labels, centroid matrix, centroid L2 norms), or None when
+    the input is empty.
+
+    The centroid pass shared by :func:`centroid_distances` and
+    :func:`semdedup_prune`: each block folds to (label, count, sum-vector)
+    partials — one ``np.unique`` + ``np.add.at`` per batch, so the driver
+    only ever sees O(labels x dim) scalars per block (``max_labels``
+    enforces the low-cardinality contract) — then merges and broadcasts the
+    centroids once.
+    """
+    import ray as _ray
 
     def partials(t: pa.Table) -> pa.Table:
         ids, rows = embeddings_to_matrix(t)
@@ -213,23 +266,13 @@ def centroid_distances(
         if b.num_rows
     ]
     if not part_tbls:
-        import ray.data as _rd
-
-        return _rd.from_arrow(
-            pa.table(
-                {
-                    "vec_id": pa.array([], pa.int64()),
-                    label_col: pa.array([], pa.int64()),
-                    "cos_centroid": pa.array([], pa.float64()),
-                }
-            )
-        )
+        return None
     merged = pa.concat_tables(part_tbls).combine_chunks()
     lbl = np.asarray(merged["label"].to_numpy(zero_copy_only=False))
     ul, inv = np.unique(lbl, return_inverse=True)
     if len(ul) > max_labels:
         raise ValueError(
-            f"centroid_distances: {len(ul)} labels exceed max_labels="
+            f"{op}: {len(ul)} labels exceed max_labels="
             f"{max_labels}; this operator broadcasts one centroid per label "
             "— shard by label range upstream for higher-cardinality keys"
         )
@@ -243,9 +286,66 @@ def centroid_distances(
     cnt = np.zeros(len(ul), np.int64)
     np.add.at(cnt, inv, np.asarray(merged["n"].to_numpy(zero_copy_only=False)))
     centroids = tot / cnt[:, None]
-    ref = _ray.put((ul, centroids, np.sqrt(np.sum(centroids * centroids, axis=1))))
+    return _ray.put((ul, centroids, np.sqrt(np.sum(centroids * centroids, axis=1))))
 
-    def score(t: pa.Table) -> pa.Table:
+
+def semdedup_prune(
+    embeddings: Dataset,
+    threshold: float = 0.9,
+    label_col: str = "label",
+    num_shards: int = 64,
+    batch_size: int = 4096,
+    max_labels: int = 100_000,
+) -> Dataset:
+    """SemDeDup (Abbas et al. 2023): flag semantic duplicates within each
+    pre-assigned cluster, keeping the member FARTHEST from its centroid.
+
+    A vector is a duplicate iff some same-cluster vector with a better keep
+    rank lies within ``threshold`` cosine of it, where keep rank orders a
+    cluster by (cos-to-centroid ASC, vec_id ASC) — the paper's "keep the
+    point with the lowest similarity to the centroid" policy, made
+    deterministic with the id tiebreak.  This one-pass dominance rule
+    (drop i iff exists j: cos(i, j) >= t and rank(j) < rank(i)) is
+    order-independent — unlike a greedy sweep, a vector dropped as a
+    duplicate still disqualifies its own neighbors, which only ever flags
+    MORE rows, never fewer; the SQL equivalent is a within-cluster EXISTS
+    self-join.
+
+    Shapes: centroid pass = :func:`_label_centroids` (per-block partials,
+    one broadcast); prune pass = ONE hash-by-label exchange through
+    ``sharded_group_map`` with a vectorized per-cluster matmul (cluster
+    sizes are assumed task-bounded — the SemDeDup setting, where k-means k
+    is sized for ~corpus/k members per cluster; split giant clusters
+    upstream, e.g. with :func:`ivf_assign_lists`).
+
+    Output: (vec_id, ``label_col``, cos_centroid, is_dup int32).  Keeping
+    ``is_dup = 0`` rows IS the pruned corpus; the flag form keeps the
+    operator audit-friendly (and hash-checkable) without a second pass.
+    Reference analog: /root/reference/modules/deduplication.py:1207-1283
+    (dense pairwise cosine over an embedding matrix).
+    """
+    from ..util import segment_bounds, sharded_group_map
+
+    pinned = embeddings.materialize()
+    ref = _label_centroids(pinned, label_col, batch_size, max_labels,
+                           "semdedup_prune")
+    import ray.data as _rd
+
+    empty = pa.table(
+        {
+            "vec_id": pa.array([], pa.int64()),
+            label_col: pa.array([], pa.int64()),
+            "cos_centroid": pa.array([], pa.float64()),
+            "is_dup": pa.array([], pa.int32()),
+        }
+    )
+    if ref is None:
+        return _rd.from_arrow(empty)
+
+    def attach(t: pa.Table) -> pa.Table:
+        """cos-to-centroid per row, embedding kept for the prune pass."""
+        import ray as _ray
+
         labels_sorted, cents, cnorms = _ray.get(ref)
         ids, rows = embeddings_to_matrix(t)
         labels = np.asarray(t[label_col].to_numpy(zero_copy_only=False))
@@ -256,15 +356,45 @@ def centroid_distances(
         return pa.table(
             {
                 "vec_id": t["vec_id"],
-                label_col: t[label_col],
+                label_col: pc.cast(t[label_col], pa.int64())
+                if not pa.types.is_int64(t.schema.field(label_col).type)
+                else t[label_col],
                 "cos_centroid": pa.array(cos, pa.float64()),
+                "embedding": t["embedding"],
             }
         )
 
-    return pinned.map_batches(
-        score, batch_format="pyarrow", batch_size=batch_size,
-        concurrency=concurrency, zero_copy_batch=True,
+    def prune(group: dict) -> dict:
+        labels = np.asarray(group[label_col], dtype=np.int64)
+        ids = np.asarray(group["vec_id"], dtype=np.int64)
+        cosc = np.asarray(group["cos_centroid"], dtype=np.float64)
+        emb = np.asarray(group["embedding"], dtype=object)
+        if not len(ids):
+            return {k: np.asarray(v) for k, v in empty.to_pydict().items()}
+        # keep-rank order within each cluster: (label, cos_centroid, vec_id)
+        order = np.lexsort((ids, cosc, labels))
+        labels, ids, cosc, emb = labels[order], ids[order], cosc[order], emb[order]
+        is_dup = np.zeros(len(ids), dtype=np.int32)
+        bounds = segment_bounds(labels)
+        for s in range(len(bounds) - 1):
+            lo, hi = bounds[s], bounds[s + 1]
+            if hi - lo < 2:
+                continue
+            rows = _l2_normalize(np.stack(emb[lo:hi]).astype(np.float64))
+            close = rows @ rows.T >= threshold
+            # dominated by any better-ranked (earlier) similar member
+            is_dup[lo:hi] = np.triu(close, 1).any(axis=0)
+        return {
+            "vec_id": ids,
+            label_col: labels,
+            "cos_centroid": cosc,
+            "is_dup": is_dup,
+        }
+
+    scored = pinned.map_batches(
+        attach, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
+    return sharded_group_map(scored, [label_col], prune, num_shards=num_shards)
 
 
 def _hyperplane_margins(matrix: np.ndarray, n_bits: int, seed: int) -> np.ndarray:

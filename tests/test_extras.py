@@ -1507,6 +1507,103 @@ def test_centroid_distances_matches_numpy(ray_session):
         centroid_distances(ray.data.from_arrow(tbl), max_labels=2)
 
 
+def _semdedup_reference(m64, labels, ids, tau):
+    """Brute-force dominance rule: dup iff a same-cluster vector with
+    (cos_centroid, vec_id) ranking lower is within tau cosine."""
+    mn = m64 / np.linalg.norm(m64, axis=1, keepdims=True)
+    dup = np.zeros(len(ids), dtype=np.int32)
+    cosc = np.zeros(len(ids))
+    for lab in np.unique(labels):
+        idx = np.nonzero(labels == lab)[0]
+        c = m64[idx].mean(axis=0)
+        cc = m64[idx] @ c / (np.linalg.norm(m64[idx], axis=1) * np.linalg.norm(c))
+        cosc[idx] = cc
+        sim = mn[idx] @ mn[idx].T
+        for a in range(len(idx)):
+            for b in range(len(idx)):
+                if a == b or sim[a, b] < tau:
+                    continue
+                if (cc[b], ids[idx[b]]) < (cc[a], ids[idx[a]]):
+                    dup[idx[a]] = 1
+    return cosc, dup
+
+
+def test_semdedup_prune_matches_bruteforce(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.similarity import semdedup_prune
+
+    rng = np.random.default_rng(33)
+    n, d, tau = 120, 6, 0.6
+    m = rng.standard_normal((n, d))
+    labels = rng.integers(0, 5, n).astype(np.int32)
+    # plant a tight near-duplicate knot as its OWN cluster so tau=0.6 fires
+    # and the keep policy is checkable in isolation
+    base = rng.standard_normal(d)
+    for i in range(6):
+        m[i] = base + 0.05 * rng.standard_normal(d)
+        labels[i] = 9
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.astype(np.float32).reshape(-1), pa.float32()), d
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(labels, pa.int32()),
+        }
+    )
+    out = (
+        semdedup_prune(
+            ray.data.from_arrow(tbl).repartition(5), threshold=tau, batch_size=32
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    m64 = m.astype(np.float32).astype(np.float64)  # replay the storage cast
+    cosc, dup = _semdedup_reference(m64, labels, np.arange(n), tau)
+    assert list(out.columns) == ["vec_id", "label", "cos_centroid", "is_dup"]
+    assert (out["vec_id"].values == np.arange(n)).all()
+    assert (out["label"].values == labels).all()
+    np.testing.assert_allclose(out["cos_centroid"].values, cosc, atol=1e-9)
+    assert (out["is_dup"].values == dup).all()
+    # the knot actually fired: exactly one of its members survives, and the
+    # survivor is its farthest-from-centroid member
+    knot = out.iloc[:6]
+    assert knot["is_dup"].sum() == 5
+    keeper = knot.loc[knot["is_dup"] == 0, "cos_centroid"].iloc[0]
+    assert keeper == pytest.approx(knot["cos_centroid"].min())
+
+
+def test_semdedup_prune_shard_invariance_and_empty(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.similarity import semdedup_prune
+
+    rng = np.random.default_rng(5)
+    n, d = 80, 5
+    m = rng.standard_normal((n, d)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(rng.permutation(n * 7)[:n], pa.int64()),
+            "embedding": pa.FixedSizeListArray.from_arrays(
+                pa.array(m.reshape(-1), pa.float32()), d
+            ).cast(pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 3, n), pa.int32()),
+        }
+    )
+    outs = [
+        semdedup_prune(ray.data.from_arrow(tbl), threshold=0.4, num_shards=s)
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+        for s in (1, 16)
+    ]
+    for c in outs[0].columns:
+        assert (outs[0][c].values == outs[1][c].values).all(), c
+    empty = semdedup_prune(ray.data.from_arrow(tbl.slice(0, 0)), threshold=0.4)
+    assert empty.schema().names == ["vec_id", "label", "cos_centroid", "is_dup"]
+    assert empty.count() == 0
+
+
 def test_collocations_pmi_matches_counter(ray_session):
     import collections
     import itertools
