@@ -859,6 +859,26 @@ def _q_gopher_quality(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_dsir_weights(sf_dir: str):
+    """DSIR log importance weights (Xie et al. 2023): every doc scored by a
+    hashed-bigram target-vs-raw log likelihood ratio; target = the corpus's
+    English slice."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from image_deduplication_3m_images_ray.extras.dsir import dsir_weights
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+
+    def en_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.equal(t["lang"], "en")).select(["doc_id", "text"])
+
+    target = docs.map_batches(en_only, batch_format="pyarrow", zero_copy_batch=True)
+    out = dsir_weights(docs.select_columns(["doc_id", "text"]), target).to_pandas()
+    out["log_weight"] = np.round(out["log_weight"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_curate_corpus(sf_dir: str):
     """End-to-end curation: Gopher filter -> exact dedup keep-first ->
     CCNet perplexity-bucket cut (head+middle kept), as one composition."""
@@ -944,6 +964,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_sample": _q_importance_sample,
         "curate_corpus": _q_curate_corpus,
         "semdedup": _q_semdedup,
+        "dsir_weights": _q_dsir_weights,
     }
 
 
@@ -1927,6 +1948,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id, label,
                    round(dot / (sqrt(vv) * sqrt(cc)), 6) AS cos_centroid
             FROM d ORDER BY vec_id
+        """,
+        "dsir_weights": """
+            WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents),
+            big AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS gram FROM tk),
+            bb AS (SELECT doc_id,
+                          CAST(md5_number_lower(gram) % 10000 AS BIGINT)
+                              AS bucket
+                   FROM big),
+            tb AS (SELECT bucket FROM bb JOIN documents USING (doc_id)
+                   WHERE lang = 'en'),
+            tc AS (SELECT bucket, count(*) AS c FROM tb GROUP BY bucket),
+            qc AS (SELECT bucket, count(*) AS c FROM bb GROUP BY bucket),
+            tt AS (SELECT count(*) AS n FROM tb),
+            qt AS (SELECT count(*) AS n FROM bb),
+            r AS (SELECT qc.bucket,
+                         ln((COALESCE(tc.c, 0) + 1.0) / (tt.n + 10000))
+                       - ln((qc.c + 1.0) / (qt.n + 10000)) AS lr
+                  FROM qc CROSS JOIN tt CROSS JOIN qt
+                  LEFT JOIN tc ON tc.bucket = qc.bucket),
+            s AS (SELECT bb.doc_id, count(*) AS n_grams, sum(lr) AS lw
+                  FROM bb JOIN r USING (bucket) GROUP BY doc_id)
+            SELECT d.doc_id, COALESCE(s.n_grams, 0) AS n_grams,
+                   round(COALESCE(s.lw, 0.0), 6) AS log_weight
+            FROM documents d LEFT JOIN s USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "semdedup": """
             WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
