@@ -879,6 +879,59 @@ def _q_dsir_weights(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _url_docs(sf_dir: str):
+    """documents + a deterministic synthetic ``url`` column (the testdata has
+    no URL column; both engines synthesize the IDENTICAL string per row —
+    mixed-case scheme/path, ``www.`` alias, query string, fragment, trailing
+    slash — so the canonicalizer has real work to do)."""
+    import pyarrow as pa
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "source"])
+
+    def synth(t: pa.Table) -> pa.Table:
+        did = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
+        src = np.asarray(t["source"].to_pylist(), dtype=np.str_)
+        scheme = np.select(
+            [did % 3 == 0, did % 3 == 1], ["HTTP://", "https://www."], "https://"
+        )
+        tail = np.select(
+            [did % 4 == 0, did % 4 == 1, did % 4 == 2],
+            ["?utm_source=feed", "/", "#Frag"],
+            "",
+        )
+        url = np.char.add(
+            np.char.add(
+                np.char.add(np.char.add(scheme, src), ".example/Page/"),
+                (did % 40).astype(np.str_),
+            ),
+            tail,
+        )
+        return t.append_column("url", pa.array(url.tolist(), pa.string()))
+
+    return docs.map_batches(synth, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _q_url_canon(sf_dir: str):
+    """Canonical URL keys + domains (RefinedWeb stage-1 key normalizer)."""
+    from image_deduplication_3m_images_ray.extras.urltools import canonicalize_urls
+
+    return canonicalize_urls(_url_docs(sf_dir)).sort("doc_id")
+
+
+def _q_url_dedup(sf_dir: str):
+    """Keep-min-id per canonical URL key (recrawl collapse), cluster shape."""
+    from image_deduplication_3m_images_ray.extras.urltools import url_dedup
+
+    return url_dedup(_url_docs(sf_dir)).sort("doc_id")
+
+
+def _q_domain_stats(sf_dir: str):
+    """Domain-mix diagnostic: docs / tokens / corpus share per domain."""
+    from image_deduplication_3m_images_ray.extras.urltools import domain_stats
+
+    return domain_stats(_url_docs(sf_dir))
+
+
 def _q_curate_corpus(sf_dir: str):
     """End-to-end curation: Gopher filter -> exact dedup keep-first ->
     CCNet perplexity-bucket cut (head+middle kept), as one composition."""
@@ -965,6 +1018,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
+        "url_canon": _q_url_canon,
+        "url_dedup": _q_url_dedup,
+        "domain_stats": _q_domain_stats,
     }
 
 
@@ -975,6 +1031,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # matches functions.text.normalize_array exactly: NFC, then lower, then
 # whitespace collapse, then trim
 _NORM = "trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))"
+
+# the synthetic url column of _url_docs, as a reusable CTE body (must build
+# the IDENTICAL string the Ray-side synth builds, row for row)
+_URLS_SQL = """
+    u AS (SELECT doc_id, text, source,
+                 (CASE doc_id % 3 WHEN 0 THEN 'HTTP://'
+                                  WHEN 1 THEN 'https://www.'
+                                  ELSE 'https://' END)
+                 || source || '.example/Page/' || CAST(doc_id % 40 AS VARCHAR)
+                 || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed'
+                                     WHEN 1 THEN '/'
+                                     WHEN 2 THEN '#Frag'
+                                     ELSE '' END) AS url
+          FROM documents)
+"""
+
+# extras.urltools.CANON_RULES, nested in the same order (RE2 on both engines)
+_CANON_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+    "lower(COALESCE(url, '')), '^https?://', ''), '^www\\.', ''), "
+    "'[?#].*$', ''), '/+$', '')"
+)
 
 # the self-trained add-one bigram LM score per doc (extras.lm.lm_score with
 # min_count=2), as a reusable CTE chain ending in
@@ -1975,6 +2053,38 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(s.lw, 0.0), 6) AS log_weight
             FROM documents d LEFT JOIN s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "url_canon": f"""
+            WITH {_URLS_SQL},
+            c AS (SELECT doc_id, {_CANON_SQL} AS canon_url FROM u)
+            SELECT doc_id, canon_url,
+                   regexp_replace(canon_url, '/.*$', '') AS domain
+            FROM c ORDER BY doc_id
+        """,
+        "url_dedup": f"""
+            WITH {_URLS_SQL},
+            c AS (SELECT doc_id, {_CANON_SQL} AS canon_url FROM u)
+            SELECT doc_id, canon_url,
+                   min(doc_id) OVER (PARTITION BY canon_url) AS keeper_id,
+                   count(*) OVER (PARTITION BY canon_url) AS n_same_url
+            FROM c ORDER BY doc_id
+        """,
+        "domain_stats": f"""
+            WITH {_URLS_SQL},
+            c AS (SELECT doc_id, text,
+                         regexp_replace({_CANON_SQL}, '/.*$', '') AS domain
+                  FROM u),
+            n AS (SELECT domain, {_NORM} AS nt FROM c),
+            s AS (SELECT domain, count(*) AS n_docs,
+                         CAST(sum(CASE WHEN length(nt) = 0 THEN 0
+                                       ELSE length(nt)
+                                            - length(replace(nt, ' ', '')) + 1
+                                  END) AS BIGINT) AS n_tokens
+                  FROM n GROUP BY domain),
+            t AS (SELECT sum(n_docs) AS tot FROM s)
+            SELECT domain, n_docs, n_tokens,
+                   round(n_docs / tot, 6) AS doc_share
+            FROM s CROSS JOIN t ORDER BY domain
         """,
         "semdedup": """
             WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
