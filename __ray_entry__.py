@@ -879,6 +879,17 @@ def _q_dsir_weights(sf_dir: str):
     return out.sort_values("doc_id").reset_index(drop=True)
 
 
+def _q_nb_classify(sf_dir: str):
+    """Multi-class hashed-bigram Naive Bayes (the CCNet-style quality/domain
+    classifier): self-trained on the lang labels, every doc re-labeled with
+    its argmax class + integer-microbit score and runner-up margin."""
+    from image_deduplication_3m_images_ray.extras.dsir import nb_classify
+
+    return nb_classify(
+        _docs(sf_dir).select_columns(["doc_id", "text", "lang"])
+    ).sort("doc_id")
+
+
 def _url_docs(sf_dir: str):
     """documents + a deterministic synthetic ``url`` column (the testdata has
     no URL column; both engines synthesize the IDENTICAL string per row —
@@ -1018,6 +1029,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "semdedup": _q_semdedup,
         "dsir_weights": _q_dsir_weights,
+        "nb_classify": _q_nb_classify,
         "url_canon": _q_url_canon,
         "url_dedup": _q_url_dedup,
         "domain_stats": _q_domain_stats,
@@ -2053,6 +2065,50 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(s.lw, 0.0), 6) AS log_weight
             FROM documents d LEFT JOIN s USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "nb_classify": """
+            WITH tk AS (SELECT doc_id, string_split(text, ' ') AS toks
+                        FROM documents),
+            big AS (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                        i -> toks[i] || ' ' || toks[i+1])) AS gram FROM tk),
+            bb AS (SELECT doc_id,
+                          CAST(md5_number_lower(gram) % 10000 AS BIGINT)
+                              AS bucket
+                   FROM big),
+            cls AS (SELECT lang AS label, count(*) AS n_docs
+                    FROM documents GROUP BY 1),
+            tot AS (SELECT count(*) AS n FROM documents),
+            cb AS (SELECT d.lang AS label, bb.bucket, count(*) AS c
+                   FROM bb JOIN documents d USING (doc_id) GROUP BY 1, 2),
+            ctot AS (SELECT label, CAST(sum(c) AS BIGINT) AS tc
+                     FROM cb GROUP BY 1),
+            prior AS (SELECT cls.label, COALESCE(ctot.tc, 0) AS tc,
+                             CAST(floor(ln(CAST(cls.n_docs AS DOUBLE) / tot.n)
+                                        * 1e6 + 0.5) AS BIGINT) AS pm
+                      FROM cls LEFT JOIN ctot USING (label) CROSS JOIN tot),
+            gsc AS (SELECT bb.doc_id, p.label,
+                           CAST(floor(ln((COALESCE(cb.c, 0) + 1.0)
+                                         / (p.tc + 10000)) * 1e6 + 0.5)
+                                AS BIGINT) AS mlp
+                    FROM bb CROSS JOIN prior p
+                    LEFT JOIN cb ON cb.label = p.label
+                                AND cb.bucket = bb.bucket),
+            ds AS (SELECT doc_id, label, CAST(sum(mlp) AS BIGINT) AS gs
+                   FROM gsc GROUP BY 1, 2),
+            alldc AS (SELECT d.doc_id, p.label,
+                             p.pm + COALESCE(ds.gs, 0) AS score
+                      FROM documents d CROSS JOIN prior p
+                      LEFT JOIN ds ON ds.doc_id = d.doc_id
+                                  AND ds.label = p.label),
+            r AS (SELECT doc_id, label, score,
+                         row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY score DESC, label ASC)
+                             AS rn
+                  FROM alldc)
+            SELECT a.doc_id, a.label AS pred_label, a.score AS score_micro,
+                   a.score - COALESCE(b.score, a.score) AS margin_micro
+            FROM r a LEFT JOIN r b ON b.doc_id = a.doc_id AND b.rn = 2
+            WHERE a.rn = 1 ORDER BY a.doc_id
         """,
         "url_canon": f"""
             WITH {_URLS_SQL},

@@ -36,6 +36,113 @@ def _naive_dsir(raw_texts, target_texts, n_buckets):
     return out
 
 
+def _naive_nb(score_texts, train, n_buckets):
+    """Pure-Python multinomial NB with microbit quantization."""
+
+    def grams(text):
+        toks = text.split(" ")
+        return [" ".join(toks[i : i + 2]) for i in range(len(toks) - 1)]
+
+    classes = sorted({lab for lab, _ in train})
+    mat = {c: np.zeros(n_buckets, np.int64) for c in classes}
+    nd = {c: 0 for c in classes}
+    for lab, text in train:
+        nd[lab] += 1
+        for g in grams(text):
+            mat[lab][_bucket(g, n_buckets)] += 1
+    tot = sum(nd.values())
+    mlp = {
+        c: np.floor(
+            np.log((mat[c] + 1.0) / (mat[c].sum() + n_buckets)) * 1e6 + 0.5
+        ).astype(np.int64)
+        for c in classes
+    }
+    prior = {
+        c: int(np.floor(math.log(nd[c] / tot) * 1e6 + 0.5)) for c in classes
+    }
+    out = []
+    for text in score_texts:
+        scores = [
+            prior[c] + int(sum(mlp[c][_bucket(g, n_buckets)] for g in grams(text)))
+            for c in classes
+        ]
+        best = max(range(len(classes)), key=lambda i: (scores[i], -i))
+        second = (
+            max(s for i, s in enumerate(scores) if i != best)
+            if len(classes) > 1
+            else scores[best]
+        )
+        out.append((classes[best], scores[best], scores[best] - second))
+    return out
+
+
+def test_nb_classify_matches_naive_reference(ray_session):
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.dsir import nb_classify
+
+    train = [
+        ("cat", "meow purr meow whiskers purr"),
+        ("cat", "whiskers meow nap purr"),
+        ("dog", "woof bark fetch woof"),
+        ("dog", "bark fetch bone woof bark"),
+        ("dog", "bone fetch walk bark"),
+    ]
+    score = [
+        "meow purr nap",
+        "bark bone fetch",
+        "walk fetch whiskers",
+        "",            # gram-less -> prior argmax
+        "single",      # single token -> no bigrams
+    ]
+    expect = _naive_nb(score, train, 256)
+    train_t = pa.table(
+        {
+            "doc_id": pa.array(range(len(train)), pa.int64()),
+            "lang": pa.array([l for l, _ in train]),
+            "text": pa.array([t for _, t in train]),
+        }
+    )
+    score_t = pa.table(
+        {
+            "doc_id": pa.array(range(len(score)), pa.int64()),
+            "text": pa.array(score),
+        }
+    )
+    for blocks in (1, 3):
+        out = (
+            nb_classify(
+                ray.data.from_arrow(score_t).repartition(blocks),
+                train=ray.data.from_arrow(train_t).repartition(blocks),
+                n_buckets=256,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        got = list(
+            zip(out["pred_label"], out["score_micro"], out["margin_micro"])
+        )
+        assert got == expect
+
+
+def test_nb_classify_max_classes_raises(ray_session):
+    import pytest
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.dsir import nb_classify
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "lang": pa.array([f"l{i}" for i in range(6)]),
+            "text": pa.array(["a b"] * 6),
+        }
+    )
+    with pytest.raises(ValueError, match="max_classes"):
+        nb_classify(ray.data.from_arrow(t), n_buckets=64, max_classes=3).to_pandas()
+
+
 def test_dsir_weights_match_naive_reference(ray_session):
     import ray.data
 
