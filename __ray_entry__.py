@@ -540,6 +540,25 @@ def _q_fuzzy_join(sf_dir: str):
     return fuzzy_join(side(0), side(1), threshold=0.4).sort(["doc_a", "doc_b"])
 
 
+def _q_fuzzy_subtract(sf_dir: str):
+    """Near-dup decontamination: even-id docs kept only when NO odd-id doc
+    is Jaccard-similar at >= 0.4 (the fuzzy counterpart of subtract_corpus)."""
+    import pyarrow.compute as pc
+
+    from image_deduplication_3m_images_ray.extras.setsim import fuzzy_subtract
+
+    def side(par):
+        return _docs(sf_dir).map_batches(
+            lambda t, p=par: t.filter(
+                pc.equal(pc.bit_wise_and(t["doc_id"], 1), p)
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    return fuzzy_subtract(side(0), side(1), threshold=0.4).sort("doc_id")
+
+
 def _q_winsorize(sf_dir: str):
     """Doc lengths clipped to their language's [p1, p99] discrete quantiles."""
     from image_deduplication_3m_images_ray.extras.relational import winsorize_by_group
@@ -1014,6 +1033,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_terms_by_lang": _q_frequent_terms_by_lang,
         "winsorize": _q_winsorize,
         "fuzzy_join": _q_fuzzy_join,
+        "fuzzy_subtract": _q_fuzzy_subtract,
         "term_cooccurrence": _q_term_cooccurrence,
         "normalize_text": _q_normalize_text,
         "lm_perplexity": _q_lm_perplexity,
@@ -1957,6 +1977,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN rsz sb ON sb.id = db
             WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4
             ORDER BY doc_a, doc_b
+        """,
+        "fuzzy_subtract": f"""
+            WITH
+            l0 AS (SELECT doc_id AS id, {_NORM} AS nt FROM documents
+                   WHERE doc_id % 2 = 0),
+            r0 AS (SELECT doc_id AS id, {_NORM} AS nt FROM documents
+                   WHERE doc_id % 2 = 1),
+            lt AS (SELECT id, nt, string_split(nt, ' ') AS toks FROM l0),
+            rt AS (SELECT id, nt, string_split(nt, ' ') AS toks FROM r0),
+            lsh AS (SELECT id,
+                      CASE WHEN len(toks) >= 5
+                           THEN list_distinct(
+                                [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)])
+                           ELSE [nt] END AS sh
+                    FROM lt),
+            rsh AS (SELECT id,
+                      CASE WHEN len(toks) >= 5
+                           THEN list_distinct(
+                                [array_to_string(toks[i:i+4], ' ') FOR i IN range(1, len(toks) - 3)])
+                           ELSE [nt] END AS sh
+                    FROM rt),
+            lg AS (SELECT id, unnest(sh) AS gram FROM lsh),
+            rg AS (SELECT id, unnest(sh) AS gram FROM rsh),
+            lsz AS (SELECT id, count(*) AS sz FROM lg GROUP BY id),
+            rsz AS (SELECT id, count(*) AS sz FROM rg GROUP BY id),
+            inter AS (SELECT a.id AS da, b.id AS db, count(*) AS i
+                      FROM lg a JOIN rg b ON a.gram = b.gram GROUP BY 1, 2),
+            m AS (SELECT DISTINCT da AS id
+                  FROM inter
+                  JOIN lsz sa ON sa.id = da
+                  JOIN rsz sb ON sb.id = db
+                  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.4)
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE doc_id % 2 = 0 AND doc_id NOT IN (SELECT id FROM m)
+            ORDER BY doc_id
         """,
         "lm_perplexity": f"""
             WITH {_LM_SCORED_CTES}

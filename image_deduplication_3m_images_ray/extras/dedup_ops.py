@@ -832,7 +832,7 @@ def subtract_corpus(
 
     from ..functions.bloom import BloomFilter, build_bloom_distributed
     from ..functions.hashing import md5_128
-    from ..util import shard_attach, sharded_group_map
+    from ..util import filter_out_ids, sharded_group_map
 
     def add_keys(t: pa.Table) -> pa.Table:
         lo, hi = md5_128(t[text_col].to_pylist())
@@ -909,63 +909,11 @@ def subtract_corpus(
 
     drops = sharded_group_map(
         unioned, ["h_lo", "h_hi"], confirm, num_shards=num_shards
-    ).materialize()
-    n_drops = drops.count()
-    if n_drops == 0:
-        return new
-    if n_drops <= broadcast_max_drops:
-        parts = [
-            np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=U64)
-            for t in _ray.get(drops.to_arrow_refs())
-            if t.num_rows
-        ]
-        drop_ids = np.sort(np.concatenate(parts))
-        dref = _ray.put(drop_ids)
-
-        def keep(t: pa.Table) -> pa.Table:
-            ids = np.asarray(
-                pc.cast(t[id_col], pa.uint64()).to_numpy(zero_copy_only=False),
-                dtype=U64,
-            )
-            d = _ray.get(dref)
-            pos = np.searchsorted(d, ids)
-            pos[pos == len(d)] = 0
-            return t.filter(pa.array(d[pos] != ids))
-
-        return new.map_batches(
-            keep, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
-        )
-    # scale path: hash-sharded marker attach, then filter
-    marked = drops.map_batches(
-        lambda t: t.append_column(
-            "dropped", pa.array(np.ones(len(t), np.int64), pa.int64())
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
     )
-
-    def add_key_col(t: pa.Table) -> pa.Table:
-        return t.append_column("__sid", pc.cast(t[id_col], pa.uint64()))
-
-    keyed = new.map_batches(add_key_col, batch_format="pyarrow", zero_copy_batch=True)
-    out = shard_attach(
-        keyed,
-        marked.map_batches(
-            lambda t: t.rename_columns(["__sid", "dropped"]),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ),
-        key="__sid",
-        payload={"dropped": "dropped"},
-        num_shards=num_shards,
-        how="left_outer",
-    )
-    return out.map_batches(
-        lambda t: t.filter(pc.equal(t["dropped"], 0)).drop_columns(
-            ["__sid", "dropped"]
-        ),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+    return filter_out_ids(
+        new, drops, id_col=id_col, drops_col="doc_id",
+        broadcast_max_drops=broadcast_max_drops, num_shards=num_shards,
+        batch_size=batch_size,
     )
 
 

@@ -454,3 +454,47 @@ def fuzzy_join(
         }
 
     return sharded_group_map(partials, ["doc_a", "doc_b"], finish, num_shards=num_shards)
+
+
+def fuzzy_subtract(
+    new: Dataset,
+    base: Dataset,
+    threshold: float = 0.5,
+    shingle_k: int = 5,
+    num_shards: int = 64,
+    drop_gram_docs_above: int | None = None,
+    broadcast_max_drops: int = 5_000_000,
+) -> Dataset:
+    """Near-duplicate decontamination: keep ``new`` rows whose text is NOT
+    Jaccard-similar (>= ``threshold``) to ANY ``base`` row.
+
+    The fuzzy counterpart of :func:`dedup_ops.subtract_corpus` (which is
+    byte-exact) — the doc-level "remove anything that nearly matches a
+    benchmark / already-trained corpus" stage.  Composition: one
+    :func:`fuzzy_join` for the match pairs, a tiny groupby to distinct the
+    matched new-side ids, then the shared size-gated anti-join filter
+    (:func:`util.filter_out_ids`: sorted-array broadcast below
+    ``broadcast_max_drops``, hash-sharded marker attach above).  ``new`` is
+    consumed twice (join + final filter) and is materialized ONCE here.
+
+    Output: the surviving ``new`` rows, all input columns.
+    """
+    import pyarrow.compute as pc
+
+    from ..util import filter_out_ids
+
+    pinned = new.materialize()
+    pairs = fuzzy_join(
+        pinned, base, threshold=threshold, shingle_k=shingle_k,
+        num_shards=num_shards, drop_gram_docs_above=drop_gram_docs_above,
+    )
+    matched = pairs.groupby("doc_a").count()
+
+    def as_drop(t: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": pc.cast(t["doc_a"], pa.uint64())})
+
+    drops = matched.map_batches(as_drop, batch_format="pyarrow", zero_copy_batch=True)
+    return filter_out_ids(
+        pinned, drops, id_col="doc_id",
+        broadcast_max_drops=broadcast_max_drops, num_shards=num_shards,
+    )

@@ -179,3 +179,86 @@ def segment_bounds(sorted_keys: np.ndarray) -> np.ndarray:
         return np.zeros(1, dtype=np.int64)
     change = np.nonzero(sorted_keys[1:] != sorted_keys[:-1])[0] + 1
     return np.concatenate([[0], change, [n]]).astype(np.int64)
+
+
+def filter_out_ids(
+    ds: Dataset,
+    drops: Dataset,
+    id_col: str = "doc_id",
+    drops_col: str = "doc_id",
+    broadcast_max_drops: int = 5_000_000,
+    num_shards: int = 64,
+    batch_size: int = 1024,
+) -> Dataset:
+    """Anti-semi-join on an integer id: drop every ``ds`` row whose ``id_col``
+    appears in ``drops``'s ``drops_col`` (which must be DISTINCT and
+    uint64-castable).
+
+    The size-gated two-plan contract shared by :func:`dedup_ops.subtract_corpus`
+    and :func:`setsim.fuzzy_subtract`: up to ``broadcast_max_drops`` the drop
+    set broadcasts ONCE as a sorted uint64 array (8 B/drop, an object-store
+    object — not driver-heap-bounded state) and each batch filters map-side
+    with a searchsorted membership test; above it, a hash-sharded marker
+    attach (:func:`shard_attach`) reshuffles ``ds`` once instead.  ``drops``
+    is materialized here (it is counted AND consumed)."""
+    import pyarrow.compute as pc
+    import ray as _ray
+
+    pinned = drops.materialize()
+    n_drops = pinned.count()
+    if n_drops == 0:
+        return ds
+    if n_drops <= broadcast_max_drops:
+        parts = [
+            np.asarray(t[drops_col].to_numpy(zero_copy_only=False), dtype=_U64)
+            for t in _ray.get(pinned.to_arrow_refs())
+            if t.num_rows
+        ]
+        drop_ids = np.sort(np.concatenate(parts))
+        dref = _ray.put(drop_ids)
+
+        def keep(t: pa.Table) -> pa.Table:
+            ids = np.asarray(
+                pc.cast(t[id_col], pa.uint64()).to_numpy(zero_copy_only=False),
+                dtype=_U64,
+            )
+            d = _ray.get(dref)
+            pos = np.searchsorted(d, ids)
+            pos[pos == len(d)] = 0
+            return t.filter(pa.array(d[pos] != ids))
+
+        return ds.map_batches(
+            keep, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+    # scale path: hash-sharded marker attach, then filter
+    marked = pinned.map_batches(
+        lambda t: pa.table(
+            {
+                "__sid": pc.cast(t[drops_col], pa.uint64()),
+                "dropped": pa.array(np.ones(len(t), np.int64), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def add_key_col(t: pa.Table) -> pa.Table:
+        return t.append_column("__sid", pc.cast(t[id_col], pa.uint64()))
+
+    keyed = ds.map_batches(add_key_col, batch_format="pyarrow", zero_copy_batch=True)
+    out = shard_attach(
+        keyed,
+        marked,
+        key="__sid",
+        payload={"dropped": "dropped"},
+        num_shards=num_shards,
+        how="left_outer",
+    )
+    return out.map_batches(
+        lambda t: t.filter(pc.equal(t["dropped"], 0)).drop_columns(
+            ["__sid", "dropped"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -257,3 +257,84 @@ def test_fuzzy_join_matches_bruteforce(ray_session):
     got = list(zip(out["doc_a"], out["doc_b"], out["n_shared"], out["jaccard"]))
     assert got == want
     assert all(a < 100 <= b for a, b, *_ in got)  # strictly cross-side
+
+
+def test_fuzzy_subtract_matches_bruteforce_both_plans(ray_session):
+    """fuzzy_subtract == brute-force NOT-EXISTS over per-pair Jaccard, on
+    both the broadcast and the marker-attach drop plans; no-match corpora
+    pass through unchanged."""
+    import ray.data
+    import numpy as np
+    import pyarrow as pa
+    from image_deduplication_3m_images_ray.extras.setsim import fuzzy_subtract
+
+    rng = np.random.default_rng(77)
+    vocab = [f"w{i}" for i in range(300)]
+    base = list(rng.choice(vocab, 40))
+    new_texts = [
+        " ".join(base),                   # near-dup of base 0 -> dropped
+        " ".join(rng.choice(vocab, 40)),  # unrelated -> kept
+        " ".join(base[:20]),              # partial -> depends on threshold
+        "tiny",                           # exact short match -> dropped
+    ]
+    base_texts = [
+        " ".join(base[:-1] + ["extra"]),
+        " ".join(rng.choice(vocab, 40)),
+        "tiny",
+    ]
+
+    def shingles(s):
+        toks = s.split(" ")
+        if len(toks) >= 5:
+            return {" ".join(toks[i : i + 5]) for i in range(len(toks) - 4)}
+        return {s}
+
+    thr = 0.3
+    want = [
+        i
+        for i, nt in enumerate(new_texts)
+        if not any(
+            len(shingles(nt) & shingles(bt)) / len(shingles(nt) | shingles(bt))
+            >= thr
+            for bt in base_texts
+        )
+    ]
+    assert 0 < len(want) < len(new_texts)  # both outcomes exercised
+    nds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(new_texts)), pa.int64()),
+                "text": pa.array(new_texts, pa.string()),
+                "extra_col": pa.array([f"x{i}" for i in range(len(new_texts))]),
+            }
+        )
+    ).repartition(2)
+    bds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(100, 100 + len(base_texts)), pa.int64()),
+                "text": pa.array(base_texts, pa.string()),
+            }
+        )
+    ).repartition(2)
+    for max_drops in (5_000_000, 1):  # broadcast plan, then marker-attach plan
+        out = (
+            fuzzy_subtract(nds, bds, threshold=thr, broadcast_max_drops=max_drops)
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert out["doc_id"].tolist() == want
+        assert out.columns.tolist() == ["doc_id", "text", "extra_col"]
+
+    # disjoint corpora: everything survives
+    far = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([500], pa.int64()),
+                "text": pa.array(["zz qq pp totally different words here ok"]),
+            }
+        )
+    )
+    out = fuzzy_subtract(nds, far, threshold=thr).to_pandas()
+    assert sorted(out["doc_id"].tolist()) == list(range(len(new_texts)))
