@@ -275,6 +275,14 @@ def _q_ann_ivf_topk(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_exact_substring_dedup(sf_dir: str):
+    from image_deduplication_3m_images_ray.extras.exactsubstr import exact_substring_dedup
+
+    return exact_substring_dedup(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), k=8
+    ).sort("doc_id")
+
+
 def _q_segment_dedup(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.dedup_ops import segment_dedup
 
@@ -996,6 +1004,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_en_long": _q_filter_en_long,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "semantic_dedup": _q_semantic_dedup,
+        "exact_substring_dedup": _q_exact_substring_dedup,
         "segment_dedup": _q_segment_dedup,
         "boilerplate_removal": _q_boilerplate_removal,
         "ann_topk": _q_ann_topk,
@@ -1471,6 +1480,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.3
             ORDER BY vec_a, vec_b
+        """,
+        "exact_substring_dedup": """
+            WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+            occ AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(toks)-8+2),
+                           i -> array_to_string(toks[i:i+8-1], ' '))) AS gram,
+                       unnest(range(1, len(toks)-8+2)) AS pos
+                FROM base),
+            dup AS (SELECT gram FROM occ GROUP BY gram HAVING count(*) >= 2),
+            cover AS (SELECT o.doc_id, o.pos FROM occ o JOIN dup USING (gram)),
+            tok AS (SELECT doc_id, unnest(toks) AS tok,
+                           generate_subscripts(toks, 1) AS pos FROM base),
+            keep AS (SELECT t.doc_id, t.tok, t.pos FROM tok t
+                WHERE NOT EXISTS (SELECT 1 FROM cover c WHERE c.doc_id = t.doc_id
+                                  AND t.pos BETWEEN c.pos AND c.pos + 8 - 1)),
+            agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+                           count(*) AS n_kept FROM keep GROUP BY doc_id)
+            SELECT b.doc_id, coalesce(a.clean_text, '') AS clean_text,
+                   CAST(len(b.toks) AS BIGINT) AS n_tokens,
+                   CAST(len(b.toks) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+            FROM base b LEFT JOIN agg a USING (doc_id) ORDER BY doc_id
         """,
         "segment_dedup": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),

@@ -1,0 +1,395 @@
+"""Exact substring (duplicated-span) removal — Lee et al. 2022 "Deduplicating
+Training Data Makes Language Models Better", reshaped for Ray Data.
+
+Contract (token granularity, chosen so a plain-SQL oracle exists): tokenize
+``text`` on single spaces (``text == ' '.join(tokens)`` reconstructs the
+input byte-exactly, empty tokens included); a *k-gram occurrence* is
+``tokens[i : i+k]`` of one document; a k-gram is *duplicated* iff its joined
+string occurs at least ``min_count`` times across the WHOLE corpus (all
+occurrences counted, within-doc repeats included).  Every token position
+covered by at least one duplicated k-gram occurrence is removed; surviving
+tokens are re-joined with single spaces.  This is the standard k-gram-cover
+approximation of Lee et al.'s "drop every substring of >= k tokens that
+appears more than once" (their suffix-array formulation; ours trades the
+suffix array for a distributed gram-count + cover pass with identical
+removal decisions at span length == k).
+
+Reference analog: the hash-group exact-duplicate pass
+(/root/reference/modules/deduplication.py:240-283) applied at sub-document
+span granularity rather than whole-file granularity.
+
+Scale shape (the whole point):
+
+1. **Count pass** — one scan; per block, gram occurrences are built as byte
+   slices of the zero-copy flat UTF-8 buffer (no Python strings), reduced to
+   per-block DISTINCT grams by an Arrow ``value_counts`` C++ kernel, and only
+   the distincts are md5-hashed.  The exchange ships (md5-128, count) partials
+   — 24 B per distinct gram per block, never the gram text.
+2. **Duplicated-gram set** — one hash-sharded sum over the partials
+   (``sharded_group_map``; a gram's total lands on exactly one shard), keep
+   ``count >= min_count``.
+3. **Scrub pass** — plan chosen by the measured duplicated-gram count:
+   - *broadcast* (<= ``broadcast_max_grams``): the dup keys are ``ray.put``
+     ONCE as two sorted u64 arrays (16 B/gram, cluster-scale shared object,
+     zero-copy in every task) and a second scan recomputes each block's gram
+     hashes (distinct-encoded, so md5 runs once per distinct), marks covered
+     token positions with a vectorized +1/-1 range sweep, and rebuilds the
+     surviving text with a single byte-gather — NO second exchange at all.
+   - *sharded* (above the bound): per-occurrence rows (md5-128, doc_id, pos)
+     are exchanged once by gram hash; each shard counts its own occurrences
+     (a gram's occurrences are shard-local, so shard counts ARE global
+     counts) and emits covered (doc_id, pos) rows only for duplicated grams;
+     a second doc_id-sharded exchange joins covered positions back to the
+     text for the rebuild.  Ships ~28 B per token — the honest cost of exact
+     substring dedup without a distributed suffix array.
+
+md5-128 is the identity key (same contract as ``functions.hashing.md5_128``:
+mis-grouping odds < 1e-15 at 10^12 keys); the SQL oracle groups by the gram
+string itself, so engine and oracle decisions agree up to md5-128 collisions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data import Dataset
+
+from ..functions.hashing import _ranges, md5_128, member128
+from ..functions.text import flat_utf8_view
+
+_I64 = np.int64
+_U64 = np.uint64
+
+
+class _Layout:
+    """Token/occurrence layout of one batch over its flat UTF-8 buffer."""
+
+    __slots__ = (
+        "data",
+        "n_docs",
+        "n_tok",
+        "tok_first",
+        "tok_start",
+        "tok_end",
+        "total_tokens",
+        "occ_doc",
+        "occ_pos",
+        "occ_first_tok",
+        "gram_arr",
+    )
+
+
+def _layout(arr: pa.Array, k: int) -> _Layout:
+    """Tokenize on single spaces (byte-level: 0x20 never occurs inside a
+    multi-byte UTF-8 char) and materialize the k-gram occurrence slices as
+    ONE large_binary array gathered from the flat buffer."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    offs, data = flat_utf8_view(arr)
+    lay = _Layout()
+    lay.data = data
+    n_docs = lay.n_docs = len(offs) - 1
+    if n_docs == 0:
+        lay.n_tok = np.empty(0, _I64)
+        lay.tok_first = lay.tok_start = lay.tok_end = np.empty(0, _I64)
+        lay.total_tokens = 0
+        lay.occ_doc = lay.occ_pos = lay.occ_first_tok = np.empty(0, _I64)
+        lay.gram_arr = pa.Array.from_buffers(
+            pa.large_binary(), 0, [None, pa.py_buffer(np.zeros(1, _I64)), pa.py_buffer(b"")]
+        )
+        return lay
+
+    is_sp = data == 0x20
+    csum = np.concatenate(([0], np.cumsum(is_sp, dtype=_I64)))
+    n_tok = lay.n_tok = (csum[offs[1:]] - csum[offs[:-1]]) + 1
+    total = lay.total_tokens = int(n_tok.sum())
+    tok_first = lay.tok_first = np.concatenate(([0], np.cumsum(n_tok[:-1], dtype=_I64)))
+
+    tok_start = np.empty(total, _I64)
+    first_mask = np.zeros(total, dtype=bool)
+    first_mask[tok_first] = True
+    tok_start[first_mask] = offs[:-1]
+    tok_start[~first_mask] = np.nonzero(is_sp)[0] + 1
+    tok_end = np.empty(total, _I64)
+    if total > 1:
+        tok_end[:-1] = tok_start[1:] - 1
+    tok_end[tok_first + n_tok - 1] = offs[1:]
+    lay.tok_start, lay.tok_end = tok_start, tok_end
+
+    m = np.maximum(n_tok - k + 1, 0)
+    sel = np.nonzero(m)[0]  # _ranges requires strictly positive counts
+    ms = m[sel]
+    lay.occ_doc = np.repeat(sel.astype(_I64), ms)
+    lay.occ_pos = _ranges(ms)
+    j = lay.occ_first_tok = np.repeat(tok_first[sel], ms) + lay.occ_pos
+
+    gstart = tok_start[j]
+    glen = tok_end[j + k - 1] - gstart
+    nz = glen > 0  # zero-length grams exist only at k=1 over empty tokens
+    pos = np.repeat(gstart[nz], glen[nz]) + _ranges(glen[nz])
+    goffs = np.concatenate(([0], np.cumsum(glen, dtype=_I64)))
+    lay.gram_arr = pa.Array.from_buffers(
+        pa.large_binary(),
+        len(glen),
+        [None, pa.py_buffer(goffs), pa.py_buffer(np.ascontiguousarray(data[pos]))],
+    )
+    return lay
+
+
+def _distinct_gram_hashes(gram_arr: pa.Array) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """grams -> (lo, hi, occurrence->distinct index); md5 runs per DISTINCT."""
+    de = pc.dictionary_encode(gram_arr)
+    if isinstance(de, pa.ChunkedArray):
+        de = de.combine_chunks()
+    lo, hi = md5_128(de.dictionary.to_pylist())
+    idx = np.asarray(de.indices.to_numpy(zero_copy_only=False), dtype=_I64)
+    return lo, hi, idx
+
+
+def _count_partials(docs: Dataset, text_col: str, k: int, batch_size: int) -> Dataset:
+    def fn(t: pa.Table) -> pa.Table:
+        lay = _layout(t[text_col], k)
+        vc = pc.value_counts(lay.gram_arr)
+        lo, hi = md5_128(vc.field("values").to_pylist())
+        return pa.table(
+            {
+                "g_lo": pa.array(lo.view(_I64), pa.int64()),
+                "g_hi": pa.array(hi.view(_I64), pa.int64()),
+                "n": vc.field("counts").cast(pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+def _dup_keys(docs: Dataset, text_col: str, k: int, min_count: int, num_shards: int, batch_size: int) -> Dataset:
+    """Distributed duplicated-gram key set: (g_lo, g_hi) with total count >= min_count."""
+    from ..util import sharded_group_map
+
+    parts = _count_partials(docs, text_col, k, batch_size)
+
+    def reduce_shard(g: dict) -> dict:
+        lo, hi, n = g["g_lo"], g["g_hi"], g["n"]
+        order = np.lexsort((hi, lo))
+        lo, hi, n = lo[order], hi[order], n[order]
+        new = np.ones(len(lo), dtype=bool)
+        new[1:] = (lo[1:] != lo[:-1]) | (hi[1:] != hi[:-1])
+        b = np.nonzero(new)[0]
+        tot = np.add.reduceat(n, b) if len(n) else n
+        keep = tot >= min_count
+        return {"g_lo": lo[b][keep], "g_hi": hi[b][keep]}
+
+    return sharded_group_map(parts, ["g_lo", "g_hi"], reduce_shard, num_shards=num_shards)
+
+
+def _scrub_broadcast(
+    docs: Dataset, dup_ref, text_col: str, id_col: str, k: int, batch_size: int
+) -> Dataset:
+    """Second scan: mark covered tokens against the broadcast dup set and
+    rebuild surviving text — vectorized, no exchange."""
+
+    def fn(t: pa.Table) -> pa.Table:
+        flo, fhi = ray.get(dup_ref)  # zero-copy views of the shared object
+        lay = _layout(t[text_col], k)
+        if len(lay.occ_first_tok) and len(flo):
+            dlo, dhi, idx = _distinct_gram_hashes(lay.gram_arr)
+            occ_dup = member128(flo, fhi, dlo, dhi)[idx]
+        else:
+            occ_dup = np.zeros(len(lay.occ_first_tok), dtype=bool)
+
+        total = lay.total_tokens
+        cov = np.zeros(total + 1, _I64)
+        j = lay.occ_first_tok[occ_dup]
+        np.add.at(cov, j, 1)
+        np.add.at(cov, j + k, -1)
+        covered = np.cumsum(cov[:total]) > 0
+
+        n_removed = np.add.reduceat(covered.astype(_I64), lay.tok_first) if total else np.zeros(
+            lay.n_docs, _I64
+        )
+        # docs whose token range is empty can't occur (every doc has >= 1
+        # token), so tok_first is strictly increasing and reduceat is safe
+
+        kept_idx = np.nonzero(~covered)[0]
+        doc_of_tok = np.repeat(np.arange(lay.n_docs, dtype=_I64), lay.n_tok)
+        kdoc = doc_of_tok[kept_idx]
+        klen = lay.tok_end[kept_idx] - lay.tok_start[kept_idx]
+        trail = np.zeros(len(kept_idx), dtype=bool)
+        if len(kept_idx) > 1:
+            trail[:-1] = kdoc[1:] == kdoc[:-1]  # space only between same-doc survivors
+        slot = klen + trail
+        buf = np.full(int(slot.sum()), 0x20, np.uint8)
+        dst0 = np.concatenate(([0], np.cumsum(slot, dtype=_I64)))[:-1]
+        nz = klen > 0  # empty tokens copy no bytes (their space slot remains)
+        dst = np.repeat(dst0[nz], klen[nz]) + _ranges(klen[nz])
+        src = np.repeat(lay.tok_start[kept_idx][nz], klen[nz]) + _ranges(klen[nz])
+        buf[dst] = lay.data[src]
+
+        doc_len = np.zeros(lay.n_docs, _I64)
+        np.add.at(doc_len, kdoc, slot)
+        out_offs = np.concatenate(([0], np.cumsum(doc_len, dtype=_I64)))
+        clean = pa.Array.from_buffers(
+            pa.large_utf8(), lay.n_docs, [None, pa.py_buffer(out_offs), pa.py_buffer(buf)]
+        ).cast(pa.string())
+
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "clean_text": clean,
+                "n_tokens": pa.array(lay.n_tok, pa.int64()),
+                "n_removed": pa.array(n_removed, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+def _scrub_sharded(
+    docs: Dataset, text_col: str, id_col: str, k: int, min_count: int, num_shards: int, batch_size: int
+) -> Dataset:
+    """Scale plan: occurrence rows exchanged once by gram hash (shard counts
+    are global counts), covered positions exchanged once by doc."""
+    from ..util import sharded_group_map
+
+    def occurrences(t: pa.Table) -> pa.Table:
+        lay = _layout(t[text_col], k)
+        if len(lay.occ_first_tok):
+            dlo, dhi, idx = _distinct_gram_hashes(lay.gram_arr)
+            lo, hi = dlo[idx], dhi[idx]
+        else:
+            lo = hi = np.empty(0, _U64)
+        doc = np.asarray(t[id_col].to_numpy(zero_copy_only=False), dtype=_I64)
+        return pa.table(
+            {
+                "g_lo": pa.array(lo.view(_I64), pa.int64()),
+                "g_hi": pa.array(hi.view(_I64), pa.int64()),
+                id_col: pa.array(doc[lay.occ_doc], pa.int64()),
+                "pos": pa.array(lay.occ_pos, pa.int64()),
+            }
+        )
+
+    occ = docs.map_batches(occurrences, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+    def covered_rows(g: dict) -> dict:
+        lo, hi, doc, pos = g["g_lo"], g["g_hi"], g[id_col], g["pos"]
+        order = np.lexsort((hi, lo))
+        lo_s, hi_s = lo[order], hi[order]
+        new = np.ones(len(lo_s), dtype=bool)
+        new[1:] = (lo_s[1:] != lo_s[:-1]) | (hi_s[1:] != hi_s[:-1])
+        b = np.nonzero(new)[0]
+        cnt = np.diff(np.append(b, len(lo_s)))
+        dup_run = cnt >= min_count
+        keep = np.repeat(dup_run, cnt)
+        sel = order[keep]
+        return {id_col: doc[sel], "pos": pos[sel]}
+
+    cov = sharded_group_map(occ, ["g_lo", "g_hi"], covered_rows, num_shards=num_shards)
+
+    # tagged union: text rows carry pos = -1
+    def tag_docs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                "pos": pa.array(np.full(len(t), -1, _I64), pa.int64()),
+                text_col: t[text_col],
+            }
+        )
+
+    def tag_cov(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                id_col: t[id_col].cast(pa.int64()),
+                "pos": t["pos"].cast(pa.int64()),
+                text_col: pa.array([""] * len(t), pa.string()),
+            }
+        )
+
+    tagged = docs.map_batches(tag_docs, batch_format="pyarrow").union(
+        cov.map_batches(tag_cov, batch_format="pyarrow")
+    )
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g[id_col].to_numpy()
+        pos = g["pos"].to_numpy()
+        txt = g[text_col].to_numpy()
+        order = np.lexsort((pos, doc))
+        doc, pos, txt = doc[order], pos[order], txt[order]
+        new = np.ones(len(doc), dtype=bool)
+        new[1:] = doc[1:] != doc[:-1]
+        starts = np.nonzero(new)[0]
+        ends = np.append(starts[1:], len(doc))
+        rows = []
+        for s, e in zip(starts, ends):
+            # pos sorted ascending; the doc row (pos == -1) sorts first
+            toks = txt[s].split(" ")
+            n = len(toks)
+            mask = np.zeros(n, dtype=bool)
+            p = pos[s + 1 : e]
+            if len(p):
+                covd = np.zeros(n + 1, _I64)
+                np.add.at(covd, p, 1)
+                np.add.at(covd, np.minimum(p + k, n), -1)
+                mask = np.cumsum(covd[:n]) > 0
+            kept = [tk for tk, c in zip(toks, mask) if not c]
+            rows.append((doc[s], " ".join(kept), n, int(mask.sum())))
+        return pd.DataFrame(rows, columns=[id_col, "clean_text", "n_tokens", "n_removed"])
+
+    return sharded_group_map(tagged, [id_col], rebuild, num_shards=num_shards, batch_format="pandas")
+
+
+def exact_substring_dedup(
+    docs: Dataset,
+    k: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    plan: str = "auto",
+    broadcast_max_grams: int = 20_000_000,
+    num_shards: int = 64,
+    batch_size: int = 1024,
+) -> Dataset:
+    """Remove every token covered by a corpus-duplicated ``k``-token gram.
+
+    Output: (id_col, clean_text, n_tokens, n_removed) — one row per input
+    doc; ``clean_text`` is the space-joined surviving tokens (``""`` when the
+    whole doc is duplicated spans), ``n_tokens`` the pre-scrub token count.
+
+    ``plan``: ``"broadcast"`` forces the no-second-exchange plan (raises if
+    the duplicated-gram set exceeds ``broadcast_max_grams``); ``"sharded"``
+    forces the occurrence-exchange plan; ``"auto"`` (default) counts the dup
+    set first and picks.  Gram-byte blowup in a scan block is ~``k``× the
+    block's text bytes — shrink ``batch_size`` for long documents.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if plan not in ("auto", "broadcast", "sharded"):
+        raise ValueError(f"unknown plan {plan!r}")
+    if plan == "sharded":
+        return _scrub_sharded(docs, text_col, id_col, k, min_count, num_shards, batch_size)
+
+    dup = _dup_keys(docs, text_col, k, min_count, num_shards, batch_size).materialize()
+    n_dup = dup.count()
+    if n_dup > broadcast_max_grams:
+        if plan == "broadcast":
+            raise ValueError(
+                f"duplicated-gram set ({n_dup}) exceeds broadcast_max_grams "
+                f"({broadcast_max_grams}); use plan='sharded' or raise the bound"
+            )
+        return _scrub_sharded(docs, text_col, id_col, k, min_count, num_shards, batch_size)
+
+    if n_dup:
+        parts_lo, parts_hi = [], []
+        for ba in dup.iter_batches(batch_format="pyarrow", batch_size=2**20):
+            parts_lo.append(np.asarray(ba["g_lo"].to_numpy(zero_copy_only=False)).view(_U64))
+            parts_hi.append(np.asarray(ba["g_hi"].to_numpy(zero_copy_only=False)).view(_U64))
+        flo = np.concatenate(parts_lo)
+        fhi = np.concatenate(parts_hi)
+        order = np.lexsort((fhi, flo))
+        flo, fhi = np.ascontiguousarray(flo[order]), np.ascontiguousarray(fhi[order])
+    else:
+        flo = fhi = np.empty(0, _U64)
+    dup_ref = ray.put((flo, fhi))
+    return _scrub_broadcast(docs, dup_ref, text_col, id_col, k, batch_size)
