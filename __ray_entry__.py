@@ -840,6 +840,19 @@ def _q_semdedup(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_graph_pagerank(sf_dir: str):
+    """PageRank (d=0.85, 10 iterations) over the exact 5-NN digraph."""
+    from image_deduplication_3m_images_ray.extras.graph import pagerank
+    from image_deduplication_3m_images_ray.extras.similarity import knn_graph
+
+    edges = knn_graph(_embeddings(sf_dir).select_columns(["vec_id", "embedding"]), k=5)
+    out = pagerank(
+        edges, src_col="query_id", dst_col="vec_id", node_col="vec_id", n_iters=10
+    ).to_pandas()
+    out["pr"] = np.round(out.pop("rank"), 6)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact 5-NN graph over the embeddings table (self excluded)."""
     from image_deduplication_3m_images_ray.extras.similarity import knn_graph
@@ -1051,6 +1064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_split": _q_hash_split,
         "resample_mixture": _q_resample_mixture,
         "knn_graph": _q_knn_graph,
+        "graph_pagerank": _q_graph_pagerank,
         "epoch_shuffle": _q_epoch_shuffle,
         "centroid_distances": _q_centroid_distances,
         "collocations": _q_collocations,
@@ -1137,6 +1151,52 @@ def _lm_scored_ctes(src: str = "documents") -> str:
 
 
 _LM_SCORED_CTES = _lm_scored_ctes()
+
+
+def _pagerank_sql(n_iters: int = 10, d: float = 0.85, k: int = 5) -> str:
+    """Unrolled power-iteration PageRank over the exact k-NN digraph (mirrors
+    extras.graph.pagerank: uniform dangling redistribution, fixed iterations).
+    The k-NN graph has no dangling nodes; the dangling term is kept so the
+    oracle pins the operator's general contract, not the special case."""
+    ctes = [
+        f"""e AS MATERIALIZED (
+            SELECT src, dst FROM (
+                SELECT a.vec_id AS src, b.vec_id AS dst,
+                       row_number() OVER (PARTITION BY a.vec_id
+                           ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                           CAST(b.embedding AS DOUBLE[])) DESC,
+                                    b.vec_id) AS rnk
+                FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+            ) WHERE rnk <= {k})""",
+        "nodes AS MATERIALIZED (SELECT src AS v FROM e UNION SELECT dst FROM e)",
+        "nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes)",
+        "deg AS MATERIALIZED (SELECT src AS v, CAST(count(*) AS DOUBLE) AS d FROM e GROUP BY src)",
+        "r0 AS MATERIALIZED (SELECT v, 1.0 / nn.n AS r FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, n_iters + 1):
+        p = f"r{i - 1}"
+        ctes.append(
+            f"""r{i} AS MATERIALIZED (
+            SELECT nd.v,
+                   (1 - {d}) / nn.n
+                   + {d} * (coalesce(c.s, 0)
+                            + (SELECT coalesce(sum(p.r), 0) FROM {p} p
+                               LEFT JOIN deg dg ON p.v = dg.v
+                               WHERE dg.v IS NULL) / nn.n) AS r
+            FROM nodes nd CROSS JOIN nn
+            LEFT JOIN (SELECT e.dst AS v, sum(p.r / dg.d) AS s
+                       FROM e JOIN {p} p ON e.src = p.v
+                              JOIN deg dg ON e.src = dg.v
+                       GROUP BY e.dst) c ON nd.v = c.v)"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT v AS vec_id, round(r, 6) AS pr FROM r{n_iters} ORDER BY vec_id"
+    )
+
+
+_PAGERANK_SQL = _pagerank_sql()
 
 
 # the Gopher rule metrics per doc (extras.textstats.gopher_quality), as a
@@ -2258,6 +2318,7 @@ def oracle_sql() -> dict[str, str]:
             FROM cd LEFT JOIN dup ON dup.vec_id = cd.vec_id
             ORDER BY cd.vec_id
         """,
+        "graph_pagerank": _PAGERANK_SQL,
         "knn_graph": """
             WITH s AS (
                 SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

@@ -1,0 +1,85 @@
+"""PageRank over an edge-list Dataset — brute-force reference, dangling
+nodes, multi-edges, determinism, and the broadcast gate."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from image_deduplication_3m_images_ray.extras.graph import pagerank
+
+
+def _brute(edges, d=0.85, n_iters=10):
+    """Dense reference power iteration with uniform dangling redistribution."""
+    src = np.asarray([e[0] for e in edges])
+    dst = np.asarray([e[1] for e in edges])
+    nodes = np.unique(np.concatenate([src, dst]))
+    n = len(nodes)
+    si = np.searchsorted(nodes, src)
+    di = np.searchsorted(nodes, dst)
+    deg = np.zeros(n)
+    np.add.at(deg, si, 1.0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(n_iters):
+        agg = np.zeros(n)
+        np.add.at(agg, di, r[si] / deg[si])
+        dm = r[deg == 0].sum()
+        r = (1 - d) / n + d * (agg + dm / n)
+    return dict(zip(nodes.tolist(), r.tolist()))
+
+
+def _run(edges, ray_session, **kw):
+    import ray
+
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = pagerank(ds, **kw).to_pandas()
+    return dict(zip(out["node"].tolist(), out["rank"].tolist()))
+
+
+EDGES = [
+    (1, 2), (2, 1), (2, 3), (3, 1), (4, 3), (4, 1), (5, 4),
+    (6, 7),  # 7 is dangling (no out-edges)
+    (8, 1), (8, 1), (8, 3),  # parallel edge: 1 gets 2/3 of 8's mass
+]
+
+
+def test_matches_bruteforce(ray_session):
+    got = _run(EDGES, ray_session)
+    want = _brute(EDGES)
+    assert set(got) == set(want)
+    for v in got:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_dangling_and_multiedge_semantics(ray_session):
+    got = _run(EDGES, ray_session)
+    # node 1 has in-edges from 2, 3, 4 and a DOUBLE edge from 8 -> top rank
+    assert got[1] == max(got.values())
+    # dangling node 7 still holds rank (from 6) and redistributes it
+    assert got[7] > (1 - 0.85) / len(got)
+    # parallel edges weight the split: with (8,1)x2 + (8,3), node 1 takes 2/3
+    # of 8's mass; dropping one copy gives it only 1/2
+    single = _run([e for e in EDGES if e != (8, 1)] + [(8, 1)], ray_session)
+    assert got[1] > single[1]
+
+
+def test_deterministic_across_runs(ray_session):
+    a = _run(EDGES, ray_session, n_iters=7)
+    b = _run(EDGES, ray_session, n_iters=7)
+    assert a == b  # bit-identical, not approx
+
+
+def test_gate_and_validation(ray_session):
+    with pytest.raises(ValueError):
+        _run(EDGES, ray_session, broadcast_max_nodes=3)
+    with pytest.raises(ValueError):
+        _run(EDGES, ray_session, damping=1.5)
+    with pytest.raises(ValueError):
+        _run(EDGES, ray_session, n_iters=0)
