@@ -712,6 +712,32 @@ def _q_sample_per_group(sf_dir: str):
     ).sort(["lang", "rank"])
 
 
+def _q_media_frames(sf_dir: str):
+    """Frame-sample plan rows over the video slice of the media adaptation."""
+    from image_deduplication_3m_images_ray.extras.multimodal import (
+        frame_sample_stage,
+        media_from_documents,
+    )
+
+    media = media_from_documents(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    return frame_sample_stage(media, every_ms=50).sort(["media_id", "frame_ts_ms"])
+
+
+def _q_media_resize(sf_dir: str):
+    """Integer resize plan (fit 256, aspect preserved) over the fake decode."""
+    from image_deduplication_3m_images_ray.extras.multimodal import (
+        decode_stage,
+        media_from_documents,
+        resize_plan_stage,
+    )
+
+    media = media_from_documents(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    out = resize_plan_stage(decode_stage(media, fake=True, concurrency=2), max_side=256)
+    return out.select_columns(
+        ["media_id", "width", "height", "out_width", "out_height"]
+    ).sort("media_id")
+
+
 def _q_media_decode(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.multimodal import (
         decode_stage,
@@ -1043,6 +1069,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": _q_group_quantiles,
         "pivot_counts": _q_pivot_counts,
         "media_decode": _q_media_decode,
+        "media_frames": _q_media_frames,
+        "media_resize": _q_media_resize,
         "containment_pairs": _q_containment_pairs,
         "source_overlap": _q_source_overlap,
         "latest_by_key": _q_latest_by_key,
@@ -1834,6 +1862,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST((h >> 32) % 1080 + 1 AS INTEGER) AS height,
                    h AS checksum
             FROM m ORDER BY media_id
+        """,
+        "media_frames": """
+            WITH m AS (SELECT doc_id AS media_id, strlen(text) AS dur
+                       FROM documents WHERE doc_id % 3 = 2)
+            SELECT media_id,
+                   CAST(unnest(range(0, dur // 50)) * 50 AS BIGINT) AS frame_ts_ms
+            FROM m ORDER BY media_id, frame_ts_ms
+        """,
+        "media_resize": """
+            WITH m AS (
+                SELECT doc_id AS media_id, md5_number_lower(text) AS h FROM documents
+            ),
+            d AS (
+                SELECT media_id,
+                       CAST(h % 1920 + 1 AS INTEGER) AS width,
+                       CAST((h >> 32) % 1080 + 1 AS INTEGER) AS height
+                FROM m
+            )
+            SELECT media_id, width, height,
+                   CAST(CASE WHEN greatest(width, height) > 256
+                        THEN greatest(1, (width * 256) // greatest(width, height))
+                        ELSE width END AS INTEGER) AS out_width,
+                   CAST(CASE WHEN greatest(width, height) > 256
+                        THEN greatest(1, (height * 256) // greatest(width, height))
+                        ELSE height END AS INTEGER) AS out_height
+            FROM d ORDER BY media_id
         """,
         "suffix_pairs": f"""
             WITH n AS (SELECT doc_id AS id, {_NORM} AS nt FROM documents),

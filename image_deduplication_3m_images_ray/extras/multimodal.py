@@ -110,11 +110,13 @@ def frame_sample_stage(media: Dataset, every_ms: int = 1000, batch_size: int = 8
     """
 
     def fn(t: pa.Table) -> pa.Table:
+        from ..functions.hashing import _ranges
+
         ids = np.asarray(t["media_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
         dur = np.asarray(t["duration_ms"].to_numpy(zero_copy_only=False), dtype=np.int64)
         counts = np.maximum(dur // every_ms, 0)
         rep_ids = np.repeat(ids, counts)
-        offs = np.concatenate([np.arange(c) * every_ms for c in counts]) if counts.sum() else np.empty(0, dtype=np.int64)
+        offs = _ranges(counts[counts > 0]) * every_ms
         return pa.table(
             {
                 "media_id": pa.array(rep_ids, pa.int64()),
@@ -128,6 +130,34 @@ def frame_sample_stage(media: Dataset, every_ms: int = 1000, batch_size: int = 8
         zero_copy_batch=True,
     )
     return video.map_batches(fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True)
+
+
+def resize_plan_stage(decoded: Dataset, max_side: int = 256, batch_size: int = 1024) -> Dataset:
+    """Decoded dims -> integer resize plan (fit within ``max_side``, aspect
+    preserved, floor division, never below 1 px).
+
+    The arithmetic stage a real resizer (cv2.resize / PIL thumbnail) would
+    execute; here only the PLAN is computed (pixel kernels are behind the
+    decode stub), entirely in integer ops so the SQL oracle reproduces it
+    exactly.  Reference analog: the preprocess resize
+    (/root/reference/modules/feature_extraction.py:41-74).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        w = np.asarray(t["width"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        h = np.asarray(t["height"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        g = np.maximum(w, h)
+        need = g > max_side
+        safe_g = np.maximum(g, 1)
+        ow = np.where(need, np.maximum(1, (w * max_side) // safe_g), w)
+        oh = np.where(need, np.maximum(1, (h * max_side) // safe_g), h)
+        return t.append_column("out_width", pa.array(ow.astype(np.int32), pa.int32())).append_column(
+            "out_height", pa.array(oh.astype(np.int32), pa.int32())
+        )
+
+    return decoded.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
 
 
 def make_fake_media(n: int, seed: int = 42):

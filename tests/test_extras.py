@@ -360,6 +360,34 @@ def test_multimodal_decode(ray_session):
         actor(make_fake_media(2))
     frames = frame_sample_stage(media).to_pandas()
     assert (frames["frame_ts_ms"] % 1000 == 0).all()
+    # frame offsets restart at 0 per media_id and step by every_ms
+    for _, g in frames.groupby("media_id"):
+        assert list(g["frame_ts_ms"]) == [i * 1000 for i in range(len(g))]
+
+
+def test_multimodal_resize_plan(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.multimodal import resize_plan_stage
+
+    t = pa.table(
+        {
+            "media_id": pa.array([0, 1, 2, 3, 4], pa.int64()),
+            "width": pa.array([1920, 100, 512, 1, 300], pa.int32()),
+            "height": pa.array([1080, 50, 512, 4000, 300], pa.int32()),
+        }
+    )
+    out = (
+        resize_plan_stage(ray.data.from_arrow(t), max_side=256)
+        .to_pandas()
+        .set_index("media_id")
+    )
+    assert (out.loc[0, ["out_width", "out_height"]] == [256, 144]).all()
+    assert (out.loc[1, ["out_width", "out_height"]] == [100, 50]).all()  # no-op
+    assert (out.loc[2, ["out_width", "out_height"]] == [256, 256]).all()
+    assert (out.loc[3, ["out_width", "out_height"]] == [1, 256]).all()  # 1px floor clamp
+    assert (out.loc[4, ["out_width", "out_height"]] == [256, 256]).all()
+    # aspect never exceeds the box
+    assert (out[["out_width", "out_height"]].max(axis=1) <= 256).all()
 
 
 def test_suffix_array_pairs(ray_session):
