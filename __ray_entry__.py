@@ -963,7 +963,7 @@ def _url_docs(sf_dir: str):
     slash — so the canonicalizer has real work to do)."""
     import pyarrow as pa
 
-    docs = _docs(sf_dir).select_columns(["doc_id", "text", "source"])
+    docs = _docs(sf_dir).select_columns(["doc_id", "text", "source", "n_chars"])
 
     def synth(t: pa.Table) -> pa.Table:
         did = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), np.int64)
@@ -1007,6 +1007,19 @@ def _q_domain_stats(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.urltools import domain_stats
 
     return domain_stats(_url_docs(sf_dir))
+
+
+def _q_domain_filter(sf_dir: str):
+    """Host-level gating: drop blocklisted domains and domains whose mean
+    n_chars is below 290 (integer-exact sum >= thr*count gate)."""
+    from image_deduplication_3m_images_ray.extras.urltools import domain_filter
+
+    return domain_filter(
+        _url_docs(sf_dir),
+        min_mean_value=290,
+        value_col="n_chars",
+        blocklist=["src1.example"],
+    ).sort("doc_id")
 
 
 def _q_curate_corpus(sf_dir: str):
@@ -1104,6 +1117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_canon": _q_url_canon,
         "url_dedup": _q_url_dedup,
         "domain_stats": _q_domain_stats,
+        "domain_filter": _q_domain_filter,
     }
 
 
@@ -2324,6 +2338,19 @@ def oracle_sql() -> dict[str, str]:
                    min(doc_id) OVER (PARTITION BY canon_url) AS keeper_id,
                    count(*) OVER (PARTITION BY canon_url) AS n_same_url
             FROM c ORDER BY doc_id
+        """,
+        "domain_filter": f"""
+            WITH {_URLS_SQL},
+            c AS (SELECT u.doc_id,
+                         regexp_replace({_CANON_SQL}, '/.*$', '') AS domain,
+                         d.n_chars
+                  FROM u JOIN documents d USING (doc_id)),
+            g AS (SELECT domain FROM c GROUP BY domain
+                  HAVING sum(n_chars) >= 290 * count(*))
+            SELECT c.doc_id, c.domain, c.n_chars
+            FROM c JOIN g USING (domain)
+            WHERE c.domain <> 'src1.example'
+            ORDER BY c.doc_id
         """,
         "domain_stats": f"""
             WITH {_URLS_SQL},

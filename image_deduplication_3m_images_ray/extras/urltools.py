@@ -37,7 +37,7 @@ import pyarrow.compute as pc
 from ray.data import Dataset
 
 __all__ = ["CANON_RULES", "canonical_url_array", "canonicalize_urls",
-           "url_dedup", "domain_stats"]
+           "url_dedup", "domain_stats", "domain_filter"]
 
 # (pattern, replacement) applied IN ORDER to the lowercased URL.  RE2 on both
 # engines (pyarrow and DuckDB), and the oracle nests its regexp_replace calls
@@ -186,3 +186,94 @@ def domain_stats(
     small["doc_share"] = np.round(small["n_docs"] / total, 6) if total else 0.0
     small = small.sort_values("domain").reset_index(drop=True)
     return pa.Table.from_pandas(small, preserve_index=False)
+
+
+def domain_filter(
+    docs: Dataset,
+    min_mean_value: int,
+    value_col: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    blocklist: "list[str] | None" = None,
+    broadcast_max_domains: int = 20_000_000,
+    batch_size: int = 8192,
+) -> Dataset:
+    """Host-level quality gating (RefinedWeb/UT1-style): drop every doc whose
+    domain either appears in ``blocklist`` or has a corpus-wide MEAN of
+    ``value_col`` below ``min_mean_value``.
+
+    The mean gate is evaluated in INTEGER arithmetic — keep iff
+    ``sum(value) >= min_mean_value * count`` over int64 sums — so the engine
+    and the SQL oracle agree bit-for-bit with no float-mean boundary risk
+    (``value_col`` is cast to int64; ``min_mean_value`` must be an int).
+
+    Output: the surviving rows as (id_col, domain, value_col), one per kept
+    doc.  Scale shape: one per-block (domain, sum, n) combiner scan folded by
+    a small domain groupby (one 24 B row per distinct domain — the
+    ``domain_stats`` bound, ~1e7 domains on the open web); the drop set is
+    broadcast once as an Arrow value_set for a vectorized ``is_in`` filter
+    scan.  ``broadcast_max_domains`` gates the driver-resident domain table
+    with an explicit raise.
+    """
+    import ray
+
+    if int(min_mean_value) != min_mean_value:
+        raise ValueError("min_mean_value must be an integer (integer-exact gate)")
+
+    def partial(t: pa.Table) -> pa.Table:
+        dom = _domain_array(canonical_url_array(t[url_col]))
+        val = np.asarray(
+            t[value_col].cast(pa.int64()).to_numpy(zero_copy_only=False), dtype=np.int64
+        )
+        keys = np.asarray(dom.to_pylist(), dtype=object)
+        uk, inv = np.unique(keys, return_inverse=True)
+        s = np.zeros(len(uk), np.int64)
+        n = np.zeros(len(uk), np.int64)
+        np.add.at(s, inv, val)
+        np.add.at(n, inv, 1)
+        return pa.table(
+            {
+                "domain": pa.array(list(uk), pa.string()),
+                "s": pa.array(s, pa.int64()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    grouped = (
+        docs.map_batches(
+            partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        )
+        .groupby("domain")
+        .sum(["s", "n"])
+    )
+    per_domain = grouped.to_pandas()  # one row per domain — bounded by design
+    if len(per_domain) > broadcast_max_domains:
+        raise ValueError(
+            f"distinct domains ({len(per_domain)}) exceed broadcast_max_domains "
+            f"({broadcast_max_domains}); raise the bound (24 B/domain) or shard"
+        )
+    bad = set(
+        per_domain.loc[
+            per_domain["sum(s)"] < int(min_mean_value) * per_domain["sum(n)"], "domain"
+        ]
+    )
+    bad.update(blocklist or ())
+    bad_ref = ray.put(pa.array(sorted(bad), pa.string()))
+
+    def keep(t: pa.Table) -> pa.Table:
+        dom = _domain_array(canonical_url_array(t[url_col]))
+        mask = pc.invert(pc.is_in(dom, value_set=ray.get(bad_ref)))
+        out = pa.table(
+            {
+                id_col: t[id_col],
+                "domain": dom,
+                value_col: t[value_col].cast(pa.int64())
+                if not isinstance(t[value_col], pa.ChunkedArray)
+                else t[value_col].combine_chunks().cast(pa.int64()),
+            }
+        )
+        return out.filter(mask)
+
+    return docs.map_batches(
+        keep, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )

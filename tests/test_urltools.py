@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pytest
 
 
 URLS = [
@@ -87,3 +88,39 @@ def test_domain_stats_counts_and_share(ray_session):
     # token contract: whitespace-collapse then spaces+1; empty doc = 0
     assert out["n_tokens"].tolist() == [4, 2]
     assert np.allclose(out["doc_share"], [0.5, 0.5])
+
+
+def test_domain_filter(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.urltools import domain_filter
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(8)), pa.int64()),
+            "url": pa.array(
+                [
+                    "https://good.example/a", "https://good.example/b",
+                    "https://low.example/a", "https://low.example/b",
+                    "https://edge.example/a", "https://edge.example/b",
+                    "https://evil.example/a", "https://evil.example/b",
+                ]
+            ),
+            "q": pa.array([100, 200, 10, 20, 50, 50, 900, 900], pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(3)
+    out = (
+        domain_filter(ds, min_mean_value=50, value_col="q", blocklist=["evil.example"])
+        .sort("doc_id")
+        .to_pandas()
+    )
+    # good (mean 150) kept; low (mean 15) dropped; edge (mean == 50) kept —
+    # the integer gate is sum >= thr*count, inclusive; evil blocklisted
+    assert set(out["domain"]) == {"good.example", "edge.example"}
+    assert list(out["doc_id"]) == [0, 1, 4, 5]
+    assert list(out["q"]) == [100, 200, 50, 50]
+
+    with pytest.raises(ValueError):
+        domain_filter(ds, min_mean_value=50.5, value_col="q")
+    with pytest.raises(ValueError):
+        domain_filter(ds, min_mean_value=50, value_col="q", broadcast_max_domains=1)
