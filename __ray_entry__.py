@@ -275,6 +275,24 @@ def _q_ann_ivf_topk(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_badwords_filter(sf_dir: str):
+    """C4-style blocklist screening (exact token match on normalized text)."""
+    from image_deduplication_3m_images_ray.extras.textstats import badwords_filter
+
+    return badwords_filter(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), badwords=["spark", "vector"]
+    ).sort("doc_id")
+
+
+def _q_intradoc_dedup(sf_dir: str):
+    """Within-doc repeated-segment removal (2-token windows, first wins)."""
+    from image_deduplication_3m_images_ray.extras.dedup_ops import intradoc_dedup
+
+    return intradoc_dedup(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), seg_tokens=2
+    ).sort("doc_id")
+
+
 def _q_exact_substring_dedup(sf_dir: str):
     from image_deduplication_3m_images_ray.extras.exactsubstr import exact_substring_dedup
 
@@ -1056,6 +1074,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_en_long": _q_filter_en_long,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "semantic_dedup": _q_semantic_dedup,
+        "badwords_filter": _q_badwords_filter,
+        "intradoc_dedup": _q_intradoc_dedup,
         "exact_substring_dedup": _q_exact_substring_dedup,
         "segment_dedup": _q_segment_dedup,
         "boilerplate_removal": _q_boilerplate_removal,
@@ -1582,6 +1602,36 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.3
             ORDER BY vec_a, vec_b
+        """,
+        "badwords_filter": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tk FROM n),
+            c AS (SELECT doc_id,
+                         CAST(count(*) FILTER (WHERE tk IN ('spark', 'vector'))
+                              AS BIGINT) AS n_bad_tokens
+                  FROM tok GROUP BY doc_id)
+            SELECT doc_id, n_bad_tokens,
+                   CAST(n_bad_tokens > 0 AS INTEGER) AS flagged
+            FROM c ORDER BY doc_id
+        """,
+        "intradoc_dedup": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            tk AS (SELECT doc_id, string_split(nt, ' ') AS toks FROM n),
+            ex AS (SELECT doc_id, toks,
+                          unnest(range(0, (len(toks) + 1) // 2)) AS pidx
+                   FROM tk),
+            seg AS (SELECT doc_id, pidx,
+                           array_to_string(
+                               toks[pidx*2+1 : least(pidx*2+2, len(toks))], ' ') AS seg
+                    FROM ex),
+            r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, seg
+                                               ORDER BY pidx) AS rn
+                  FROM seg)
+            SELECT doc_id,
+                   COALESCE(string_agg(seg, ' ' ORDER BY pidx) FILTER (WHERE rn = 1), '') AS clean_text,
+                   count(*) AS n_segs,
+                   CAST(count(*) - count(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_removed
+            FROM r GROUP BY doc_id ORDER BY doc_id
         """,
         "exact_substring_dedup": """
             WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),

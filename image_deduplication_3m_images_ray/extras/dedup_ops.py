@@ -1088,3 +1088,59 @@ def remove_frequent_segments(
     return mat.map_batches(
         scrub, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
+
+
+def intradoc_dedup(docs: Dataset, seg_tokens: int = 10, batch_size: int = 1024) -> Dataset:
+    """WITHIN-document segment dedup: drop repeats of a segment inside the
+    same doc, keeping its first occurrence (C4's within-page repeated-span
+    removal; the intra-doc sibling of :func:`segment_dedup`'s corpus-wide
+    first-wins).
+
+    Output: (doc_id, clean_text, n_segs, n_removed) — identical schema to
+    :func:`segment_dedup`.  Scale shape: every decision is local to one doc,
+    so this is ONE stateless scan — no exchange at all (the cheapest dedup
+    stage in the repertoire; contrast the corpus-wide variant's two).
+    Segment extraction shares :func:`_explode_segments` (vectorized byte
+    gather); within-block first-wins uses an exact string factorize (never
+    the hash column, so collisions cannot merge distinct segments).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        ex = _explode_segments(t, seg_tokens)
+        doc = np.asarray(ex["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        pidx = np.asarray(ex["pidx"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        segs = np.asarray(ex["seg"].to_pylist(), dtype=object)
+        code = pd.factorize(segs, sort=False)[0]  # exact string identity
+        order = np.lexsort((pidx, code, doc))
+        d_s, c_s = doc[order], code[order]
+        first = np.ones(len(d_s), dtype=bool)
+        first[1:] = (d_s[1:] != d_s[:-1]) | (c_s[1:] != c_s[:-1])
+        keep = np.empty(len(d_s), dtype=bool)
+        keep[order] = first  # back to (doc, pidx) stream order
+
+        ids = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        rows_doc, rows_clean, rows_n, rows_rm = [], [], [], []
+        # per-doc reassembly: output-size-bounded string joins, the
+        # segment_dedup rebuild shape (doc-major order by construction)
+        bounds = np.nonzero(np.concatenate(([True], doc[1:] != doc[:-1])))[0]
+        ends = np.append(bounds[1:], len(doc))
+        by_doc = {doc[s]: (s, e) for s, e in zip(bounds, ends)}
+        for did in ids:
+            s, e = by_doc[did]
+            kept = segs[s:e][keep[s:e]]
+            rows_doc.append(did)
+            rows_clean.append(" ".join(kept))
+            rows_n.append(int(e - s))
+            rows_rm.append(int(e - s - len(kept)))
+        return pa.table(
+            {
+                "doc_id": pa.array(rows_doc, pa.int64()),
+                "clean_text": pa.array(rows_clean, pa.string()),
+                "n_segs": pa.array(rows_n, pa.int64()),
+                "n_removed": pa.array(rows_rm, pa.int64()),
+            }
+        )
+
+    return docs.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )

@@ -1785,3 +1785,55 @@ def collocations(
         .reset_index(drop=True)
     )
     return ray.data.from_pandas(out)
+
+
+def badwords_filter(
+    docs: Dataset, badwords: "list[str]", batch_size: int = 4096
+) -> Dataset:
+    """C4-style word-blocklist screening: count blocklisted tokens per doc.
+
+    The "bad words" pass every public web-text recipe runs (C4 §2.2 drops any
+    page containing a word from the public blocklist; Gopher and RefinedWeb
+    keep variants).  Matching is EXACT token equality over the normalized
+    whitespace tokenization (the ``token_stats`` contract), so the DuckDB
+    oracle is a verbatim ``IN``-list — no substring surprises ("class" never
+    matches a blocklisted "ass").
+
+    Output: (doc_id, n_bad_tokens, flagged int32) — one row per input doc;
+    survivors are ``filter(flagged == 0)`` downstream, mirroring the
+    :func:`contamination_stats` composition shape.
+
+    Scale shape: stateless scan, no exchange.  The blocklist broadcasts once
+    via ``ray.put`` as an Arrow value_set (public lists are a few thousand
+    words); per batch, ONE ``pc.is_in`` over the flat token array and one
+    segmented ``reduceat`` per doc — no per-row Python.
+    """
+    import ray as _ray
+
+    bad_ref = _ray.put(pa.array(sorted(set(badwords)), pa.string()))
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"])
+        arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+        toks = pc.split_pattern(arr, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        flat = toks.flatten()
+        hit = np.asarray(
+            pc.is_in(flat, value_set=_ray.get(bad_ref)).to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        csum = np.concatenate(([0], np.cumsum(hit)))
+        n_bad = csum[offs[1:]] - csum[offs[:-1]]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_bad_tokens": pa.array(n_bad, pa.int64()),
+                "flagged": pa.array((n_bad > 0).astype(np.int32), pa.int32()),
+            }
+        )
+
+    return docs.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )

@@ -1716,3 +1716,57 @@ def test_importance_sample_deterministic(ray_session):
     # w=0.4 keeps ~40%
     n04 = sum(1 for i in out["doc_id"] if i % 3 == 2)
     assert 0.25 * (n / 3) < n04 < 0.55 * (n / 3)
+
+
+def test_badwords_filter(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import badwords_filter
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a Clean doc here",
+                    "BAD word inside",          # normalization lowercases -> hit
+                    "badge is not bad-word",    # substring must NOT match
+                    "bad bad bad",              # counted per occurrence
+                ]
+            ),
+        }
+    )
+    out = (
+        badwords_filter(ray.data.from_arrow(t), badwords=["bad"])
+        .sort("doc_id")
+        .to_pandas()
+    )
+    assert list(out["n_bad_tokens"]) == [0, 1, 0, 3]
+    assert list(out["flagged"]) == [0, 1, 0, 1]
+
+
+def test_intradoc_dedup(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.dedup_ops import intradoc_dedup
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], pa.int64()),
+            "text": pa.array(
+                [
+                    "x y x y x y z",   # 2-token segs: "x y","x y","x y","z" -> keep 1st + z
+                    "x y q r",         # same seg as doc 0 but DIFFERENT doc: untouched
+                    "",                # empty doc round-trips
+                ]
+            ),
+        }
+    )
+    out = (
+        intradoc_dedup(ray.data.from_arrow(t), seg_tokens=2)
+        .sort("doc_id")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "clean_text"] == "x y z"
+    assert out.loc[0, "n_removed"] == 2
+    assert out.loc[1, "clean_text"] == "x y q r" and out.loc[1, "n_removed"] == 0
+    assert out.loc[2, "clean_text"] == "" and out.loc[2, "n_segs"] == 1
