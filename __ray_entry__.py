@@ -974,11 +974,13 @@ def _q_nb_classify(sf_dir: str):
     ).sort("doc_id")
 
 
-def _url_docs(sf_dir: str):
+def _url_docs(sf_dir: str, pages: int = 40):
     """documents + a deterministic synthetic ``url`` column (the testdata has
     no URL column; both engines synthesize the IDENTICAL string per row —
     mixed-case scheme/path, ``www.`` alias, query string, fragment, trailing
-    slash — so the canonicalizer has real work to do)."""
+    slash — so the canonicalizer has real work to do).  ``pages`` sets the
+    path-space size (doc_id % pages): 40 gives the heavy-collapse corpus the
+    url_dedup queries pin; crawl_curate uses 350 for a milder collapse."""
     import pyarrow as pa
 
     docs = _docs(sf_dir).select_columns(["doc_id", "text", "source", "n_chars"])
@@ -997,7 +999,7 @@ def _url_docs(sf_dir: str):
         url = np.char.add(
             np.char.add(
                 np.char.add(np.char.add(scheme, src), ".example/Page/"),
-                (did % 40).astype(np.str_),
+                (did % pages).astype(np.str_),
             ),
             tail,
         )
@@ -1034,6 +1036,20 @@ def _q_domain_filter(sf_dir: str):
 
     return domain_filter(
         _url_docs(sf_dir),
+        min_mean_value=290,
+        value_col="n_chars",
+        blocklist=["src1.example"],
+    ).sort("doc_id")
+
+
+def _q_crawl_curate(sf_dir: str):
+    """Crawl-stage curation composition: URL dedup keep-first -> domain gate
+    (mean n_chars >= 290 over survivors + blocklist) -> word-blocklist screen."""
+    from image_deduplication_3m_images_ray.extras.urltools import crawl_curate
+
+    return crawl_curate(
+        _url_docs(sf_dir, pages=350),
+        badwords=["dup"],
         min_mean_value=290,
         value_col="n_chars",
         blocklist=["src1.example"],
@@ -1138,6 +1154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_dedup": _q_url_dedup,
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
+        "crawl_curate": _q_crawl_curate,
     }
 
 
@@ -1151,18 +1168,22 @@ _NORM = "trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))"
 
 # the synthetic url column of _url_docs, as a reusable CTE body (must build
 # the IDENTICAL string the Ray-side synth builds, row for row)
-_URLS_SQL = """
+def _urls_sql(pages: int = 40) -> str:
+    return f"""
     u AS (SELECT doc_id, text, source,
                  (CASE doc_id % 3 WHEN 0 THEN 'HTTP://'
                                   WHEN 1 THEN 'https://www.'
                                   ELSE 'https://' END)
-                 || source || '.example/Page/' || CAST(doc_id % 40 AS VARCHAR)
+                 || source || '.example/Page/' || CAST(doc_id % {pages} AS VARCHAR)
                  || (CASE doc_id % 4 WHEN 0 THEN '?utm_source=feed'
                                      WHEN 1 THEN '/'
                                      WHEN 2 THEN '#Frag'
                                      ELSE '' END) AS url
           FROM documents)
 """
+
+
+_URLS_SQL = _urls_sql()
 
 # extras.urltools.CANON_RULES, nested in the same order (RE2 on both engines)
 _CANON_SQL = (
@@ -2401,6 +2422,25 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN g USING (domain)
             WHERE c.domain <> 'src1.example'
             ORDER BY c.doc_id
+        """,
+        "crawl_curate": f"""
+            WITH {_urls_sql(350)},
+            c AS (SELECT u.doc_id, u.text, {_CANON_SQL} AS canon_url, d.n_chars
+                  FROM u JOIN documents d USING (doc_id)),
+            c2 AS (SELECT *, regexp_replace(canon_url, '/.*$', '') AS domain FROM c),
+            s1 AS (SELECT * FROM c2
+                   QUALIFY doc_id = min(doc_id) OVER (PARTITION BY canon_url)),
+            g AS (SELECT domain FROM s1 GROUP BY domain
+                  HAVING sum(n_chars) >= 290 * count(*)),
+            s2 AS (SELECT s1.* FROM s1 JOIN g USING (domain)
+                   WHERE s1.domain <> 'src1.example'),
+            n AS (SELECT doc_id, {_NORM} AS nt FROM s2),
+            bad AS (SELECT DISTINCT doc_id FROM
+                    (SELECT doc_id, unnest(string_split(nt, ' ')) AS tk FROM n)
+                    WHERE tk IN ('dup'))
+            SELECT s2.doc_id, s2.canon_url, s2.domain, s2.n_chars
+            FROM s2 LEFT JOIN bad USING (doc_id)
+            WHERE bad.doc_id IS NULL ORDER BY s2.doc_id
         """,
         "domain_stats": f"""
             WITH {_URLS_SQL},

@@ -1788,7 +1788,8 @@ def collocations(
 
 
 def badwords_filter(
-    docs: Dataset, badwords: "list[str]", batch_size: int = 4096
+    docs: Dataset, badwords: "list[str]", batch_size: int = 4096,
+    keep_all: bool = False,
 ) -> Dataset:
     """C4-style word-blocklist screening: count blocklisted tokens per doc.
 
@@ -1826,13 +1827,11 @@ def badwords_filter(
         ).astype(np.int64)
         csum = np.concatenate(([0], np.cumsum(hit)))
         n_bad = csum[offs[1:]] - csum[offs[:-1]]
-        return pa.table(
-            {
-                "doc_id": t["doc_id"],
-                "n_bad_tokens": pa.array(n_bad, pa.int64()),
-                "flagged": pa.array((n_bad > 0).astype(np.int32), pa.int32()),
-            }
-        )
+        nb = pa.array(n_bad, pa.int64())
+        fl = pa.array((n_bad > 0).astype(np.int32), pa.int32())
+        if keep_all:  # composition form: every input column passes through
+            return t.append_column("n_bad_tokens", nb).append_column("flagged", fl)
+        return pa.table({"doc_id": t["doc_id"], "n_bad_tokens": nb, "flagged": fl})
 
     return docs.map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True

@@ -197,10 +197,14 @@ def domain_filter(
     blocklist: "list[str] | None" = None,
     broadcast_max_domains: int = 20_000_000,
     batch_size: int = 8192,
+    keep_all: bool = False,
 ) -> Dataset:
     """Host-level quality gating (RefinedWeb/UT1-style): drop every doc whose
     domain either appears in ``blocklist`` or has a corpus-wide MEAN of
     ``value_col`` below ``min_mean_value``.
+
+    ``keep_all=True`` passes every input column through (plus ``domain``)
+    instead of the (id, domain, value) projection — the composition form.
 
     The mean gate is evaluated in INTEGER arithmetic — keep iff
     ``sum(value) >= min_mean_value * count`` over int64 sums — so the engine
@@ -263,6 +267,8 @@ def domain_filter(
     def keep(t: pa.Table) -> pa.Table:
         dom = _domain_array(canonical_url_array(t[url_col]))
         mask = pc.invert(pc.is_in(dom, value_set=ray.get(bad_ref)))
+        if keep_all:
+            return t.append_column("domain", dom).filter(mask)
         out = pa.table(
             {
                 id_col: t[id_col],
@@ -277,3 +283,95 @@ def domain_filter(
     return docs.map_batches(
         keep, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
+
+
+def url_dedup_keep_first_rows(
+    docs: Dataset, url_col: str = "url", id_col: str = "doc_id",
+    num_shards: int = 64, batch_size: int = 8192,
+) -> Dataset:
+    """Keep-min-``id_col`` per canonical URL key, passing ALL input columns
+    through (plus ``canon_url``) — the survivor-rows form of
+    :func:`url_dedup`, for compositions that keep processing the winners
+    (mirrors :func:`dedup_ops.exact_dedup_keep_first_rows` vs the cluster
+    form).  One hash-partitioned exchange that ships the full row once;
+    groups compare the actual key string, so hash collisions never merge."""
+    import pandas as pd
+
+    from ..functions.hashing import U64, splitmix64
+    from ..util import sharded_group_map
+
+    def add_key(t: pa.Table) -> pa.Table:
+        canon = canonical_url_array(t[url_col])
+        keys = np.asarray(canon.to_pylist(), dtype=object)
+        h = splitmix64(pd.util.hash_array(keys).astype(U64))
+        return t.append_column("canon_url", canon).append_column(
+            "__kh", pa.array(h, pa.uint64())
+        )
+
+    def first(g: pd.DataFrame) -> pd.DataFrame:
+        keep = g[id_col] == g.groupby(["__kh", "canon_url"], sort=False)[id_col].transform("min")
+        return g.loc[keep].drop(columns="__kh")
+
+    keyed = docs.map_batches(
+        add_key, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    return sharded_group_map(
+        keyed, ["__kh"], first, num_shards=num_shards, batch_format="pandas"
+    )
+
+
+def crawl_curate(
+    docs: Dataset,
+    badwords: "list[str]",
+    min_mean_value: int,
+    value_col: str,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    blocklist: "list[str] | None" = None,
+    num_shards: int = 64,
+) -> Dataset:
+    """RefinedWeb-style crawl-stage curation as ONE Dataset -> Dataset call:
+
+    1. **URL dedup, keep-first** — collapse recrawls by canonical key
+       (:func:`url_dedup_keep_first_rows`; the one full-row exchange).
+    2. **Domain gating** — blocklist + integer-exact mean-``value_col`` gate
+       over the SURVIVORS (:func:`domain_filter` semantics; stage order
+       matters — the domain means are computed post-URL-dedup, matching the
+       published recipes' "dedup before aggregate signals" ordering).
+    3. **Word-blocklist screen** — drop docs containing any blocklisted
+       token (:func:`textstats.badwords_filter` semantics).
+
+    Output: (id_col, canon_url, domain, value_col) per surviving doc.  The
+    content-side sibling (:func:`curate.curate_corpus`: Gopher -> exact dedup
+    -> CCNet cut) picks up downstream; each stage here is an existing,
+    individually oracle-checked operator — this module only composes them.
+    """
+    from .textstats import badwords_filter
+
+    s1 = url_dedup_keep_first_rows(
+        docs, url_col=url_col, id_col=id_col, num_shards=num_shards
+    )
+    s2 = domain_filter(
+        s1,
+        min_mean_value,
+        value_col,
+        url_col=url_col,
+        id_col=id_col,
+        blocklist=blocklist,
+        keep_all=True,
+    )
+    s3 = badwords_filter(s2, badwords, keep_all=True)
+
+    def project(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                id_col: t[id_col],
+                "canon_url": t["canon_url"],
+                "domain": t["domain"],
+                value_col: t[value_col],
+            }
+        )
+        return out.filter(pc.equal(t["flagged"], 0))
+
+    return s3.map_batches(project, batch_format="pyarrow", zero_copy_batch=True)

@@ -124,3 +124,43 @@ def test_domain_filter(ray_session):
         domain_filter(ds, min_mean_value=50.5, value_col="q")
     with pytest.raises(ValueError):
         domain_filter(ds, min_mean_value=50, value_col="q", broadcast_max_domains=1)
+
+
+def test_crawl_curate_composition(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.urltools import crawl_curate
+
+    t = pa.table(
+        {
+            "doc_id": pa.array(list(range(6)), pa.int64()),
+            "url": pa.array(
+                [
+                    "https://a.example/p1",
+                    "https://WWW.A.example/p1/",   # recrawl of doc 0 -> dropped
+                    "https://a.example/p2",
+                    "https://low.example/p1",      # low-mean domain -> dropped
+                    "https://evil.example/p1",     # blocklisted -> dropped
+                    "https://a.example/p3",        # contains the bad word
+                ]
+            ),
+            "text": pa.array(["ok text", "ok text", "fine", "meh", "rich", "has badword here"]),
+            "n_chars": pa.array([100, 100, 120, 5, 999, 150], pa.int64()),
+        }
+    )
+    out = (
+        crawl_curate(
+            ray.data.from_arrow(t).repartition(2),
+            badwords=["badword"],
+            min_mean_value=50,
+            value_col="n_chars",
+            blocklist=["evil.example"],
+        )
+        .sort("doc_id")
+        .to_pandas()
+    )
+    # survivors: 0 (recrawl winner) and 2; 1 url-duped, 3 low-domain,
+    # 4 blocklisted, 5 bad word
+    assert list(out["doc_id"]) == [0, 2]
+    assert list(out["domain"]) == ["a.example", "a.example"]
+    assert list(out["canon_url"]) == ["a.example/p1", "a.example/p2"]
+    assert list(out["n_chars"]) == [100, 120]
