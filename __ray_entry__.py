@@ -897,6 +897,31 @@ def _q_graph_pagerank(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_graph_components(sf_dir: str):
+    """Connected components over a deterministic bucket-link edge table
+    (doc_id -> its 7-bucket head; ~n/7 planted components).  The generic
+    CC operator; its dedup-graph use is pinned by the flagship tests."""
+    import pyarrow as pa
+
+    from image_deduplication_3m_images_ray.extras.graph import graph_components
+
+    def to_edges(t: pa.Table) -> pa.Table:
+        did = np.asarray(t["doc_id"].to_numpy(zero_copy_only=False), dtype=np.int64)
+        return pa.table(
+            {
+                "src": pa.array(did, pa.int64()),
+                "dst": pa.array((did // 7) * 7, pa.int64()),
+            }
+        )
+
+    edges = (
+        _docs(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(to_edges, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    return graph_components(edges).sort("node")
+
+
 def _q_knn_graph(sf_dir: str):
     """Exact 5-NN graph over the embeddings table (self excluded)."""
     from image_deduplication_3m_images_ray.extras.similarity import knn_graph
@@ -1142,6 +1167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "resample_mixture": _q_resample_mixture,
         "knn_graph": _q_knn_graph,
         "graph_pagerank": _q_graph_pagerank,
+        "graph_components": _q_graph_components,
         "epoch_shuffle": _q_epoch_shuffle,
         "centroid_distances": _q_centroid_distances,
         "collocations": _q_collocations,
@@ -2490,6 +2516,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY cd.vec_id
         """,
         "graph_pagerank": _PAGERANK_SQL,
+        "graph_components": f"""
+            WITH RECURSIVE
+            edges_ AS (SELECT doc_id AS da, (doc_id // 7) * 7 AS db FROM documents),
+            nodes_ AS (SELECT da AS id FROM edges_ UNION SELECT db FROM edges_),
+            {_CC_SQL}
+            SELECT nd AS node, cid AS component_id FROM labels_ ORDER BY node
+        """,
         "knn_graph": """
             WITH s AS (
                 SELECT a.vec_id AS query_id, b.vec_id AS vec_id,

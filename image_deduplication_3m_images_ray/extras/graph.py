@@ -136,3 +136,44 @@ def pagerank(
         ranks = (1.0 - d) / n_nodes + d * (agg + dm / n_nodes)
 
     return pa.table({node_col: pa.array(nodes, pa.int64()), "rank": pa.array(ranks, pa.float64())})
+
+
+def graph_components(
+    edges: Dataset,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+    cfg=None,
+) -> Dataset:
+    """Connected components over an UNDIRECTED view of an edge list ->
+    (node_col, component_id = min node id in the component).
+
+    The generic-graph face of the flagship's cluster machinery
+    (:func:`stages.cluster.cluster_stage`): min-label contraction rounds
+    collapse dense components, label propagation with pointer jumping
+    finishes the residual, and edge sets small enough take the exact driver
+    union-find — all size-gated by the shared :class:`DedupConfig` knobs.
+    Nodes are the edge endpoints (an isolated node needs a self-loop row to
+    appear).  Edge direction is ignored; parallel edges are harmless.
+    """
+    from ..config import DedupConfig
+    from ..stages.cluster import cluster_stage
+
+    cfg = cfg or DedupConfig()
+
+    def to_pairs(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_a": t[src_col].cast(pa.int64()),
+                "doc_b": t[dst_col].cast(pa.int64()),
+            }
+        )
+
+    labels = cluster_stage(
+        edges.map_batches(to_pairs, batch_format="pyarrow", zero_copy_batch=True), cfg
+    )
+
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({node_col: t["doc_id"], "component_id": t["cluster_id"]})
+
+    return labels.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)

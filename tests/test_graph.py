@@ -83,3 +83,25 @@ def test_gate_and_validation(ray_session):
         _run(EDGES, ray_session, damping=1.5)
     with pytest.raises(ValueError):
         _run(EDGES, ray_session, n_iters=0)
+
+
+def test_graph_components(ray_session):
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.graph import graph_components
+
+    # two chains + a ring + a self-loop singleton, deliberately mixed direction
+    edges = [(1, 2), (3, 2), (3, 4), (10, 11), (12, 11), (20, 21), (21, 22), (22, 20), (30, 30)]
+    t = pa.table(
+        {
+            "src": pa.array([e[0] for e in edges], pa.int64()),
+            "dst": pa.array([e[1] for e in edges], pa.int64()),
+        }
+    )
+    out = (
+        graph_components(ray.data.from_arrow(t).repartition(3))
+        .sort("node")
+        .to_pandas()
+    )
+    comp = dict(zip(out["node"], out["component_id"]))
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10,
+                    20: 20, 21: 20, 22: 20, 30: 30}
