@@ -216,6 +216,12 @@ def run_bench() -> dict:
     ).count()
     queries["range_join"] = round(time.time() - t0, 3)
 
+    from image_deduplication_3m_images_ray.extras.exactsubstr import exact_substring_dedup
+
+    t0 = time.time()
+    exact_substring_dedup(docs.select_columns(["doc_id", "text"]), k=8).count()
+    queries["exact_substring_dedup"] = round(time.time() - t0, 3)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "webtext dedup + operator suite wall time",

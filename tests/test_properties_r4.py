@@ -55,3 +55,33 @@ def test_chunk_table_reconstruction(text, stride):
     # trailing chunks may re-cover already-seen text when len < width;
     # reconstruction only claims prefix equality up to the doc end
     assert rebuilt[: len(text)] == text
+
+
+@given(
+    st.lists(
+        st.text(alphabet="ab ", min_size=0, max_size=40), min_size=1, max_size=12
+    ),
+    st.integers(2, 5),
+)
+@settings(max_examples=60, deadline=None)
+def test_exact_substring_layout_kernel(texts, k):
+    """The batch layout kernel's token/occurrence geometry matches Python
+    split semantics on arbitrary space-separated (incl. empty-token) text."""
+    import pyarrow as pa
+
+    from image_deduplication_3m_images_ray.extras.exactsubstr import _layout
+
+    arr = pa.array(texts, pa.string())
+    lay = _layout(arr, k)
+    toks = [t.split(" ") for t in texts]
+    assert list(lay.n_tok) == [len(t) for t in toks]
+    # every gram occurrence slice equals the joined token window
+    grams = lay.gram_arr.to_pylist()
+    j = 0
+    for d, t in enumerate(toks):
+        for i in range(max(len(t) - k + 1, 0)):
+            want = " ".join(t[i : i + k]).encode()
+            assert grams[j] == want
+            assert lay.occ_doc[j] == d and lay.occ_pos[j] == i
+            j += 1
+    assert j == len(grams)
