@@ -275,6 +275,15 @@ def _q_ann_ivf_topk(sf_dir: str):
     return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _q_lexical_diversity(sf_dir: str):
+    """Per-doc type-token ratio + Shannon token entropy (quality signal)."""
+    from image_deduplication_3m_images_ray.extras.textstats import lexical_diversity
+
+    return lexical_diversity(
+        _docs(sf_dir).select_columns(["doc_id", "text"])
+    ).sort("doc_id")
+
+
 def _q_badwords_filter(sf_dir: str):
     """C4-style blocklist screening (exact token match on normalized text)."""
     from image_deduplication_3m_images_ray.extras.textstats import badwords_filter
@@ -1115,6 +1124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "filter_en_long": _q_filter_en_long,
         "embedding_cosine_pairs": _q_embedding_cosine_pairs,
         "semantic_dedup": _q_semantic_dedup,
+        "lexical_diversity": _q_lexical_diversity,
         "badwords_filter": _q_badwords_filter,
         "intradoc_dedup": _q_intradoc_dedup,
         "exact_substring_dedup": _q_exact_substring_dedup,
@@ -1649,6 +1659,24 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                                          CAST(b.embedding AS DOUBLE[])) >= 0.3
             ORDER BY vec_a, vec_b
+        """,
+        "lexical_diversity": f"""
+            WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),
+            tok AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tk FROM n),
+            tc AS (SELECT doc_id, tk, count(*) AS c FROM tok GROUP BY doc_id, tk),
+            pt AS (SELECT doc_id, c,
+                          CAST(c AS DOUBLE)
+                          / sum(c) OVER (PARTITION BY doc_id) AS p
+                   FROM tc),
+            agg AS (SELECT doc_id,
+                           CAST(sum(c) AS BIGINT) AS n_tokens,
+                           CAST(count(*) AS BIGINT) AS n_types,
+                           -sum(p * log2(p)) AS h
+                    FROM pt GROUP BY doc_id)
+            SELECT doc_id, n_tokens, n_types,
+                   round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr,
+                   round(h, 6) + 0.0 AS token_entropy
+            FROM agg ORDER BY doc_id
         """,
         "badwords_filter": f"""
             WITH n AS (SELECT doc_id, {_NORM} AS nt FROM documents),

@@ -1836,3 +1836,59 @@ def badwords_filter(
     return docs.map_batches(
         fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
+
+
+def lexical_diversity(docs: Dataset, batch_size: int = 4096) -> Dataset:
+    """Per-doc lexical diversity: token count, type count, type-token ratio
+    and Shannon entropy of the token distribution (bits).
+
+    Low entropy / low TTR flags template and keyword-stuffing pages that
+    length rules miss — the diversity member of the quality-signal family
+    (complements `gopher_quality`'s ratio rules and `repetition_stats`'
+    gram ratios).  Tokenization is the normalized ``token_stats`` contract.
+
+    Output: (doc_id, n_tokens, n_types, ttr, token_entropy) with the floats
+    rounded to 6 dp on BOTH engines (the shared float-sum convention).
+    Scale shape: stateless scan, no exchange — per batch one global token
+    factorize + one (doc, type) unique with counts + segmented reduces.
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"])
+        arr = norm.combine_chunks() if isinstance(norm, pa.ChunkedArray) else norm
+        toks = pc.split_pattern(arr, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        offs = offs - offs[0]
+        n_docs = len(offs) - 1
+        n_tok = np.diff(offs)
+        flat = pc.dictionary_encode(toks.flatten())
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        code = np.asarray(flat.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok)
+        rec = doc_of << np.int64(32) | code  # vocab per batch << 2^32
+        uniq, cnt = np.unique(rec, return_counts=True)
+        ud = (uniq >> np.int64(32)).astype(np.int64)
+        b = np.nonzero(np.concatenate(([True], ud[1:] != ud[:-1])))[0]
+        n_types = np.diff(np.append(b, len(ud)))
+        p = cnt / n_tok[ud]
+        h_terms = -p * np.log2(p)
+        ent = np.add.reduceat(h_terms, b) if len(b) else h_terms[:0]
+        # every doc has >= 1 token post-normalization (empty -> [''])
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_tokens": pa.array(n_tok, pa.int64()),
+                "n_types": pa.array(n_types, pa.int64()),
+                "ttr": pa.array(np.round(n_types / n_tok, 6), pa.float64()),
+                # + 0.0 canonicalizes IEEE -0.0 (single-type docs) so the
+                # value hash agrees with SQL regardless of sign-of-zero
+                "token_entropy": pa.array(np.round(ent, 6) + 0.0, pa.float64()),
+            }
+        )
+
+    return docs.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )

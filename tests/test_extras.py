@@ -1770,3 +1770,38 @@ def test_intradoc_dedup(ray_session):
     assert out.loc[0, "n_removed"] == 2
     assert out.loc[1, "clean_text"] == "x y q r" and out.loc[1, "n_removed"] == 0
     assert out.loc[2, "clean_text"] == "" and out.loc[2, "n_segs"] == 1
+
+
+def test_lexical_diversity(ray_session):
+    import math
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import lexical_diversity
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": pa.array(
+                [
+                    "a b a b c",       # counts {a:2,b:2,c:1} over 5
+                    "x x x x",         # single type -> entropy exactly 0.0
+                    "",                # empty -> [''], 1 token 1 type
+                    "one two three",   # uniform -> log2(3)
+                ]
+            ),
+        }
+    )
+    out = (
+        lexical_diversity(ray.data.from_arrow(t).repartition(2))
+        .sort("doc_id")
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    h0 = -(0.4 * math.log2(0.4) * 2 + 0.2 * math.log2(0.2))
+    assert out.loc[0, "token_entropy"] == round(h0, 6)
+    assert out.loc[0, "n_types"] == 3 and out.loc[0, "ttr"] == 0.6
+    # -0.0 canonicalized: bit-exact +0.0
+    assert math.copysign(1.0, out.loc[1, "token_entropy"]) == 1.0
+    assert out.loc[1, "token_entropy"] == 0.0
+    assert out.loc[2, "n_tokens"] == 1 and out.loc[2, "ttr"] == 1.0
+    assert out.loc[3, "token_entropy"] == round(math.log2(3), 6)
