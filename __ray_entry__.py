@@ -1102,6 +1102,31 @@ def _q_curate_corpus(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_histogram(sf_dir: str):
+    """Per-language doc-length histogram (12 fixed-width bins over [0, 600))."""
+    from image_deduplication_3m_images_ray.extras.relational import histogram
+
+    return histogram(
+        _docs(sf_dir).select_columns(["lang", "n_chars"]),
+        value="n_chars",
+        lo=0,
+        hi=600,
+        n_bins=12,
+        by="lang",
+    ).sort(["lang", "bin"])
+
+
+def _q_bm25_topk(sf_dir: str):
+    """Top-10 docs by Okapi BM25 for a mixed rare/common term query."""
+    from image_deduplication_3m_images_ray.extras.retrieval import bm25_topk
+
+    return bm25_topk(
+        _docs(sf_dir).select_columns(["doc_id", "text"]),
+        query_terms=["dup", "spark", "vector"],
+        k=10,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -1191,6 +1216,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_stats": _q_domain_stats,
         "domain_filter": _q_domain_filter,
         "crawl_curate": _q_crawl_curate,
+        "histogram": _q_histogram,
+        "bm25_topk": _q_bm25_topk,
     }
 
 
@@ -2629,6 +2656,47 @@ def oracle_sql() -> dict[str, str]:
                    CAST(least(greatest(d.n_chars, b.lo), b.hi) AS BIGINT)
                        AS n_chars_w
             FROM documents d JOIN b USING (lang) ORDER BY d.doc_id
+        """,
+        "histogram": """
+            WITH b AS (SELECT lang,
+                              LEAST((LEAST(GREATEST(CAST(n_chars AS BIGINT), 0),
+                                           600) - 0) * 12 // 600, 11) AS bin
+                       FROM documents)
+            SELECT lang, CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY lang, bin ORDER BY lang, bin
+        """,
+        # mirrors extras/retrieval.py's pinned float64 operation order
+        # parenthesis-for-parenthesis (see that module's docstring)
+        "bm25_topk": """
+            WITH q(term) AS (SELECT unnest(['dup', 'spark', 'vector'])),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                                 AS n_tokens
+                      FROM documents),
+            dl AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                   FROM documents),
+            tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                         FROM documents)
+                   WHERE tok IN (SELECT term FROM q) GROUP BY 1, 2),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY term),
+            idf AS (SELECT q.term,
+                      CAST(floor(log2((2.0*(s.n_docs - coalesce(df.df, 0)) + 1.0)
+                                      / (2.0*coalesce(df.df, 0) + 1.0))
+                                 * 1000000 + 0.5) AS BIGINT) AS idf_micro
+                    FROM q LEFT JOIN df USING (term) CROSS JOIN stats s),
+            contrib AS (SELECT tf.doc_id,
+                 CAST(floor(idf.idf_micro * (((22.0*tf.tf) * s.n_tokens)
+                      / (((10.0*tf.tf) * s.n_tokens + 3.0*s.n_tokens)
+                         + (9.0*dl.dl) * s.n_docs)) + 0.5) AS BIGINT) AS c
+                 FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+                 CROSS JOIN stats s),
+            scores AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS score_micro
+                       FROM contrib GROUP BY doc_id)
+            SELECT doc_id, score_micro FROM scores
+            ORDER BY score_micro DESC, doc_id LIMIT 10
         """,
     }
 

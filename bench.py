@@ -222,6 +222,16 @@ def run_bench() -> dict:
     exact_substring_dedup(docs.select_columns(["doc_id", "text"]), k=8).count()
     queries["exact_substring_dedup"] = round(time.time() - t0, 3)
 
+    from image_deduplication_3m_images_ray.extras.retrieval import bm25_topk
+
+    t0 = time.time()
+    bm25_topk(
+        docs.select_columns(["doc_id", "text"]),
+        query_terms=["dup", "spark", "vector"],
+        k=10,
+    ).count()
+    queries["bm25_topk"] = round(time.time() - t0, 3)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "webtext dedup + operator suite wall time",

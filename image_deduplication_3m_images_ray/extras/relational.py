@@ -733,3 +733,64 @@ def winsorize_by_group(
         return t.append_column(f"{value}_w", pa.array(v, vtype))
 
     return ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def histogram(
+    ds: Dataset,
+    value: str,
+    lo: int,
+    hi: int,
+    n_bins: int,
+    by: str | None = None,
+) -> Dataset:
+    """Fixed-width histogram of an integer column — the distribution
+    diagnostic a curation run reads before picking filter thresholds
+    (doc-length, quality-score and cluster-size profiles at corpus scale).
+
+    Bin ``i`` covers ``[lo + i*(hi-lo)/n_bins, lo + (i+1)*(hi-lo)/n_bins)``;
+    out-of-range values CLAMP into the edge bins so total mass is preserved
+    (the bin index is ``min((clamp(v, lo, hi) - lo) * n_bins // (hi - lo),
+    n_bins - 1)`` — pure int64 arithmetic, so the SQL oracle is bit-exact;
+    the clamp also bounds the multiply at ``(hi-lo)*n_bins``, far from
+    overflow).  Float columns must be pinned to integers upstream (the
+    repo's cents convention, see ``extras/windows.py``).
+
+    Scale shape: one per-batch ``np.unique`` combiner emits at most one
+    partial row per (batch, group, bin); ONE tiny groupby sums them — the
+    value column itself never shuffles.  Empty bins are absent from the
+    output (GROUP BY semantics); ``by`` adds a group column.
+    """
+    from ray.data.aggregate import Sum
+
+    lo, hi = int(lo), int(hi)
+    if n_bins <= 0:
+        raise ValueError("histogram: n_bins must be positive")
+    if hi <= lo:
+        raise ValueError("histogram: need lo < hi")
+    span = hi - lo
+
+    def prep(t: pa.Table) -> pa.Table:
+        v = np.asarray(
+            pc.cast(t[value], pa.int64()).to_numpy(zero_copy_only=False), np.int64
+        )
+        b = np.minimum((np.clip(v, lo, hi) - lo) * n_bins // span, n_bins - 1)
+        if by is None:
+            ub, cn = np.unique(b, return_counts=True)
+            return pa.table(
+                {"bin": pa.array(ub, pa.int64()), "n": pa.array(cn, pa.int64())}
+            )
+        kv = np.asarray(t[by].to_numpy(zero_copy_only=False), dtype=object)
+        uk, kinv = np.unique(kv, return_inverse=True)
+        comp = kinv.astype(np.int64) * n_bins + b
+        uc, cn = np.unique(comp, return_counts=True)
+        return pa.table(
+            {
+                by: pa.array(uk[uc // n_bins]),
+                "bin": pa.array(uc % n_bins, pa.int64()),
+                "n": pa.array(cn, pa.int64()),
+            }
+        )
+
+    part = ds.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    keys = ["bin"] if by is None else [by, "bin"]
+    return part.groupby(keys).aggregate(Sum("n", alias_name="n"))

@@ -85,3 +85,48 @@ def test_exact_substring_layout_kernel(texts, k):
             assert lay.occ_doc[j] == d and lay.occ_pos[j] == i
             j += 1
     assert j == len(grams)
+
+
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.sampled_from(list("ab é中")), min_size=0, max_size=40
+        ),
+        min_size=0,
+        max_size=6,
+    ),
+    st.lists(
+        st.text(alphabet=st.sampled_from(list("abé")), min_size=1, max_size=3),
+        min_size=1,
+        max_size=4,
+    ),
+)
+@settings(max_examples=300, deadline=None)
+def test_bm25_hit_kernel_matches_python_split(texts, terms):
+    """The BM25 tokenizer + query-hit kernel == Python str.split(' ') counts
+    on arbitrary unicode, including empty tokens from repeated spaces."""
+    import numpy as np
+
+    from image_deduplication_3m_images_ray.extras.retrieval import (
+        _block_tokens,
+        _term_hits,
+    )
+
+    qarr = np.asarray(sorted(set(terms)), dtype=np.str_)
+    col = pa.chunked_array([pa.array(texts, pa.string())])
+    flat, offs = _block_tokens(col)
+    doc_of, qi, n_rows = _term_hits(flat, offs, qarr)
+    assert n_rows == len(texts)
+    got = {}
+    for d, q in zip(doc_of, qi):
+        got[(int(d), str(qarr[q]))] = got.get((int(d), str(qarr[q])), 0) + 1
+    exp = {}
+    for d, s in enumerate(texts):
+        toks = s.split(" ")
+        for q in set(terms):
+            c = toks.count(q)
+            if c:
+                exp[(d, q)] = c
+    assert got == exp
+    # per-doc token counts match the string_split contract
+    assert np.diff(offs).tolist() == [len(s.split(" ")) for s in texts]

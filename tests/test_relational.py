@@ -561,3 +561,48 @@ def test_resample_to_mixture_exact_caps(ray_session):
     assert len(out2) == (src == "a").sum()
     with pytest.raises(ValueError, match="total"):
         resample_to_mixture(ray.data.from_arrow(tbl), "source", {"a": 1.0}, -1)
+
+
+def test_histogram_matches_numpy(ray_session):
+    import numpy as np
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.relational import histogram
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(-50, 700, size=500)  # includes out-of-range both sides
+    langs = rng.choice(["en", "de", "fr"], size=500)
+    ds = ray.data.from_items(
+        [{"lang": str(l), "n": int(v)} for l, v in zip(langs, vals)]
+    ).repartition(4)
+
+    got = histogram(ds, "n", lo=0, hi=600, n_bins=12, by="lang").to_pandas()
+    got = got.sort_values(["lang", "bin"]).reset_index(drop=True)
+
+    expect = {}
+    for l, v in zip(langs, vals):
+        b = min((min(max(int(v), 0), 600) - 0) * 12 // 600, 11)
+        expect[(str(l), b)] = expect.get((str(l), b), 0) + 1
+    assert len(got) == len(expect)
+    for _, r in got.iterrows():
+        assert expect[(r["lang"], r["bin"])] == r["n"]
+    # clamped mass is preserved
+    assert got["n"].sum() == 500
+
+
+def test_histogram_no_group_and_validation(ray_session):
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.relational import histogram
+
+    ds = ray.data.from_items([{"v": i} for i in range(100)]).repartition(3)
+    got = histogram(ds, "v", lo=0, hi=100, n_bins=4).to_pandas().sort_values("bin")
+    assert list(got["bin"]) == [0, 1, 2, 3]
+    assert list(got["n"]) == [25, 25, 25, 25]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_bins"):
+        histogram(ds, "v", lo=0, hi=100, n_bins=0)
+    with _pytest.raises(ValueError, match="lo < hi"):
+        histogram(ds, "v", lo=100, hi=100, n_bins=4)
