@@ -1242,6 +1242,96 @@ def frequent_terms(
     return exact.sort(["n", "term"], descending=[True, False]).limit(k)
 
 
+def frequent_terms_approx(
+    docs: Dataset,
+    k: int = 20,
+    capacity: int = 4096,
+    batch_size: int = 4096,
+) -> Dataset:
+    """ONE-pass approximate corpus top-``k`` terms with certified bounds —
+    the scale path for when :func:`frequent_terms`' second exact-recount
+    scan is too dear (the input is an expensive unmaterialized chain, or
+    the corpus is only reachable once).
+
+    Pass 1 of the Misra–Gries two-pass, alone: per-batch size-``capacity``
+    summaries (mergeable residuals + the decrement total ``D``), one small
+    groupby, top-``k`` by merged residual.  Output: (term, n_lo, n_hi)
+    where the term's TRUE count is certified inside ``[n_lo, n_hi]``
+    (``n_lo`` = merged residual — every decrement only subtracts;
+    ``n_hi = n_lo + D`` — a term loses at most every decrement).  When
+    ``D == 0`` (vocabulary fits ``capacity``) the result is exact and
+    ``n_lo == n_hi``.  The top-k BY RESIDUAL may differ from the true
+    top-k when true counts are within ``D`` of each other — callers who
+    need the exact set use :func:`frequent_terms`, which proves or raises.
+
+    Scale shape: identical to pass 1 of the exact operator — O(capacity)
+    per-batch state, <= capacity+1 exchange rows per batch, k rows out.
+    """
+    import ray
+    from ray.data.aggregate import Sum
+
+    def summarize(t: pa.Table) -> pa.Table:
+        norm = normalize_array(t["text"])
+        toks = pc.split_pattern(norm, pattern=" ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False))
+        uniq, counts = np.unique(flat, return_counts=True)
+        counts = counts.astype(np.int64)
+        if len(uniq) > capacity:
+            dec = int(np.partition(counts, -capacity - 1)[-capacity - 1])
+            keep = counts > dec
+            uniq, counts = uniq[keep], counts[keep] - dec
+        else:
+            dec = 0
+        return pa.table(
+            {
+                "term": pa.array(np.append(uniq, [""]), pa.string()),
+                "is_dec": pa.array(
+                    np.append(np.zeros(len(uniq), np.int8), [1]), pa.int8()
+                ),
+                "residual": pa.array(np.append(counts, [dec]), pa.int64()),
+            }
+        )
+
+    merged = (
+        docs.map_batches(
+            summarize, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True,
+        )
+        .groupby(["term", "is_dec"])
+        .aggregate(Sum("residual", alias_name="residual"))
+        .materialize()  # pinned: D and the top-k both read it
+    )
+    d_rows = merged.map_batches(
+        lambda t: t.filter(pc.equal(t["is_dec"], 1)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()
+    d_total = int(d_rows[0]["residual"]) if d_rows else 0
+    top = (
+        merged.map_batches(
+            lambda t: t.filter(pc.equal(t["is_dec"], 0)),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort(["residual", "term"], descending=[True, False])
+        .limit(k)
+        .take_all()
+    )
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "term": pa.array([r["term"] for r in top], pa.string()),
+                "n_lo": pa.array([r["residual"] for r in top], pa.int64()),
+                "n_hi": pa.array(
+                    [r["residual"] + d_total for r in top], pa.int64()
+                ),
+            }
+        )
+    )
+
+
 def ngram_counts(
     docs: Dataset, n: int = 3, min_count: int = 2, batch_size: int = 4096
 ) -> Dataset:

@@ -1805,3 +1805,47 @@ def test_lexical_diversity(ray_session):
     assert out.loc[1, "token_entropy"] == 0.0
     assert out.loc[2, "n_tokens"] == 1 and out.loc[2, "ttr"] == 1.0
     assert out.loc[3, "token_entropy"] == round(math.log2(3), 6)
+
+
+def test_frequent_terms_approx_bounds_and_exact_limit(ray_session):
+    """One-pass MG: every reported term's TRUE count is inside [n_lo, n_hi];
+    with capacity >= vocabulary the result is exact (n_lo == n_hi == truth)."""
+    import collections
+
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.textstats import (
+        frequent_terms,
+        frequent_terms_approx,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(2000)])
+    w = 1.0 / np.arange(1, len(vocab) + 1)
+    w /= w.sum()
+    texts = [" ".join(rng.choice(vocab, size=100, p=w)) for _ in range(150)]
+    truth = collections.Counter(tok for s in texts for tok in s.split(" "))
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(texts)), pa.int64()),
+            "text": pa.array(texts, pa.string()),
+        }
+    )
+    ds = ray.data.from_arrow(t)
+
+    # compressed path (capacity << vocab): certified interval contains truth
+    out = frequent_terms_approx(ds, k=12, capacity=128, batch_size=32).to_pandas()
+    assert len(out) == 12
+    assert (out["n_hi"] >= out["n_lo"]).all()
+    for _, r in out.iterrows():
+        assert r["n_lo"] <= truth[r["term"]] <= r["n_hi"], r["term"]
+    # the heavy head survives compression: top-3 by residual == true top-3
+    want_head = [
+        w for w, _ in sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    ]
+    assert list(out["term"][:3]) == want_head
+
+    # uncompressed path (capacity >= vocab): D == 0, exact, == two-pass op
+    big = frequent_terms_approx(ds, k=12, capacity=8192, batch_size=32).to_pandas()
+    assert (big["n_lo"] == big["n_hi"]).all()
+    exact = frequent_terms(ds, k=12, capacity=8192, batch_size=32).to_pandas()
+    assert list(zip(big["term"], big["n_lo"])) == list(zip(exact["term"], exact["n"]))
