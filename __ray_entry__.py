@@ -1127,6 +1127,24 @@ def _q_bm25_topk(sf_dir: str):
     )
 
 
+def _q_bm25_join(sf_dir: str):
+    """Per-query BM25 top-5 for two fixed benchmark-style prompts (the
+    retrieval-decontamination join shape)."""
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.retrieval import bm25_join
+
+    queries_ds = ray.data.from_items(
+        [
+            {"query_id": 1, "text": "dup spark"},
+            {"query_id": 2, "text": "vector window table"},
+        ]
+    )
+    return bm25_join(
+        _docs(sf_dir).select_columns(["doc_id", "text"]), queries_ds, k=5
+    ).sort(["query_id", "rank"])
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "exact_dedup": _q_exact_dedup,
@@ -1218,6 +1236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "crawl_curate": _q_crawl_curate,
         "histogram": _q_histogram,
         "bm25_topk": _q_bm25_topk,
+        "bm25_join": _q_bm25_join,
     }
 
 
@@ -2697,6 +2716,49 @@ def oracle_sql() -> dict[str, str]:
                        FROM contrib GROUP BY doc_id)
             SELECT doc_id, score_micro FROM scores
             ORDER BY score_micro DESC, doc_id LIMIT 10
+        """,
+        # mirrors extras/retrieval.py's pinned float64 operation order;
+        # df/idf are over the UNION of all query terms (operator contract)
+        "bm25_join": """
+            WITH q AS (SELECT * FROM (VALUES (1, 'dup spark'),
+                                             (2, 'vector window table'))
+                       AS t(query_id, qtext)),
+            qt AS (SELECT DISTINCT query_id,
+                          unnest(string_split(qtext, ' ')) AS term FROM q),
+            terms AS (SELECT DISTINCT term FROM qt),
+            stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                             CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                                 AS n_tokens
+                      FROM documents),
+            dl AS (SELECT doc_id,
+                          CAST(len(string_split(text, ' ')) AS BIGINT) AS dl
+                   FROM documents),
+            tf AS (SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+                   FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                         FROM documents)
+                   WHERE tok IN (SELECT term FROM terms) GROUP BY 1, 2),
+            df AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+                   FROM tf GROUP BY term),
+            idf AS (SELECT terms.term,
+                      CAST(floor(log2((2.0*(s.n_docs - coalesce(df.df, 0)) + 1.0)
+                                      / (2.0*coalesce(df.df, 0) + 1.0))
+                                 * 1000000 + 0.5) AS BIGINT) AS idf_micro
+                    FROM terms LEFT JOIN df USING (term) CROSS JOIN stats s),
+            contrib AS (SELECT tf.doc_id, tf.term,
+                 CAST(floor(idf.idf_micro * (((22.0*tf.tf) * s.n_tokens)
+                      / (((10.0*tf.tf) * s.n_tokens + 3.0*s.n_tokens)
+                         + (9.0*dl.dl) * s.n_docs)) + 0.5) AS BIGINT) AS c
+                 FROM tf JOIN idf USING (term) JOIN dl USING (doc_id)
+                 CROSS JOIN stats s),
+            perq AS (SELECT qt.query_id, c.doc_id,
+                            CAST(sum(c.c) AS BIGINT) AS score_micro
+                     FROM contrib c JOIN qt USING (term) GROUP BY 1, 2),
+            r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                ORDER BY score_micro DESC, doc_id) AS rn
+                  FROM perq)
+            SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score_micro,
+                   CAST(rn AS BIGINT) AS rank
+            FROM r WHERE rn <= 5 ORDER BY query_id, rank
         """,
     }
 

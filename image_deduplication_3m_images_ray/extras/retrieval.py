@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 
 from ray.data import Dataset
 
-__all__ = ["bm25_topk"]
+__all__ = ["bm25_topk", "bm25_join"]
 
 
 def _block_tokens(text_col):
@@ -71,38 +71,11 @@ def _term_hits(flat: np.ndarray, offs: np.ndarray, qarr: np.ndarray):
     return doc_of[hit], pos[hit].astype(np.int64), n_rows
 
 
-def bm25_topk(
-    docs: Dataset,
-    query_terms: list,
-    k: int = 10,
-    id_col: str = "doc_id",
-    text_col: str = "text",
-    batch_size: int = 1024,
-) -> Dataset:
-    """Top-``k`` docs by Okapi BM25 score against a bag of query terms.
-
-    Output: (``id_col``, score_micro) — integer microbit scores, ordered
-    score desc then ``id_col`` asc, at most ``k`` rows.  Only docs containing
-    at least one query term are candidates (a doc matching nothing scores
-    nothing, exactly like the SQL oracle's join).  Duplicate query terms are
-    collapsed (BM25 over a term SET; repeat-weighted queries belong in a
-    query-side tf extension, not silent double counting).
-
-    ``docs`` is consumed by two passes (stats fold, scoring) and is
-    ``materialize()``d once.  When NO doc matches, the result has 0 rows
-    (Ray's sort drops column metadata from an all-empty dataset).
-    """
+def _corpus_term_stats(pinned: Dataset, qarr: np.ndarray, text_col: str, batch_size: int):
+    """(n_docs, n_tokens, per-term df) — one fold pass, fixed bytes/block."""
     import ray as _ray
 
-    terms = sorted(set(query_terms))
-    if not terms:
-        raise ValueError("bm25_topk: query_terms must be non-empty")
-    if k <= 0:
-        raise ValueError("bm25_topk: k must be positive")
-    n_q = len(terms)
-    qarr = np.asarray(terms, dtype=np.str_)
-
-    pinned = docs.materialize()
+    n_q = len(qarr)
 
     def stats_partial(t: pa.Table) -> pa.Table:
         flat, offs = _block_tokens(t[text_col])
@@ -138,6 +111,61 @@ def bm25_topk(
                 dtype=np.int64,
             ).reshape(-1, n_q)
             df += vecs.sum(axis=0)
+    return n_docs, n_tokens, df
+
+
+def _idf_micro(n_docs: int, df: np.ndarray) -> np.ndarray:
+    """Integer-microbit idf (half-up); ratio of exact odd integers."""
+    ratio = (2.0 * (n_docs - df) + 1.0) / (2.0 * df + 1.0)
+    return np.floor(np.log2(ratio) * 1e6 + 0.5).astype(np.int64)
+
+
+def _contrib_micro(
+    tf: np.ndarray, dl: np.ndarray, idf: np.ndarray, s_tok: float, n_d: float
+) -> np.ndarray:
+    """Floored per-(doc, term) BM25 contributions (pinned float64 op order —
+    the SQL oracle mirrors these parentheses exactly, so both engines round
+    identically per step).  ``tf``: (n_rows, T) float64; ``dl``: (n_rows,)."""
+    num = (22.0 * tf) * s_tok
+    den = ((10.0 * tf) * s_tok + 3.0 * s_tok) + (9.0 * dl)[:, None] * n_d
+    return np.floor(idf[None, :].astype(np.float64) * (num / den) + 0.5).astype(
+        np.int64
+    )
+
+
+def bm25_topk(
+    docs: Dataset,
+    query_terms: list,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch_size: int = 1024,
+) -> Dataset:
+    """Top-``k`` docs by Okapi BM25 score against a bag of query terms.
+
+    Output: (``id_col``, score_micro) — integer microbit scores, ordered
+    score desc then ``id_col`` asc, at most ``k`` rows.  Only docs containing
+    at least one query term are candidates (a doc matching nothing scores
+    nothing, exactly like the SQL oracle's join).  Duplicate query terms are
+    collapsed (BM25 over a term SET; repeat-weighted queries belong in a
+    query-side tf extension, not silent double counting).
+
+    ``docs`` is consumed by two passes (stats fold, scoring) and is
+    ``materialize()``d once.  When NO doc matches, the result has 0 rows
+    (Ray's sort drops column metadata from an all-empty dataset).
+    """
+    import ray as _ray
+
+    terms = sorted(set(query_terms))
+    if not terms:
+        raise ValueError("bm25_topk: query_terms must be non-empty")
+    if k <= 0:
+        raise ValueError("bm25_topk: k must be positive")
+    n_q = len(terms)
+    qarr = np.asarray(terms, dtype=np.str_)
+
+    pinned = docs.materialize()
+    n_docs, n_tokens, df = _corpus_term_stats(pinned, qarr, text_col, batch_size)
 
     if n_docs == 0:
         return pinned.map_batches(
@@ -147,15 +175,12 @@ def bm25_topk(
             batch_format="pyarrow",
         )
 
-    # idf pinned to integer microbits (half-up); ratio of exact odd integers
-    ratio = (2.0 * (n_docs - df) + 1.0) / (2.0 * df + 1.0)
-    idf_micro = np.floor(np.log2(ratio) * 1e6 + 0.5).astype(np.int64)
-    idf_ref = _ray.put(idf_micro)
+    idf_ref = _ray.put(_idf_micro(n_docs, df))
     s_tok = float(n_tokens)
     n_d = float(n_docs)
 
     def score(t: pa.Table) -> pa.Table:
-        idf = _ray.get(idf_ref).astype(np.float64)
+        idf = _ray.get(idf_ref)
         flat, offs = _block_tokens(t[text_col])
         doc_of, qi, n_rows = _term_hits(flat, offs, qarr)
         ids = np.asarray(
@@ -165,11 +190,7 @@ def bm25_topk(
             n_rows, n_q
         ).astype(np.float64)
         dl = np.diff(offs).astype(np.float64)
-        # pinned float64 operation order — the SQL oracle mirrors these
-        # parentheses exactly, so both engines round identically per step
-        num = (22.0 * tf) * s_tok
-        den = ((10.0 * tf) * s_tok + 3.0 * s_tok) + (9.0 * dl)[:, None] * n_d
-        contrib = np.floor(idf[None, :] * (num / den) + 0.5).astype(np.int64)
+        contrib = _contrib_micro(tf, dl, idf, s_tok, n_d)
         score_micro = contrib.sum(axis=1)
         keep = tf.sum(axis=1) > 0
         ids, score_micro = ids[keep], score_micro[keep]
@@ -186,3 +207,111 @@ def bm25_topk(
         score, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
     return parts.sort(["score_micro", id_col], descending=[True, False]).limit(k)
+
+
+def bm25_join(
+    docs: Dataset,
+    queries: Dataset,
+    k: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    max_queries: int = 100_000,
+    batch_size: int = 1024,
+) -> Dataset:
+    """Per-query BM25 top-``k`` over a corpus — the retrieval JOIN shape
+    (one benchmark prompt per ``queries`` row; "which training docs does
+    each eval question retrieve?" is the retrieval-decontamination audit).
+
+    Output: (``query_id_col``, ``id_col``, score_micro, rank) with rank =
+    SQL ``row_number() OVER (PARTITION BY query ORDER BY score DESC, id)``,
+    at most ``k`` rows per query.  A query's terms are the distinct tokens
+    of its text (space-split, same contract as :func:`bm25_topk`); df/idf
+    are computed once over the UNION of all query terms, so adding queries
+    never changes another query's scores.
+
+    Scale shape: ``queries`` is the small side — collected once under
+    ``max_queries`` (raising, not truncating) and broadcast with the idf
+    vector; the corpus side is one stats fold + one stateless scoring scan
+    emitting at most ``k`` rows per (block, query) (block-local top-k is a
+    valid combiner under the total order); the only exchange is
+    :func:`..relational.group_topk`'s O(k x n_queries)-row shuffle.
+    ``docs`` is consumed by two passes and ``materialize()``d once.
+    """
+    import ray as _ray
+
+    from .relational import _topk_select, group_topk
+
+    if k <= 0:
+        raise ValueError("bm25_join: k must be positive")
+    try:
+        qrows = queries.take_all(limit=max_queries)
+    except ValueError as e:
+        raise ValueError(
+            f"bm25_join: queries exceed max_queries={max_queries}; BM25's "
+            "small side must broadcast — shard the query table and union "
+            "the per-shard joins instead"
+        ) from e
+    if not qrows:
+        raise ValueError("bm25_join: queries table is empty")
+    qids = [r[query_id_col] for r in qrows]
+    term_sets = [sorted(set(str(r[query_text_col]).split(" "))) for r in qrows]
+    terms = sorted(set().union(*term_sets))
+    n_t = len(terms)
+    qarr = np.asarray(terms, dtype=np.str_)
+    n_queries = len(qids)
+    # (T, n_queries) 0/1 membership of each term in each query
+    mem = np.zeros((n_t, n_queries), dtype=np.int64)
+    for j, ts in enumerate(term_sets):
+        mem[np.searchsorted(qarr, np.asarray(ts, dtype=np.str_)), j] = 1
+
+    pinned = docs.materialize()
+    n_docs, n_tokens, df = _corpus_term_stats(pinned, qarr, text_col, batch_size)
+    qid_type = pa.int64() if isinstance(qids[0], (int, np.integer)) else pa.string()
+    if n_docs == 0:
+        return pinned.map_batches(
+            lambda t: pa.table(
+                {
+                    query_id_col: pa.array([], qid_type),
+                    id_col: pa.array([], pa.int64()),
+                    "score_micro": pa.array([], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    bcast = _ray.put((_idf_micro(n_docs, df), mem, np.asarray(qids, dtype=object)))
+    s_tok = float(n_tokens)
+    n_d = float(n_docs)
+
+    def score(t: pa.Table) -> pa.Table:
+        idf, m, qv = _ray.get(bcast)
+        flat, offs = _block_tokens(t[text_col])
+        doc_of, qi, n_rows = _term_hits(flat, offs, qarr)
+        ids = np.asarray(
+            pc.cast(t[id_col], pa.int64()).to_numpy(zero_copy_only=False), np.int64
+        )
+        tf = np.bincount(doc_of * n_t + qi, minlength=n_rows * n_t).reshape(
+            n_rows, n_t
+        )
+        contrib = _contrib_micro(tf.astype(np.float64), np.diff(offs).astype(np.float64), idf, s_tok, n_d)
+        scores = contrib @ m  # (n_rows, n_queries) exact int64 sums
+        cand_d, cand_q = np.nonzero(tf @ m)  # >= 1 shared term
+        sc = scores[cand_d, cand_q]
+        # block-local top-k per query: the exchange ships <= k rows per
+        # (block, query)
+        keep, _ = _topk_select(cand_q, sc, ids[cand_d], k)
+        keep = keep[np.argsort(cand_q[keep], kind="stable")]
+        return pa.table(
+            {
+                query_id_col: pa.array(qv[cand_q[keep]].tolist(), qid_type),
+                id_col: pa.array(ids[cand_d[keep]], pa.int64()),
+                "score_micro": pa.array(sc[keep], pa.int64()),
+            }
+        )
+
+    parts = pinned.map_batches(
+        score, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    return group_topk(parts, key=query_id_col, value="score_micro", k=k, tiebreak=id_col)

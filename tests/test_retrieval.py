@@ -6,7 +6,7 @@ import numpy as np
 import pytest
 import ray.data
 
-from image_deduplication_3m_images_ray.extras.retrieval import bm25_topk
+from image_deduplication_3m_images_ray.extras.retrieval import bm25_join, bm25_topk
 
 DOCS = [
     (0, "spark table spark join fast"),
@@ -87,3 +87,75 @@ def test_bm25_topk_validation(ray_session):
         bm25_topk(_ds(DOCS, 1), [], k=5)
     with pytest.raises(ValueError, match="positive"):
         bm25_topk(_ds(DOCS, 1), ["spark"], k=0)
+
+
+@pytest.mark.parametrize("blocks", [1, 4])
+def test_bm25_join_matches_per_query_reference(ray_session, blocks):
+    """bm25_join == independent per-query reference rankings, with df/idf
+    over the union of all query terms (so scores match bm25_topk's when the
+    term unions coincide)."""
+    queries = [(10, "spark vector"), (20, "dup row the")]
+    union_terms = sorted({t for _, s in queries for t in s.split(" ")})
+    ds = _ds(DOCS, blocks)
+    got = (
+        bm25_join(
+            ds,
+            ray.data.from_items(
+                [{"query_id": q, "text": s} for q, s in queries]
+            ),
+            k=3,
+        )
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    # reference: rank per query using idf over the UNION term stats
+    import collections
+
+    n = len(DOCS)
+    s_tok = sum(len(t.split(" ")) for _, t in DOCS)
+    df = {
+        q: sum(1 for _, t in DOCS if q in t.split(" ")) for q in union_terms
+    }
+    idf = {
+        q: math.floor(
+            math.log2((2.0 * (n - df[q]) + 1.0) / (2.0 * df[q] + 1.0)) * 1e6 + 0.5
+        )
+        for q in union_terms
+    }
+    exp_rows = []
+    for qid, qs in queries:
+        terms = sorted(set(qs.split(" ")))
+        scored = []
+        for i, t in DOCS:
+            toks = t.split(" ")
+            if not any(x in toks for x in terms):
+                continue
+            sc = 0
+            for x in terms:
+                tf = toks.count(x)
+                num = (22.0 * tf) * s_tok
+                den = ((10.0 * tf) * s_tok + 3.0 * s_tok) + (9.0 * len(toks)) * n
+                sc += math.floor(idf[x] * (num / den) + 0.5)
+            scored.append((i, sc))
+        scored.sort(key=lambda r: (-r[1], r[0]))
+        for rank, (i, sc) in enumerate(scored[:3], 1):
+            exp_rows.append((qid, i, sc, rank))
+    assert (
+        list(zip(got["query_id"], got["doc_id"], got["score_micro"], got["rank"]))
+        == exp_rows
+    )
+
+
+def test_bm25_join_string_query_ids_and_validation(ray_session):
+    qds = ray.data.from_items([{"query_id": "alpha", "text": "spark"}])
+    got = bm25_join(_ds(DOCS, 2), qds, k=2).to_pandas()
+    assert set(got["query_id"]) == {"alpha"}
+    assert len(got) == 2
+
+    with pytest.raises(ValueError, match="empty"):
+        bm25_join(_ds(DOCS, 1), ray.data.from_items([]), k=2)
+    with pytest.raises(ValueError, match="positive"):
+        bm25_join(_ds(DOCS, 1), qds, k=0)
+    with pytest.raises(ValueError, match="max_queries"):
+        bm25_join(_ds(DOCS, 1), qds, k=2, max_queries=0)
