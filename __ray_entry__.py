@@ -977,6 +977,18 @@ def _q_gopher_quality(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_kmeans(sf_dir: str):
+    """Full-data distributed Lloyd's k-means (k=8, 3 iterations, init = the
+    8 smallest vec_ids): per-vector cluster label + Euclidean distance."""
+    from image_deduplication_3m_images_ray.extras.clustering import kmeans
+
+    out = kmeans(
+        _embeddings(sf_dir).select_columns(["vec_id", "embedding"]), k=8, n_iter=3
+    ).to_pandas()
+    out["dist"] = np.round(out["dist"], 6)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR log importance weights (Xie et al. 2023): every doc scored by a
     hashed-bigram target-vs-raw log likelihood ratio; target = the corpus's
@@ -1227,6 +1239,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "importance_sample": _q_importance_sample,
         "curate_corpus": _q_curate_corpus,
         "semdedup": _q_semdedup,
+        "kmeans": _q_kmeans,
         "dsir_weights": _q_dsir_weights,
         "nb_classify": _q_nb_classify,
         "url_canon": _q_url_canon,
@@ -2558,6 +2571,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, n_docs, n_tokens,
                    round(n_docs / tot, 6) AS doc_share
             FROM s CROSS JOIN t ORDER BY domain
+        """,
+        "kmeans": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            u AS (SELECT vec_id, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos
+                  FROM e),
+            init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS label,
+                            vec_id
+                     FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+            c0 AS (SELECT i.label, u.pos, u.x AS cx
+                   FROM init i JOIN u USING (vec_id)),
+            a1 AS (SELECT vec_id, label FROM (
+                     SELECT u.vec_id, c.label,
+                            ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                                ORDER BY sum(u.x*u.x) - 2*sum(u.x*c.cx)
+                                         + sum(c.cx*c.cx), c.label) AS rn
+                     FROM u JOIN c0 c USING (pos)
+                     GROUP BY u.vec_id, c.label) WHERE rn = 1),
+            m1 AS (SELECT a.label, u.pos, avg(u.x) AS cx
+                   FROM a1 a JOIN u USING (vec_id) GROUP BY 1, 2),
+            c1 AS (SELECT c0.label, c0.pos, COALESCE(m1.cx, c0.cx) AS cx
+                   FROM c0 LEFT JOIN m1 USING (label, pos)),
+            a2 AS (SELECT vec_id, label FROM (
+                     SELECT u.vec_id, c.label,
+                            ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                                ORDER BY sum(u.x*u.x) - 2*sum(u.x*c.cx)
+                                         + sum(c.cx*c.cx), c.label) AS rn
+                     FROM u JOIN c1 c USING (pos)
+                     GROUP BY u.vec_id, c.label) WHERE rn = 1),
+            m2 AS (SELECT a.label, u.pos, avg(u.x) AS cx
+                   FROM a2 a JOIN u USING (vec_id) GROUP BY 1, 2),
+            c2 AS (SELECT c1.label, c1.pos, COALESCE(m2.cx, c1.cx) AS cx
+                   FROM c1 LEFT JOIN m2 USING (label, pos)),
+            a3 AS (SELECT vec_id, label FROM (
+                     SELECT u.vec_id, c.label,
+                            ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                                ORDER BY sum(u.x*u.x) - 2*sum(u.x*c.cx)
+                                         + sum(c.cx*c.cx), c.label) AS rn
+                     FROM u JOIN c2 c USING (pos)
+                     GROUP BY u.vec_id, c.label) WHERE rn = 1),
+            m3 AS (SELECT a.label, u.pos, avg(u.x) AS cx
+                   FROM a3 a JOIN u USING (vec_id) GROUP BY 1, 2),
+            c3 AS (SELECT c2.label, c2.pos, COALESCE(m3.cx, c2.cx) AS cx
+                   FROM c2 LEFT JOIN m3 USING (label, pos)),
+            fin AS (SELECT u.vec_id, c.label,
+                           sum(u.x*u.x) - 2*sum(u.x*c.cx)
+                               + sum(c.cx*c.cx) AS d2,
+                           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                               ORDER BY sum(u.x*u.x) - 2*sum(u.x*c.cx)
+                                        + sum(c.cx*c.cx), c.label) AS rn
+                    FROM u JOIN c3 c USING (pos)
+                    GROUP BY u.vec_id, c.label)
+            SELECT vec_id, CAST(label AS INTEGER) AS label_km,
+                   round(sqrt(greatest(d2, 0)), 6) AS dist
+            FROM fin WHERE rn = 1 ORDER BY vec_id
         """,
         "semdedup": """
             WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,

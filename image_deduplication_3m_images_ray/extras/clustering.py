@@ -1,0 +1,177 @@
+"""Distributed full-data Lloyd's k-means over an embedding column.
+
+Complements :func:`extras.similarity.ivf_train_centroids` (a driver-side
+*sample* quantizer): here every Lloyd iteration scans the ENTIRE table —
+the E-step is a broadcast-centroid vectorized assign inside ``map_batches``,
+the M-step reduces per-block partial sums (k x d doubles per block, O(1) in
+the table size) on the driver.  At 10^9+ vectors this is the textbook
+scale shape: per-iteration cost is one streaming pass + a k*d*n_blocks-byte
+fan-in, never a shuffle of the vectors themselves.
+
+Reference analog role: the reference clusters embeddings by pairwise cosine
++ connected components (/root/reference/modules/deduplication.py:1207-1283);
+k-means is the partitional counterpart used by SemDeDup (Abbas et al. 2023)
+to form the clusters its within-cluster pruning needs —
+:func:`extras.similarity.semdedup_prune` consumes this operator's labels.
+
+Determinism: init is the vectors of the k smallest ids (a pure function of
+the data, independent of block order and count); each M-step mean is a sum
+of per-block float64 partials, so the result is block-layout-dependent only
+in the last ulp (assignments flip only on exact distance near-ties, which
+the driver oracle confirms do not occur on the test corpora).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ray.data import Dataset
+
+from .dedup_ops import embeddings_to_matrix
+
+
+def _smallest_k_vectors(embeddings: Dataset, k: int) -> np.ndarray:
+    """(k, d) float64 rows of the k smallest vec_ids — one scan, per-block
+    partial top-k (k x d bytes per block to the driver, never full columns)."""
+    import ray as _ray
+
+    def partial(t: pa.Table) -> pa.Table:
+        ids, rows = embeddings_to_matrix(t)
+        order = np.argsort(ids, kind="stable")[:k]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order], pa.int64()),
+                "v": pa.array(list(rows[order]), pa.list_(pa.float64())),
+            }
+        )
+
+    parts = [
+        t
+        for t in _ray.get(
+            embeddings.map_batches(
+                partial, batch_format="pyarrow", zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    merged = pa.concat_tables(parts)
+    ids = np.asarray(merged["vec_id"].to_numpy(zero_copy_only=False))
+    rows = np.asarray(
+        merged["v"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+    ).reshape(len(ids), -1)
+    order = np.argsort(ids, kind="stable")[:k]
+    if len(order) < k:
+        raise ValueError(f"k={k} exceeds the table's {len(order)} vectors")
+    return rows[order].copy()
+
+
+def _sq_dists(rows: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """(n, k) squared L2 distances via the expanded form (one matmul)."""
+    # clip: ||x||^2 - 2xC + ||c||^2 can go epsilon-negative in float64
+    d2 = (
+        (rows * rows).sum(axis=1, keepdims=True)
+        - 2.0 * (rows @ cent.T)
+        + (cent * cent).sum(axis=1)[None, :]
+    )
+    return np.maximum(d2, 0.0)
+
+
+def kmeans_fit(
+    embeddings: Dataset,
+    k: int = 8,
+    n_iter: int = 3,
+    batch_size: int = 4096,
+) -> np.ndarray:
+    """Full-data Lloyd's: returns (k, d) float64 centroids after ``n_iter``
+    assign+mean rounds.  Empty clusters keep their previous centroid.
+
+    ``embeddings`` is scanned ``n_iter + 1`` times — materialized once up
+    front so a lazy upstream never re-executes.
+    """
+    import ray as _ray
+
+    embeddings = embeddings.materialize()
+    cent = _smallest_k_vectors(embeddings, k)
+    d = cent.shape[1]
+
+    for _ in range(n_iter):
+        ref = _ray.put(cent)
+
+        def partial_sums(t: pa.Table) -> pa.Table:
+            c = _ray.get(ref)
+            _, rows = embeddings_to_matrix(t)
+            lab = np.argmin(_sq_dists(rows, c), axis=1)
+            sums = np.zeros_like(c)
+            np.add.at(sums, lab, rows)
+            counts = np.bincount(lab, minlength=len(c)).astype(np.int64)
+            return pa.table(
+                {
+                    "label": pa.array(np.arange(len(c), dtype=np.int32), pa.int32()),
+                    "psum": pa.array(list(sums), pa.list_(pa.float64())),
+                    "n": pa.array(counts, pa.int64()),
+                }
+            )
+
+        parts = [
+            t
+            for t in _ray.get(
+                embeddings.map_batches(
+                    partial_sums,
+                    batch_format="pyarrow",
+                    batch_size=batch_size,
+                    zero_copy_batch=True,
+                ).to_arrow_refs()
+            )
+            if t.num_rows
+        ]
+        sums = np.zeros((k, d), dtype=np.float64)
+        counts = np.zeros(k, dtype=np.int64)
+        for t in parts:
+            lab = np.asarray(t["label"].to_numpy(zero_copy_only=False))
+            ps = np.asarray(
+                t["psum"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+            ).reshape(len(lab), -1)
+            np.add.at(sums, lab, ps)
+            np.add.at(counts, lab, np.asarray(t["n"].to_numpy(zero_copy_only=False)))
+        live = counts > 0
+        cent[live] = sums[live] / counts[live, None]
+    return cent
+
+
+def kmeans_assign(
+    embeddings: Dataset, centroids: np.ndarray, batch_size: int = 4096
+) -> Dataset:
+    """Adds ``label`` (argmin squared-L2 centroid, ties to the smallest
+    index) and ``dist`` (Euclidean, full precision) to each row."""
+    import ray as _ray
+
+    ref = _ray.put(np.asarray(centroids, dtype=np.float64))
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        _, rows = embeddings_to_matrix(t)
+        d2 = _sq_dists(rows, c)
+        lab = np.argmin(d2, axis=1)
+        dist = np.sqrt(d2[np.arange(len(lab)), lab])
+        return t.append_column(
+            "label_km", pa.array(lab.astype(np.int32), pa.int32())
+        ).append_column("dist", pa.array(dist, pa.float64()))
+
+    return embeddings.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+
+
+def kmeans(
+    embeddings: Dataset,
+    k: int = 8,
+    n_iter: int = 3,
+    batch_size: int = 4096,
+) -> Dataset:
+    """fit + assign: (vec_id, embedding, ...) -> (vec_id, label_km, dist)."""
+    embeddings = embeddings.materialize()
+    cent = kmeans_fit(embeddings, k=k, n_iter=n_iter, batch_size=batch_size)
+    return kmeans_assign(embeddings, cent, batch_size=batch_size).select_columns(
+        ["vec_id", "label_km", "dist"]
+    )

@@ -1,0 +1,114 @@
+"""Distributed Lloyd's k-means — numpy reference parity, partition
+invariance, empty-cluster handling, k > n guard."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from image_deduplication_3m_images_ray.extras.clustering import (
+    kmeans,
+    kmeans_assign,
+    kmeans_fit,
+)
+
+
+def _make_ds(rows: np.ndarray, ids=None, parts: int = 1):
+    n = len(rows)
+    ids = np.arange(n, dtype=np.int64) if ids is None else np.asarray(ids)
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [r.astype(np.float32) for r in rows], pa.list_(pa.float32())
+            ),
+        }
+    )
+    return ray.data.from_arrow(t).repartition(parts)
+
+
+def _brute(rows: np.ndarray, k: int, n_iter: int):
+    """Dense reference Lloyd's with smallest-id init + empty-keeps-previous."""
+    rows = rows.astype(np.float32).astype(np.float64)
+    cent = rows[:k].copy()  # ids are 0..n-1 ascending in _make_ds
+    for _ in range(n_iter):
+        d2 = (
+            (rows * rows).sum(1, keepdims=True)
+            - 2 * rows @ cent.T
+            + (cent * cent).sum(1)[None]
+        )
+        lab = np.argmin(d2, axis=1)
+        for c in range(k):
+            m = lab == c
+            if m.any():
+                cent[c] = rows[m].mean(0)
+    d2 = np.maximum(
+        (rows * rows).sum(1, keepdims=True)
+        - 2 * rows @ cent.T
+        + (cent * cent).sum(1)[None],
+        0,
+    )
+    lab = np.argmin(d2, axis=1)
+    return cent, lab, np.sqrt(d2[np.arange(len(lab)), lab])
+
+
+def test_matches_numpy_reference_across_partitionings(ray_session):
+    rng = np.random.default_rng(7)
+    rows = rng.normal(size=(200, 16))
+    _, lab_ref, dist_ref = _brute(rows, k=5, n_iter=4)
+    outs = []
+    for parts in (1, 7):
+        out = (
+            kmeans(_make_ds(rows, parts=parts), k=5, n_iter=4)
+            .to_pandas()
+            .sort_values("vec_id")
+            .reset_index(drop=True)
+        )
+        np.testing.assert_array_equal(out["label_km"].to_numpy(), lab_ref)
+        np.testing.assert_allclose(out["dist"].to_numpy(), dist_ref, rtol=0, atol=1e-9)
+        outs.append(out)
+    # block layout must not change the answer
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_init_is_smallest_ids_not_first_rows(ray_session):
+    rng = np.random.default_rng(3)
+    rows = rng.normal(size=(60, 8))
+    ids = np.arange(60, dtype=np.int64)[::-1].copy()  # ids descend in row order
+    cent = kmeans_fit(_make_ds(rows, ids=ids), k=4, n_iter=0)
+    # ids 0..3 are the LAST four rows
+    expect = rows[-4:][::-1].astype(np.float32).astype(np.float64)
+    np.testing.assert_allclose(cent, expect, rtol=0, atol=0)
+
+
+def test_empty_cluster_keeps_previous_centroid(ray_session):
+    # two tight blobs, k=3: the third centroid (init = point 2, inside blob A)
+    # empties after iteration 1 and must keep its previous position
+    blob_a = np.zeros((5, 4)) + [0, 0, 0, 0]
+    blob_a[2] = [9, 9, 9, 9]  # id 2: far outlier used as init for label 2
+    blob_b = np.ones((5, 4)) * 100
+    rows = np.vstack([blob_a, blob_b])
+    cent = kmeans_fit(_make_ds(rows), k=3, n_iter=2)
+    assert cent.shape == (3, 4)
+    assert np.isfinite(cent).all()
+    out = kmeans(_make_ds(rows), k=3, n_iter=2).to_pandas()
+    assert set(out.columns) == {"vec_id", "label_km", "dist"}
+    _, lab_ref, _ = _brute(rows, k=3, n_iter=2)
+    np.testing.assert_array_equal(
+        out.sort_values("vec_id")["label_km"].to_numpy(), lab_ref
+    )
+
+
+def test_k_exceeding_table_raises(ray_session):
+    rows = np.random.default_rng(0).normal(size=(3, 4))
+    with pytest.raises(ValueError, match="exceeds"):
+        kmeans_fit(_make_ds(rows), k=5, n_iter=1)
+
+
+def test_assign_ties_break_to_smallest_label(ray_session):
+    rows = np.array([[0.0, 0.0]])
+    cent = np.array([[1.0, 0.0], [-1.0, 0.0]])  # equidistant
+    out = kmeans_assign(_make_ds(rows), cent).to_pandas()
+    assert out["label_km"].tolist() == [0]
