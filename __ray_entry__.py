@@ -977,6 +977,29 @@ def _q_gopher_quality(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_weighted_sample(sf_dir: str):
+    """Exact-size weighted sampling without replacement (Efraimidis-Spirakis
+    exponential keys over hash uniforms): 50 docs weighted by length."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from image_deduplication_3m_images_ray.extras.relational import weighted_sample
+
+    def add_w(t: pa.Table) -> pa.Table:
+        w = pc.divide(
+            pc.cast(pc.min_element_wise(t["n_chars"], 2000), pa.float64()), 2000.0
+        )
+        return t.append_column("weight", w)
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "n_chars"]).map_batches(
+        add_w, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = weighted_sample(ds, n=50, weight_col="weight", id_col="doc_id").to_pandas()
+    out["skey"] = np.round(out["skey"], 6)
+    out["weight"] = np.round(out["weight"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_kmeans(sf_dir: str):
     """Full-data distributed Lloyd's k-means (k=8, 3 iterations, init = the
     8 smallest vec_ids): per-vector cluster label + Euclidean distance."""
@@ -1240,6 +1263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "semdedup": _q_semdedup,
         "kmeans": _q_kmeans,
+        "weighted_sample": _q_weighted_sample,
         "dsir_weights": _q_dsir_weights,
         "nb_classify": _q_nb_classify,
         "url_canon": _q_url_canon,
@@ -2571,6 +2595,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, n_docs, n_tokens,
                    round(n_docs / tot, 6) AS doc_share
             FROM s CROSS JOIN t ORDER BY domain
+        """,
+        "weighted_sample": """
+            WITH k AS (
+                SELECT doc_id, n_chars,
+                       least(n_chars, 2000) / 2000.0 AS weight,
+                       CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                            % 9223372036854775808 AS DOUBLE)
+                           / 9223372036854775808.0 AS u
+                FROM documents),
+            s AS (SELECT doc_id, n_chars, weight, ln(u) / weight AS skey
+                  FROM k WHERE weight > 0 AND u > 0),
+            top AS (SELECT * FROM s ORDER BY skey DESC, doc_id LIMIT 50),
+            r AS (SELECT *, CAST(row_number() OVER (
+                                ORDER BY skey DESC, doc_id) AS BIGINT) AS rank
+                  FROM top)
+            SELECT doc_id, n_chars, round(weight, 6) AS weight,
+                   round(skey, 6) AS skey, rank
+            FROM r ORDER BY doc_id
         """,
         "kmeans": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

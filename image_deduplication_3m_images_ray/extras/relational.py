@@ -410,6 +410,66 @@ def sample_per_group(
     return out.map_batches(drop_h, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def weighted_sample(
+    ds: Dataset, n: int, weight_col: str, id_col: str = "doc_id"
+) -> Dataset:
+    """Deterministic weighted sampling WITHOUT replacement: the exact-size
+    counterpart of :func:`importance_sample` (whose Bernoulli keep gives a
+    random-size sample).
+
+    Efraimidis & Spirakis (IPL 2006) exponential keys with hash-derived
+    uniforms: row i gets ``skey = ln(u_i) / w_i`` where ``u_i`` is the same
+    ``md5(id) mod 2^63 -> [0,1)`` double as ``importance_sample``, and the
+    ``n`` largest keys win — a distribution-exact weighted draw, yet a pure
+    function of (data, n), so resumable, auditable and SQL-checkable.
+    Rows with ``w <= 0`` (or the measure-zero ``u == 0``) are never sampled.
+
+    Scale shape: one stateless scan computes keys and keeps only each
+    block's top-``n`` (ordered exactly like the global criterion:
+    skey desc, id asc — so no global candidate is ever dropped), then a
+    final sort+limit over the <= n x n_blocks survivors.  ``n`` is assumed
+    driver-small (a sample, not a partition of the corpus).
+
+    Output: input columns + ``skey`` (float64) + ``rank`` (int64, 1-based
+    by descending key).
+    """
+    if n <= 0:
+        raise ValueError("weighted_sample: n must be > 0")
+
+    def partial(t: pa.Table) -> pa.Table:
+        u = (_md5_id_column(t, id_col) % np.uint64(2**63)).astype(
+            np.float64
+        ) / float(2**63)
+        w = np.asarray(t[weight_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        ok = (w > 0) & (u > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.where(ok, np.log(np.where(ok, u, 1.0)) / np.where(ok, w, 1.0), -np.inf)
+        t = t.append_column("skey", pa.array(key, pa.float64()))
+        t = t.filter(pa.array(np.isfinite(key)))
+        if t.num_rows > n:
+            ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+            k = np.asarray(t["skey"].to_numpy(zero_copy_only=False))
+            order = np.lexsort((ids, -k))[:n]
+            t = t.take(pa.array(np.sort(order)))
+        return t
+
+    survivors = ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True)
+    top = survivors.sort(["skey", id_col], descending=[True, False]).limit(n)
+
+    def add_rank(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t[id_col].to_numpy(zero_copy_only=False))
+        k = np.asarray(t["skey"].to_numpy(zero_copy_only=False))
+        order = np.lexsort((ids, -k))
+        t = t.take(pa.array(order))
+        return t.append_column(
+            "rank", pa.array(np.arange(1, t.num_rows + 1, dtype=np.int64), pa.int64())
+        )
+
+    return top.repartition(1).map_batches(
+        add_rank, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def resample_to_mixture(
     ds: Dataset,
     key: str,

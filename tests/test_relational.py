@@ -606,3 +606,58 @@ def test_histogram_no_group_and_validation(ray_session):
         histogram(ds, "v", lo=0, hi=100, n_bins=0)
     with _pytest.raises(ValueError, match="lo < hi"):
         histogram(ds, "v", lo=100, hi=100, n_bins=4)
+
+
+def test_weighted_sample_matches_reference_and_partitioning(ray_session):
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.relational import weighted_sample
+    from image_deduplication_3m_images_ray.functions.hashing import md5_u64
+
+    n_rows, n = 300, 20
+    rng = np.random.default_rng(11)
+    w = rng.uniform(0.05, 1.0, size=n_rows)
+    w[::17] = 0.0  # zero-weight rows must never be sampled
+    rows = [{"doc_id": i, "weight": float(w[i])} for i in range(n_rows)]
+
+    # pure-Python Efraimidis-Spirakis reference on the same hash uniforms
+    u = (md5_u64([str(i) for i in range(n_rows)]) % np.uint64(2**63)).astype(
+        np.float64
+    ) / float(2**63)
+    ok = (w > 0) & (u > 0)
+    key = np.where(ok, np.log(np.where(ok, u, 1.0)) / np.where(ok, w, 1.0), -np.inf)
+    order = np.lexsort((np.arange(n_rows), -key))
+    expect_ids = sorted(int(i) for i in order[:n] if np.isfinite(key[i]))
+
+    outs = []
+    for parts in (1, 6):
+        ds = ray.data.from_items(rows).repartition(parts)
+        out = (
+            weighted_sample(ds, n=n, weight_col="weight")
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        assert sorted(out["doc_id"].tolist()) == expect_ids
+        assert (out["weight"] > 0).all()
+        # rank is the descending-skey order, 1..n exactly once
+        assert sorted(out["rank"].tolist()) == list(range(1, n + 1))
+        r = out.sort_values("rank")
+        assert (np.diff(r["skey"].to_numpy()) <= 0).all()
+        outs.append(out)
+    pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_weighted_sample_small_table_and_validation(ray_session):
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.relational import weighted_sample
+
+    ds = ray.data.from_items(
+        [{"doc_id": i, "weight": 1.0 if i < 3 else 0.0} for i in range(6)]
+    )
+    out = weighted_sample(ds, n=10, weight_col="weight").to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [0, 1, 2]  # only positive weights
+
+    with pytest.raises(ValueError, match="n must be"):
+        weighted_sample(ds, n=0, weight_col="weight")
