@@ -977,6 +977,18 @@ def _q_gopher_quality(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_bpe_merges(sf_dir: str):
+    """First 8 BPE merges learned from the documents corpus (Sennrich 2016).
+    Iterative (each merge depends on counts under all previous merges) so
+    there is no SQL oracle — the driver records the rows-only check;
+    tests/test_bpe.py pins parity with the classic reference algorithm."""
+    from image_deduplication_3m_images_ray.extras.bpe import bpe_train
+
+    return bpe_train(
+        _docs(sf_dir).select_columns(["text"]), n_merges=8
+    )
+
+
 def _q_weighted_sample(sf_dir: str):
     """Exact-size weighted sampling without replacement (Efraimidis-Spirakis
     exponential keys over hash uniforms): 50 docs weighted by length."""
@@ -1264,6 +1276,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "kmeans": _q_kmeans,
         "weighted_sample": _q_weighted_sample,
+        "bpe_merges": _q_bpe_merges,
         "dsir_weights": _q_dsir_weights,
         "nb_classify": _q_nb_classify,
         "url_canon": _q_url_canon,
