@@ -989,6 +989,21 @@ def _q_bpe_merges(sf_dir: str):
     )
 
 
+def _q_bpe_encode(sf_dir: str):
+    """Tokenize the corpus under the first 8 learned BPE merges: per-doc
+    word/token counts + chars-per-token compression. Composes bpe_train ->
+    bpe_encode; iterative upstream => rows-only driver check (pytest pins
+    the encode kernel and count assembly)."""
+    from image_deduplication_3m_images_ray.extras.bpe import bpe_encode, bpe_train
+
+    docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+    m = bpe_train(docs, n_merges=8)
+    merges = list(zip(m["left"].to_pylist(), m["right"].to_pylist()))
+    out = bpe_encode(docs, merges).to_pandas()
+    out["compression"] = np.round(out["compression"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
 def _q_weighted_sample(sf_dir: str):
     """Exact-size weighted sampling without replacement (Efraimidis-Spirakis
     exponential keys over hash uniforms): 50 docs weighted by length."""
@@ -1007,6 +1022,33 @@ def _q_weighted_sample(sf_dir: str):
         add_w, batch_format="pyarrow", zero_copy_batch=True
     )
     out = weighted_sample(ds, n=50, weight_col="weight", id_col="doc_id").to_pandas()
+    out["skey"] = np.round(out["skey"], 6)
+    out["weight"] = np.round(out["weight"], 6)
+    return out.sort_values("doc_id").reset_index(drop=True)
+
+
+def _q_weighted_sample_per_group(sf_dir: str):
+    """Stratified weighted draw: 3 docs per source, weighted by length
+    (Efraimidis-Spirakis keys within each group)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from image_deduplication_3m_images_ray.extras.relational import (
+        weighted_sample_per_group,
+    )
+
+    def add_w(t: pa.Table) -> pa.Table:
+        w = pc.divide(
+            pc.cast(pc.min_element_wise(t["n_chars"], 2000), pa.float64()), 2000.0
+        )
+        return t.append_column("weight", w)
+
+    ds = _docs(sf_dir).select_columns(["doc_id", "source", "n_chars"]).map_batches(
+        add_w, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = weighted_sample_per_group(
+        ds, key="source", k=3, weight_col="weight", id_col="doc_id"
+    ).to_pandas()
     out["skey"] = np.round(out["skey"], 6)
     out["weight"] = np.round(out["weight"], 6)
     return out.sort_values("doc_id").reset_index(drop=True)
@@ -1276,7 +1318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": _q_semdedup,
         "kmeans": _q_kmeans,
         "weighted_sample": _q_weighted_sample,
+        "weighted_sample_per_group": _q_weighted_sample_per_group,
         "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
         "dsir_weights": _q_dsir_weights,
         "nb_classify": _q_nb_classify,
         "url_canon": _q_url_canon,
@@ -2626,6 +2670,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars, round(weight, 6) AS weight,
                    round(skey, 6) AS skey, rank
             FROM r ORDER BY doc_id
+        """,
+        "weighted_sample_per_group": """
+            WITH k AS (
+                SELECT doc_id, source, n_chars,
+                       least(n_chars, 2000) / 2000.0 AS weight,
+                       CAST(md5_number_lower(CAST(doc_id AS VARCHAR))
+                            % 9223372036854775808 AS DOUBLE)
+                           / 9223372036854775808.0 AS u
+                FROM documents),
+            s AS (SELECT doc_id, source, n_chars, weight,
+                         ln(u) / weight AS skey
+                  FROM k WHERE weight > 0 AND u > 0),
+            r AS (SELECT *, CAST(row_number() OVER (
+                                PARTITION BY source
+                                ORDER BY skey DESC, doc_id) AS BIGINT) AS rank
+                  FROM s)
+            SELECT doc_id, source, n_chars, round(weight, 6) AS weight,
+                   round(skey, 6) AS skey, rank
+            FROM r WHERE rank <= 3 ORDER BY doc_id
         """,
         "kmeans": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v

@@ -264,3 +264,60 @@ def bpe_encode_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
             break
         sym = _merge_word(sym, left, right, left + right)
     return sym
+
+
+def bpe_encode(
+    docs: Dataset,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> Dataset:
+    """Tokenize the corpus under a learned merge list: (id, n_words,
+    n_tokens, compression = chars / tokens).
+
+    The merge list is driver-small (a tokenizer has 10^4-10^5 merges) and
+    ships once per actor via closure capture of an immutable tuple.  Each
+    block encodes every DISTINCT word once (words repeat heavily in webtext)
+    and maps counts back through the inverse index — the per-block cost is
+    O(distinct_words x merges), not O(tokens x merges).
+    """
+    merges = tuple((str(l), str(r)) for l, r in merges)
+
+    def fn(t: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(
+            pc.utf8_trim_whitespace(pc.cast(t[text_col], pa.string())), r"\s+"
+        )
+        toks = toks.combine_chunks()
+        lens = np.asarray(pc.list_value_length(toks).to_numpy(zero_copy_only=False))
+        flat = np.asarray(toks.flatten().to_numpy(zero_copy_only=False), dtype=object)
+        keep = np.array([len(w) > 0 for w in flat], dtype=bool)
+        # doc index per word, before dropping empties
+        doc_of = np.repeat(np.arange(len(t), dtype=np.int64), lens)[keep]
+        flat = flat[keep]
+        uniq, inv = np.unique(flat, return_inverse=True)
+        per_word = np.array(
+            [len(bpe_encode_word(w, list(merges))) for w in uniq], dtype=np.int64
+        )
+        n_tokens = np.zeros(len(t), dtype=np.int64)
+        np.add.at(n_tokens, doc_of, per_word[inv])
+        n_words = np.zeros(len(t), dtype=np.int64)
+        np.add.at(n_words, doc_of, 1)
+        chars = np.array([len(w) for w in flat], dtype=np.int64)
+        n_chars = np.zeros(len(t), dtype=np.int64)
+        np.add.at(n_chars, doc_of, chars)
+        comp = np.divide(
+            n_chars, n_tokens, out=np.zeros(len(t), dtype=np.float64),
+            where=n_tokens > 0,
+        )
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_words": pa.array(n_words, pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
+                "compression": pa.array(comp, pa.float64()),
+            }
+        )
+
+    return docs.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True
+    )

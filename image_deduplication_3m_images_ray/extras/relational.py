@@ -470,6 +470,47 @@ def weighted_sample(
     )
 
 
+def weighted_sample_per_group(
+    ds: Dataset,
+    key: str,
+    k: int,
+    weight_col: str,
+    id_col: str = "doc_id",
+    num_shards: int = 64,
+) -> Dataset:
+    """Per-group exact-size weighted sampling without replacement: the ``k``
+    largest Efraimidis-Spirakis keys (same ``skey = ln(u)/w`` construction
+    as :func:`weighted_sample`) within every ``key`` group — e.g. "draw 5
+    docs per domain, weighted by quality", the stratified mixture cut.
+
+    Reuses :func:`group_topk`'s combiner + single sharded exchange verbatim
+    (descending over skey, ties to smallest id).  ``id_col`` must be numeric
+    (the tiebreak contract of group_topk); rows with ``w <= 0`` are never
+    sampled.  Output: input columns + ``skey`` + 1-based ``rank``.
+    """
+    if k <= 0:
+        raise ValueError("weighted_sample_per_group: k must be > 0")
+
+    def add_key(t: pa.Table) -> pa.Table:
+        u = (_md5_id_column(t, id_col) % np.uint64(2**63)).astype(
+            np.float64
+        ) / float(2**63)
+        w = np.asarray(t[weight_col].to_numpy(zero_copy_only=False), dtype=np.float64)
+        ok = (w > 0) & (u > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            skey = np.where(
+                ok, np.log(np.where(ok, u, 1.0)) / np.where(ok, w, 1.0), -np.inf
+            )
+        t = t.append_column("skey", pa.array(skey, pa.float64()))
+        return t.filter(pa.array(np.isfinite(skey)))
+
+    keyed = ds.map_batches(add_key, batch_format="pyarrow", zero_copy_batch=True)
+    return group_topk(
+        keyed, key=key, value="skey", k=k, tiebreak=id_col,
+        num_shards=num_shards, ascending=False,
+    )
+
+
 def resample_to_mixture(
     ds: Dataset,
     key: str,

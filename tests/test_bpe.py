@@ -113,3 +113,23 @@ def test_encode_word_applies_merges_in_order(ray_session):
         "an",
         "a",
     ]
+
+
+def test_bpe_encode_counts(ray_session):
+    from image_deduplication_3m_images_ray.extras.bpe import bpe_encode
+
+    texts = ["low lower", "aaaa aa", ""]
+    merges = [("l", "o"), ("lo", "w"), ("a", "a")]
+    ds = ray.data.from_items(
+        [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    ).repartition(2)
+    out = (
+        bpe_encode(ds, merges)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # low -> [low]; lower -> [low, e, r]; aaaa -> [aa, aa]; aa -> [aa]
+    assert out["n_words"].tolist() == [2, 2, 0]
+    assert out["n_tokens"].tolist() == [1 + 3, 2 + 1, 0]
+    assert out["compression"].tolist() == [(3 + 5) / 4, (4 + 2) / 3, 0.0]

@@ -661,3 +661,44 @@ def test_weighted_sample_small_table_and_validation(ray_session):
 
     with pytest.raises(ValueError, match="n must be"):
         weighted_sample(ds, n=0, weight_col="weight")
+
+
+def test_weighted_sample_per_group_matches_reference(ray_session):
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.relational import (
+        weighted_sample_per_group,
+    )
+    from image_deduplication_3m_images_ray.functions.hashing import md5_u64
+
+    n_rows, k = 200, 4
+    rng = np.random.default_rng(5)
+    w = rng.uniform(0.1, 1.0, size=n_rows)
+    w[::23] = 0.0
+    grp = (np.arange(n_rows) % 7).astype(np.int64)
+    rows = [
+        {"doc_id": i, "g": int(grp[i]), "weight": float(w[i])} for i in range(n_rows)
+    ]
+
+    u = (md5_u64([str(i) for i in range(n_rows)]) % np.uint64(2**63)).astype(
+        np.float64
+    ) / float(2**63)
+    ok = (w > 0) & (u > 0)
+    skey = np.where(ok, np.log(np.where(ok, u, 1.0)) / np.where(ok, w, 1.0), -np.inf)
+    expect = set()
+    for g in range(7):
+        ids = [i for i in range(n_rows) if grp[i] == g and np.isfinite(skey[i])]
+        ids.sort(key=lambda i: (-skey[i], i))
+        expect.update((i, r + 1) for r, i in enumerate(ids[:k]))
+
+    for parts in (1, 5):
+        ds = ray.data.from_items(rows).repartition(parts)
+        out = weighted_sample_per_group(
+            ds, key="g", k=k, weight_col="weight", num_shards=8
+        ).to_pandas()
+        got = set(zip(out["doc_id"].astype(int), out["rank"].astype(int)))
+        assert got == expect
+        assert (out["weight"] > 0).all()
+
+    with pytest.raises(ValueError, match="k must be"):
+        weighted_sample_per_group(ds, key="g", k=0, weight_col="weight")
