@@ -133,3 +133,21 @@ def test_bpe_encode_counts(ray_session):
     assert out["n_words"].tolist() == [2, 2, 0]
     assert out["n_tokens"].tolist() == [1 + 3, 2 + 1, 0]
     assert out["compression"].tolist() == [(3 + 5) / 4, (4 + 2) / 3, 0.0]
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+# small alphabet forces heavy pair collisions, ties, and l==r runs
+_word = st.text(alphabet="ab", min_size=1, max_size=6)
+_corpus = st.lists(
+    st.lists(_word, min_size=1, max_size=8).map(" ".join), min_size=1, max_size=6
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(texts=_corpus, n_merges=st.integers(min_value=1, max_value=6))
+def test_bpe_train_property_matches_reference(ray_session, texts, n_merges):
+    ref = _ref_bpe(texts, n_merges)
+    got = _run(texts, n_merges, 2)
+    assert got == ref
