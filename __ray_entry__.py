@@ -1066,6 +1066,24 @@ def _q_kmeans(sf_dir: str):
     return out.sort_values("vec_id").reset_index(drop=True)
 
 
+def _q_semdedup_kmeans(sf_dir: str):
+    """The full SemDeDup pipeline (Abbas et al. 2023) end-to-end: k-means
+    clusters the embeddings (k=8, 3 Lloyd iterations), then within-cluster
+    pruning flags semantic duplicates — no pre-assigned labels needed."""
+    from image_deduplication_3m_images_ray.extras.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+    from image_deduplication_3m_images_ray.extras.similarity import semdedup_prune
+
+    emb = _embeddings(sf_dir).select_columns(["vec_id", "embedding"]).materialize()
+    cent = kmeans_fit(emb, k=8, n_iter=3)
+    labeled = kmeans_assign(emb, cent).drop_columns(["dist"])
+    out = semdedup_prune(labeled, threshold=0.3, label_col="label_km").to_pandas()
+    out["cos_centroid"] = np.round(out["cos_centroid"], 6)
+    return out.sort_values("vec_id").reset_index(drop=True)
+
+
 def _q_dsir_weights(sf_dir: str):
     """DSIR log importance weights (Xie et al. 2023): every doc scored by a
     hashed-bigram target-vs-raw log likelihood ratio; target = the corpus's
@@ -1317,6 +1335,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "curate_corpus": _q_curate_corpus,
         "semdedup": _q_semdedup,
         "kmeans": _q_kmeans,
+        "semdedup_kmeans": _q_semdedup_kmeans,
         "weighted_sample": _q_weighted_sample,
         "weighted_sample_per_group": _q_weighted_sample_per_group,
         "bpe_merges": _q_bpe_merges,
@@ -1456,6 +1475,62 @@ def _pagerank_sql(n_iters: int = 10, d: float = 0.85, k: int = 5) -> str:
 
 
 _PAGERANK_SQL = _pagerank_sql()
+
+# Shared Lloyd's k-means CTE chain (k=8, 3 unrolled iterations, init = the 8
+# smallest vec_ids, empty clusters keep their previous centroid).  Ends with
+# `fin` = (vec_id, label, d2, rn); rn = 1 is the final assignment.  Used by
+# the `kmeans` oracle and spliced into `semdedup_kmeans`.
+_KMEANS_CTES = """e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings),
+            u AS (SELECT vec_id, unnest(v) AS x,
+                         generate_subscripts(v, 1) AS pos
+                  FROM e),
+            init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS label,
+                            vec_id
+                     FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
+            c0 AS (SELECT i.label, u.pos, u.x AS cx
+                   FROM init i JOIN u USING (vec_id)),
+            a1 AS (SELECT vec_id, label FROM (
+                     SELECT u.vec_id, c.label,
+                            ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                                ORDER BY sum(u.x*u.x) - 2*sum(u.x*c.cx)
+                                         + sum(c.cx*c.cx), c.label) AS rn
+                     FROM u JOIN c0 c USING (pos)
+                     GROUP BY u.vec_id, c.label) WHERE rn = 1),
+            m1 AS (SELECT a.label, u.pos, avg(u.x) AS cx
+                   FROM a1 a JOIN u USING (vec_id) GROUP BY 1, 2),
+            c1 AS (SELECT c0.label, c0.pos, COALESCE(m1.cx, c0.cx) AS cx
+                   FROM c0 LEFT JOIN m1 USING (label, pos)),
+            a2 AS (SELECT vec_id, label FROM (
+                     SELECT u.vec_id, c.label,
+                            ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                                ORDER BY sum(u.x*u.x) - 2*sum(u.x*c.cx)
+                                         + sum(c.cx*c.cx), c.label) AS rn
+                     FROM u JOIN c1 c USING (pos)
+                     GROUP BY u.vec_id, c.label) WHERE rn = 1),
+            m2 AS (SELECT a.label, u.pos, avg(u.x) AS cx
+                   FROM a2 a JOIN u USING (vec_id) GROUP BY 1, 2),
+            c2 AS (SELECT c1.label, c1.pos, COALESCE(m2.cx, c1.cx) AS cx
+                   FROM c1 LEFT JOIN m2 USING (label, pos)),
+            a3 AS (SELECT vec_id, label FROM (
+                     SELECT u.vec_id, c.label,
+                            ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                                ORDER BY sum(u.x*u.x) - 2*sum(u.x*c.cx)
+                                         + sum(c.cx*c.cx), c.label) AS rn
+                     FROM u JOIN c2 c USING (pos)
+                     GROUP BY u.vec_id, c.label) WHERE rn = 1),
+            m3 AS (SELECT a.label, u.pos, avg(u.x) AS cx
+                   FROM a3 a JOIN u USING (vec_id) GROUP BY 1, 2),
+            c3 AS (SELECT c2.label, c2.pos, COALESCE(m3.cx, c2.cx) AS cx
+                   FROM c2 LEFT JOIN m3 USING (label, pos)),
+            fin AS (SELECT u.vec_id, c.label,
+                           sum(u.x*u.x) - 2*sum(u.x*c.cx)
+                               + sum(c.cx*c.cx) AS d2,
+                           ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                               ORDER BY sum(u.x*u.x) - 2*sum(u.x*c.cx)
+                                        + sum(c.cx*c.cx), c.label) AS rn
+                    FROM u JOIN c3 c USING (pos)
+                    GROUP BY u.vec_id, c.label)"""
 
 
 # the Gopher rule metrics per doc (extras.textstats.gopher_quality), as a
@@ -2690,61 +2765,45 @@ def oracle_sql() -> dict[str, str]:
                    round(skey, 6) AS skey, rank
             FROM r WHERE rank <= 3 ORDER BY doc_id
         """,
-        "kmeans": """
-            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
-                       FROM embeddings),
-            u AS (SELECT vec_id, unnest(v) AS x,
-                         generate_subscripts(v, 1) AS pos
-                  FROM e),
-            init AS (SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS label,
-                            vec_id
-                     FROM (SELECT vec_id FROM e ORDER BY vec_id LIMIT 8)),
-            c0 AS (SELECT i.label, u.pos, u.x AS cx
-                   FROM init i JOIN u USING (vec_id)),
-            a1 AS (SELECT vec_id, label FROM (
-                     SELECT u.vec_id, c.label,
-                            ROW_NUMBER() OVER (PARTITION BY u.vec_id
-                                ORDER BY sum(u.x*u.x) - 2*sum(u.x*c.cx)
-                                         + sum(c.cx*c.cx), c.label) AS rn
-                     FROM u JOIN c0 c USING (pos)
-                     GROUP BY u.vec_id, c.label) WHERE rn = 1),
-            m1 AS (SELECT a.label, u.pos, avg(u.x) AS cx
-                   FROM a1 a JOIN u USING (vec_id) GROUP BY 1, 2),
-            c1 AS (SELECT c0.label, c0.pos, COALESCE(m1.cx, c0.cx) AS cx
-                   FROM c0 LEFT JOIN m1 USING (label, pos)),
-            a2 AS (SELECT vec_id, label FROM (
-                     SELECT u.vec_id, c.label,
-                            ROW_NUMBER() OVER (PARTITION BY u.vec_id
-                                ORDER BY sum(u.x*u.x) - 2*sum(u.x*c.cx)
-                                         + sum(c.cx*c.cx), c.label) AS rn
-                     FROM u JOIN c1 c USING (pos)
-                     GROUP BY u.vec_id, c.label) WHERE rn = 1),
-            m2 AS (SELECT a.label, u.pos, avg(u.x) AS cx
-                   FROM a2 a JOIN u USING (vec_id) GROUP BY 1, 2),
-            c2 AS (SELECT c1.label, c1.pos, COALESCE(m2.cx, c1.cx) AS cx
-                   FROM c1 LEFT JOIN m2 USING (label, pos)),
-            a3 AS (SELECT vec_id, label FROM (
-                     SELECT u.vec_id, c.label,
-                            ROW_NUMBER() OVER (PARTITION BY u.vec_id
-                                ORDER BY sum(u.x*u.x) - 2*sum(u.x*c.cx)
-                                         + sum(c.cx*c.cx), c.label) AS rn
-                     FROM u JOIN c2 c USING (pos)
-                     GROUP BY u.vec_id, c.label) WHERE rn = 1),
-            m3 AS (SELECT a.label, u.pos, avg(u.x) AS cx
-                   FROM a3 a JOIN u USING (vec_id) GROUP BY 1, 2),
-            c3 AS (SELECT c2.label, c2.pos, COALESCE(m3.cx, c2.cx) AS cx
-                   FROM c2 LEFT JOIN m3 USING (label, pos)),
-            fin AS (SELECT u.vec_id, c.label,
-                           sum(u.x*u.x) - 2*sum(u.x*c.cx)
-                               + sum(c.cx*c.cx) AS d2,
-                           ROW_NUMBER() OVER (PARTITION BY u.vec_id
-                               ORDER BY sum(u.x*u.x) - 2*sum(u.x*c.cx)
-                                        + sum(c.cx*c.cx), c.label) AS rn
-                    FROM u JOIN c3 c USING (pos)
-                    GROUP BY u.vec_id, c.label)
+        "kmeans": f"""
+            WITH {_KMEANS_CTES}
             SELECT vec_id, CAST(label AS INTEGER) AS label_km,
                    round(sqrt(greatest(d2, 0)), 6) AS dist
             FROM fin WHERE rn = 1 ORDER BY vec_id
+        """,
+        "semdedup_kmeans": f"""
+            WITH {_KMEANS_CTES},
+            asn AS (SELECT vec_id, CAST(label AS BIGINT) AS label
+                    FROM fin WHERE rn = 1),
+            e2 AS (SELECT e.vec_id, asn.label, e.v
+                   FROM e JOIN asn USING (vec_id)),
+            u2 AS (SELECT vec_id, label, unnest(v) AS x,
+                          generate_subscripts(v, 1) AS pos
+                   FROM e2),
+            cm AS (SELECT label, pos, avg(x) AS cx
+                   FROM u2 GROUP BY label, pos),
+            dm AS (SELECT u2.vec_id, u2.label,
+                          sum(u2.x * cm.cx) AS dot,
+                          sum(u2.x * u2.x) AS vv,
+                          sum(cm.cx * cm.cx) AS cc
+                   FROM u2 JOIN cm USING (label, pos)
+                   GROUP BY u2.vec_id, u2.label),
+            cd AS (SELECT vec_id, label, dot / (sqrt(vv) * sqrt(cc)) AS cosc
+                   FROM dm),
+            dup AS (SELECT DISTINCT i.vec_id
+                    FROM cd i
+                    JOIN cd j ON i.label = j.label AND i.vec_id <> j.vec_id
+                    JOIN e2 ei ON ei.vec_id = i.vec_id
+                    JOIN e2 ej ON ej.vec_id = j.vec_id
+                    WHERE list_cosine_similarity(ei.v, ej.v) >= 0.3
+                      AND (j.cosc < i.cosc
+                           OR (j.cosc = i.cosc AND j.vec_id < i.vec_id)))
+            SELECT cd.vec_id, cd.label AS label_km,
+                   round(cd.cosc, 6) AS cos_centroid,
+                   CAST(CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END
+                        AS INTEGER) AS is_dup
+            FROM cd LEFT JOIN dup ON dup.vec_id = cd.vec_id
+            ORDER BY cd.vec_id
         """,
         "semdedup": """
             WITH e AS (SELECT vec_id, CAST(label AS BIGINT) AS label,

@@ -112,3 +112,35 @@ def test_assign_ties_break_to_smallest_label(ray_session):
     cent = np.array([[1.0, 0.0], [-1.0, 0.0]])  # equidistant
     out = kmeans_assign(_make_ds(rows), cent).to_pandas()
     assert out["label_km"].tolist() == [0]
+
+
+def test_semdedup_kmeans_composition(ray_session):
+    """kmeans labels feed semdedup_prune end-to-end: planted duplicate pairs
+    inside tight blobs are flagged; cross-blob vectors are not."""
+    import pandas as pd
+    import pyarrow as pa
+
+    import ray.data
+
+    from image_deduplication_3m_images_ray.extras.similarity import semdedup_prune
+
+    rng = np.random.default_rng(13)
+    blob_a = rng.normal(size=(1, 8)) + rng.normal(scale=0.01, size=(10, 8))
+    blob_b = rng.normal(size=(1, 8)) * -3 + rng.normal(scale=0.01, size=(10, 8))
+    rows = np.vstack([blob_a, blob_b])
+    ds = _make_ds(rows, parts=3)
+
+    from image_deduplication_3m_images_ray.extras.clustering import (
+        kmeans_assign,
+        kmeans_fit,
+    )
+
+    cent = kmeans_fit(ds, k=2, n_iter=3)
+    labeled = kmeans_assign(ds, cent).drop_columns(["dist"])
+    out = semdedup_prune(labeled, threshold=0.99, label_col="label_km").to_pandas()
+    # each tight blob keeps exactly one member; 2 clusters -> 2 keepers
+    assert len(out) == 20
+    assert (out["is_dup"] == 0).sum() == 2
+    # keepers are in different kmeans clusters
+    keep = out[out["is_dup"] == 0]
+    assert set(keep["label_km"]) == {0, 1}
