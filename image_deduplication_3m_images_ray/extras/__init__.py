@@ -9,9 +9,12 @@ These are first-class components for a 100 TB webtext pipeline (task brief):
 - text analysis: lang-id, quality, token/BPE-token stats, repetition,
   decontamination, fused ``clean_corpus``, TF-IDF top terms, inverted index,
   fingerprints (``textstats``);
-- relational: grouped top-k, range join, deterministic sampling, exact
-  per-group quantiles (``relational``); as-of join + window aggregates +
-  sessionization (``windows``);
+- relational: grouped top-k, range join, deterministic sampling (uniform,
+  Bernoulli-weighted, exact-size weighted w/o replacement, stratified),
+  exact per-group quantiles (``relational``); as-of join + window
+  aggregates + sessionization (``windows``);
+- clustering: full-data distributed Lloyd's k-means (``clustering``);
+  tokenizer training: distributed BPE merges + corpus encode (``bpe``);
 - sketches: mergeable HyperLogLog approximate distinct (``sketches``);
 - multimodal binary-column plumbing (``multimodal``).
 """
