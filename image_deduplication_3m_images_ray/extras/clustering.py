@@ -77,22 +77,184 @@ def _sq_dists(rows: np.ndarray, cent: np.ndarray) -> np.ndarray:
     return np.maximum(d2, 0.0)
 
 
+def _cost_and_sample(
+    embeddings: Dataset,
+    cent: np.ndarray,
+    thresh_per_d2: float,
+    rnd: int,
+    batch_size: int,
+) -> tuple[float, np.ndarray]:
+    """One pass: total cost sum(min d^2) + the points whose hash draw
+    u = splitmix64(vec_id ^ rnd)/2^64 falls below thresh_per_d2 * d^2(x, C)
+    (the k-means|| per-round sampling rule with deterministic uniforms)."""
+    import ray as _ray
+
+    from ..functions.hashing import U64, splitmix64
+
+    ref = _ray.put(cent)
+    seed = U64(0x9E3779B97F4A7C15) * U64(rnd + 1)
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        ids, rows = embeddings_to_matrix(t)
+        d2 = _sq_dists(rows, c).min(axis=1)
+        u = splitmix64(ids.astype(U64) ^ seed).astype(np.float64) / float(2**64)
+        keep = u < thresh_per_d2 * d2
+        return pa.table(
+            {
+                "cost": pa.array([float(d2.sum())], pa.float64()),
+                "picked": pa.array([list(rows[keep].reshape(-1))], pa.list_(pa.float64())),
+                "n_picked": pa.array([int(keep.sum())], pa.int64()),
+            }
+        )
+
+    parts = [
+        t
+        for t in _ray.get(
+            embeddings.map_batches(
+                fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+            ).to_arrow_refs()
+        )
+        if t.num_rows
+    ]
+    cost = 0.0
+    picks = []
+    d = cent.shape[1]
+    for t in parts:
+        cost += float(np.asarray(t["cost"].to_numpy(zero_copy_only=False)).sum())
+        flat = np.asarray(
+            t["picked"].combine_chunks().flatten().to_numpy(zero_copy_only=False)
+        )
+        if len(flat):
+            picks.append(flat.reshape(-1, d))
+    picked = np.concatenate(picks) if picks else np.empty((0, d), dtype=np.float64)
+    return cost, picked
+
+
+def kmeans_parallel_init(
+    embeddings: Dataset,
+    k: int,
+    rounds: int = 5,
+    oversample: int | None = None,
+    batch_size: int = 4096,
+) -> np.ndarray:
+    """Deterministic k-means|| (Bahmani et al., VLDB 2012) seeding over the
+    FULL table: (k, d) float64 initial centroids.
+
+    The smallest-id default init degenerates when the k smallest ids happen
+    to sit in one dense region; k-means|| seeds proportionally to squared
+    distance from the current seed set, fixing that with ``rounds`` + 1
+    streaming passes.  Each point is drawn independently with probability
+    min(1, oversample * d^2(x, C) / cost(C)) — the uniform comes from
+    ``splitmix64(vec_id ^ round_seed)``, so the result is a pure function of
+    (data, parameters): identical across runs, machines and partitionings.
+    Candidates (expected ``oversample`` per round, default 2k) are weighted
+    by their nearest-point counts and reduced to k on the driver with the
+    same greedy D^2 rule (kmeans++ on the weighted candidate set, argmax
+    instead of a draw — deterministic).
+    """
+    import ray as _ray
+
+    if oversample is None:
+        oversample = 2 * k
+    embeddings = embeddings.materialize()
+    cent = _smallest_k_vectors(embeddings, 1)  # deterministic first seed
+    # Bahmani's practical variant folds cost + sampling into one pass per
+    # round by thresholding against the PREVIOUS round's cost; an initial
+    # pure cost pass (threshold 0) seeds the recurrence.
+    cost, _ = _cost_and_sample(embeddings, cent, 0.0, rounds + 7, batch_size)
+    for r in range(rounds):
+        if cost <= 0:
+            break
+        thresh = oversample / cost
+        cost, picked = _cost_and_sample(embeddings, cent, thresh, r, batch_size)
+        if len(picked):
+            cent = np.concatenate([cent, picked])
+    if len(cent) < k:
+        raise ValueError(
+            f"kmeans_parallel_init: only {len(cent)} candidates after "
+            f"{rounds} rounds for k={k}; raise rounds/oversample"
+        )
+    # weight candidates by nearest-point counts (one pass), then reduce to k
+    weights = _nearest_counts(embeddings, cent, batch_size)
+    return _weighted_kmeanspp_reduce(cent, weights, k)
+
+
+def _nearest_counts(
+    embeddings: Dataset, cent: np.ndarray, batch_size: int
+) -> np.ndarray:
+    import ray as _ray
+
+    ref = _ray.put(cent)
+
+    def fn(t: pa.Table) -> pa.Table:
+        c = _ray.get(ref)
+        _, rows = embeddings_to_matrix(t)
+        lab = np.argmin(_sq_dists(rows, c), axis=1)
+        return pa.table(
+            {"n": pa.array(np.bincount(lab, minlength=len(c)).astype(np.int64))}
+        )
+
+    counts = np.zeros(len(cent), dtype=np.int64)
+    for t in _ray.get(
+        embeddings.map_batches(
+            fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        ).to_arrow_refs()
+    ):
+        if t.num_rows:
+            counts += np.asarray(t["n"].to_numpy(zero_copy_only=False))
+    return counts
+
+
+def _weighted_kmeanspp_reduce(cand: np.ndarray, w: np.ndarray, k: int) -> np.ndarray:
+    """Deterministic weighted kmeans++ on the driver-small candidate set:
+    start from the heaviest candidate, then repeatedly take the argmax of
+    weight * D^2 (the expectation-maximizing choice instead of a draw)."""
+    chosen = [int(np.argmax(w))]
+    d2 = ((cand - cand[chosen[0]]) ** 2).sum(axis=1)
+    while len(chosen) < k:
+        nxt = int(np.argmax(w * d2))
+        if d2[nxt] == 0.0:  # all remaining mass at distance 0: duplicates
+            remaining = [i for i in range(len(cand)) if i not in set(chosen)]
+            for i in remaining:
+                chosen.append(i)
+                if len(chosen) == k:
+                    break
+            break
+        chosen.append(nxt)
+        d2 = np.minimum(d2, ((cand - cand[nxt]) ** 2).sum(axis=1))
+    return cand[chosen[:k]].copy()
+
+
 def kmeans_fit(
     embeddings: Dataset,
     k: int = 8,
     n_iter: int = 3,
     batch_size: int = 4096,
+    init: str | np.ndarray = "smallest_ids",
 ) -> np.ndarray:
     """Full-data Lloyd's: returns (k, d) float64 centroids after ``n_iter``
     assign+mean rounds.  Empty clusters keep their previous centroid.
 
+    ``init``: ``"smallest_ids"`` (default — SQL-oracle-exact),
+    ``"kmeans_par"`` (deterministic k-means|| seeding, the quality path for
+    real data), or an explicit (k, d) array.
     ``embeddings`` is scanned ``n_iter + 1`` times — materialized once up
     front so a lazy upstream never re-executes.
     """
     import ray as _ray
 
     embeddings = embeddings.materialize()
-    cent = _smallest_k_vectors(embeddings, k)
+    if isinstance(init, np.ndarray):
+        cent = np.asarray(init, dtype=np.float64).copy()
+        if len(cent) != k:
+            raise ValueError(f"init array has {len(cent)} rows, expected k={k}")
+    elif init == "kmeans_par":
+        cent = kmeans_parallel_init(embeddings, k, batch_size=batch_size)
+    elif init == "smallest_ids":
+        cent = _smallest_k_vectors(embeddings, k)
+    else:
+        raise ValueError(f"unknown init: {init!r}")
     d = cent.shape[1]
 
     for _ in range(n_iter):

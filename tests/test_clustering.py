@@ -144,3 +144,50 @@ def test_semdedup_kmeans_composition(ray_session):
     # keepers are in different kmeans clusters
     keep = out[out["is_dup"] == 0]
     assert set(keep["label_km"]) == {0, 1}
+
+
+def test_kmeans_parallel_init_quality_and_determinism(ray_session):
+    """Adversarial layout: the k smallest ids all sit in ONE blob, so the
+    default init collapses (Lloyd's cannot split a cluster it never seeds);
+    k-means|| seeds by D^2 and recovers all blobs — deterministically."""
+    from image_deduplication_3m_images_ray.extras.clustering import (
+        kmeans_parallel_init,
+    )
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(scale=10, size=(4, 16))
+    rows = np.vstack(
+        [centers[i % 4] + rng.normal(scale=0.1, size=16) for i in range(400)]
+    )
+    rows[0:4] = centers[0] + rng.normal(scale=0.1, size=(4, 16))  # ids 0-3: blob 0
+
+    def inertia(ds, cent):
+        out = kmeans_assign(ds, cent).to_pandas()
+        return float((out["dist"] ** 2).sum())
+
+    inits, inertias = [], {}
+    for parts in (1, 5):
+        ds = _make_ds(rows, parts=parts)
+        init = kmeans_parallel_init(ds, k=4, rounds=4)
+        assert init.shape == (4, 16)
+        inits.append(init)
+        inertias[parts] = (
+            inertia(ds, kmeans_fit(ds, k=4, n_iter=5, init="kmeans_par")),
+            inertia(ds, kmeans_fit(ds, k=4, n_iter=5, init="smallest_ids")),
+        )
+    np.testing.assert_array_equal(inits[0], inits[1])  # partition-invariant
+    for par, sid in inertias.values():
+        assert par < sid / 100  # collapse vs recovery is not subtle
+    assert inertias[1] == inertias[5]
+
+
+def test_kmeans_fit_explicit_and_bad_init(ray_session):
+    rows = np.random.default_rng(0).normal(size=(30, 4))
+    ds = _make_ds(rows)
+    explicit = rows[:3].astype(np.float64)
+    cent = kmeans_fit(ds, k=3, n_iter=0, init=explicit)
+    np.testing.assert_allclose(cent, explicit)
+    with pytest.raises(ValueError, match="expected k"):
+        kmeans_fit(ds, k=2, n_iter=1, init=explicit)
+    with pytest.raises(ValueError, match="unknown init"):
+        kmeans_fit(ds, k=2, n_iter=1, init="random")
