@@ -232,6 +232,17 @@ def run_bench() -> dict:
     ).count()
     queries["bm25_topk"] = round(time.time() - t0, 3)
 
+    from image_deduplication_3m_images_ray.extras.bpe import bpe_train
+    from image_deduplication_3m_images_ray.extras.clustering import kmeans
+
+    t0 = time.time()
+    kmeans(emb, k=8, n_iter=3).count()
+    queries["kmeans"] = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    bpe_train(docs.select_columns(["text"]), n_merges=4)
+    queries["bpe_train"] = round(time.time() - t0, 3)
+
     total = round(sum(queries.values()), 3)
     result = {
         "metric": "webtext dedup + operator suite wall time",
