@@ -977,6 +977,26 @@ def _q_gopher_quality(sf_dir: str):
     ).sort("doc_id")
 
 
+def _q_media_features(sf_dir: str):
+    """Binary-payload feature extraction (the reference's cheap color-stats
+    analog, K6): per-payload size + Shannon byte entropy from a vectorized
+    256-bin byte histogram — the one multimodal kernel that needs no decode
+    library, so it ships real, not stubbed."""
+    from image_deduplication_3m_images_ray.extras.multimodal import (
+        media_from_documents,
+        payload_feature_stage,
+    )
+
+    media = media_from_documents(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    out = (
+        payload_feature_stage(media)
+        .drop_columns(["hist"])
+        .to_pandas()
+    )
+    out["byte_entropy"] = np.round(out["byte_entropy"], 6)
+    return out.sort_values("media_id").reset_index(drop=True)
+
+
 def _q_bpe_merges(sf_dir: str):
     """First 8 BPE merges learned from the documents corpus (Sennrich 2016).
     Iterative (each merge depends on counts under all previous merges) so
@@ -1340,6 +1360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample_per_group": _q_weighted_sample_per_group,
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
+        "media_features": _q_media_features,
         "dsir_weights": _q_dsir_weights,
         "nb_classify": _q_nb_classify,
         "url_canon": _q_url_canon,
@@ -2727,6 +2748,33 @@ def oracle_sql() -> dict[str, str]:
             SELECT domain, n_docs, n_tokens,
                    round(n_docs / tot, 6) AS doc_share
             FROM s CROSS JOIN t ORDER BY domain
+        """,
+        "media_features": """
+            WITH m AS (SELECT doc_id AS media_id,
+                              CASE CAST(doc_id % 3 AS INTEGER)
+                                   WHEN 0 THEN 'image'
+                                   WHEN 1 THEN 'audio'
+                                   ELSE 'video' END AS kind,
+                              text,
+                              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+                                  AS n_bytes
+                       FROM documents),
+            b AS (SELECT media_id,
+                         ascii(substring(text, CAST(i AS INTEGER), 1)) AS byte
+                  FROM (SELECT media_id, text,
+                               unnest(range(1, length(text) + 1)) AS i
+                        FROM m)),
+            c AS (SELECT media_id, byte, count(*) AS c
+                  FROM b GROUP BY media_id, byte),
+            e AS (SELECT c.media_id,
+                         -sum((c.c * 1.0 / m.n_bytes)
+                              * log2(c.c * 1.0 / m.n_bytes)) AS ent
+                  FROM c JOIN m USING (media_id)
+                  GROUP BY c.media_id)
+            SELECT m.media_id, m.kind, m.n_bytes,
+                   round(COALESCE(e.ent, 0.0), 6) AS byte_entropy
+            FROM m LEFT JOIN e USING (media_id)
+            ORDER BY m.media_id
         """,
         "weighted_sample": """
             WITH k AS (

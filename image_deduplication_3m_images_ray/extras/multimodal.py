@@ -207,3 +207,63 @@ def media_from_documents(docs: Dataset) -> Dataset:
         )
 
     return docs.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def payload_feature_stage(media: Dataset, batch_size: int = 256) -> Dataset:
+    """Binary-payload feature extraction — the one multimodal kernel that
+    needs NO decode library, so it ships real (not stubbed): a 256-bin byte
+    histogram per payload plus size and Shannon byte entropy.
+
+    Reference analog: the cheap color-statistics features used as the K6
+    verification gate (/root/reference/modules/deduplication.py:711-734) —
+    byte histograms fill the same role for opaque payloads (compared by
+    cosine, they feed ``embedding_cosine_pairs``/``kmeans`` directly via the
+    ``hist`` column renamed to ``embedding``).
+
+    Fully vectorized: the Arrow binary column's data buffer is viewed as one
+    flat uint8 array; per-row bincounts come from ONE ``np.add.at`` over
+    (row_segment, byte_value) — no per-row Python.
+
+    Output: (media_id, kind, n_bytes int64, byte_entropy float64,
+    hist list<float64>[256], normalized to sum 1; all-zero for empty
+    payloads).
+    """
+
+    def fn(t: pa.Table) -> pa.Table:
+        pay = t["payload"]
+        if isinstance(pay, pa.ChunkedArray):
+            pay = pay.combine_chunks()
+        if pay.type == pa.large_binary():
+            pay = pay.cast(pa.binary())
+        n = len(pay)
+        lens = np.asarray(
+            pa.compute.binary_length(pay).to_numpy(zero_copy_only=False),
+            dtype=np.int64,
+        )
+        # zero-copy view of the packed payload bytes (validity-safe: fixture
+        # payloads are non-null; nulls would need offset-based gathering)
+        buf = pay.buffers()[2]
+        offs = np.frombuffer(pay.buffers()[1], dtype=np.int32)[
+            pay.offset : pay.offset + n + 1
+        ]
+        flat = np.frombuffer(buf, dtype=np.uint8)[offs[0] : offs[-1]]
+        seg = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        hist = np.zeros((n, 256), dtype=np.float64)
+        np.add.at(hist, (seg, flat.astype(np.int64)), 1.0)
+        total = np.maximum(hist.sum(axis=1, keepdims=True), 1.0)
+        p = hist / total
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ent = -np.where(p > 0, p * np.log2(p), 0.0).sum(axis=1)
+        return pa.table(
+            {
+                "media_id": t["media_id"],
+                "kind": t["kind"],
+                "n_bytes": pa.array(lens, pa.int64()),
+                "byte_entropy": pa.array(ent, pa.float64()),
+                "hist": pa.array(list(p), pa.list_(pa.float64())),
+            }
+        )
+
+    return media.map_batches(
+        fn, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
