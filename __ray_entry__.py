@@ -997,6 +997,41 @@ def _q_media_features(sf_dir: str):
     return out.sort_values("media_id").reset_index(drop=True)
 
 
+def _q_media_cosine_pairs(sf_dir: str):
+    """Multimodal near-dup end-to-end: byte-histogram features -> cosine
+    pairs >= 0.995 (the reference's color-gate K6 flow over opaque
+    payloads: cheap per-item features, then pairwise cosine)."""
+    import pyarrow as pa
+
+    from image_deduplication_3m_images_ray.extras.dedup_ops import (
+        embedding_cosine_pairs,
+    )
+    from image_deduplication_3m_images_ray.extras.multimodal import (
+        media_from_documents,
+        payload_feature_stage,
+    )
+
+    media = media_from_documents(_docs(sf_dir).select_columns(["doc_id", "text"]))
+    emb = payload_feature_stage(media).map_batches(
+        lambda t: t.select(["media_id", "hist"]).rename_columns(
+            ["vec_id", "embedding"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ds = embedding_cosine_pairs(emb, threshold=0.995)
+
+    def rnd(t: pa.Table) -> pa.Table:
+        cos = np.round(np.asarray(t["cosine"].to_numpy(zero_copy_only=False)), 6)
+        return t.set_column(
+            t.column_names.index("cosine"), "cosine", pa.array(cos, pa.float64())
+        )
+
+    return ds.map_batches(rnd, batch_format="pyarrow", zero_copy_batch=True).sort(
+        ["vec_a", "vec_b"]
+    )
+
+
 def _q_bpe_merges(sf_dir: str):
     """First 8 BPE merges learned from the documents corpus (Sennrich 2016).
     Iterative (each merge depends on counts under all previous merges) so
@@ -1361,6 +1396,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": _q_bpe_merges,
         "bpe_encode": _q_bpe_encode,
         "media_features": _q_media_features,
+        "media_cosine_pairs": _q_media_cosine_pairs,
         "dsir_weights": _q_dsir_weights,
         "nb_classify": _q_nb_classify,
         "url_canon": _q_url_canon,
@@ -2775,6 +2811,37 @@ def oracle_sql() -> dict[str, str]:
                    round(COALESCE(e.ent, 0.0), 6) AS byte_entropy
             FROM m LEFT JOIN e USING (media_id)
             ORDER BY m.media_id
+        """,
+        "media_cosine_pairs": """
+            WITH m AS (SELECT doc_id AS media_id, text,
+                              CAST(octet_length(CAST(text AS BLOB)) AS BIGINT)
+                                  AS n_bytes
+                       FROM documents
+                       WHERE octet_length(CAST(text AS BLOB)) > 0),
+            b AS (SELECT media_id,
+                         ascii(substring(text, CAST(i AS INTEGER), 1)) AS byte
+                  FROM (SELECT media_id, text,
+                               unnest(range(1, length(text) + 1)) AS i
+                        FROM m)),
+            c AS (SELECT b.media_id, b.byte,
+                         count(*) * 1.0 / m.n_bytes AS p
+                  FROM b JOIN m USING (media_id)
+                  GROUP BY b.media_id, b.byte, m.n_bytes),
+            nrm AS (SELECT media_id, sqrt(sum(p * p)) AS nn
+                    FROM c GROUP BY media_id),
+            dot AS (SELECT a.media_id AS vec_a, b.media_id AS vec_b,
+                           sum(a.p * b.p) AS d
+                    FROM c a JOIN c b
+                      ON a.byte = b.byte AND a.media_id < b.media_id
+                    GROUP BY 1, 2),
+            cos AS (SELECT dot.vec_a, dot.vec_b,
+                           dot.d / (na.nn * nb.nn) AS cosine
+                    FROM dot
+                    JOIN nrm na ON na.media_id = dot.vec_a
+                    JOIN nrm nb ON nb.media_id = dot.vec_b)
+            SELECT vec_a, vec_b, round(cosine, 6) AS cosine
+            FROM cos WHERE cosine >= 0.995
+            ORDER BY vec_a, vec_b
         """,
         "weighted_sample": """
             WITH k AS (
