@@ -977,6 +977,41 @@ def _q_gopher_quality(sf_dir: str):
     ).sort("doc_id")
 
 
+def _assert_ascii_texts(docs, query: str):
+    """The media_* oracles enumerate CODEPOINTS (ascii(substring(text,i,1)))
+    and divide by octet_length, while payload_feature_stage histograms UTF-8
+    BYTES — exact only while every fixture text is pure ASCII (codepoints ==
+    bytes).  Enforce that invariant here so a non-ASCII testdata change fails
+    loudly instead of silently diverging the oracle (ADVICE r4)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def chk(t: pa.Table) -> pa.Table:
+        nonascii = pc.sum(
+            pc.cast(
+                pc.not_equal(
+                    pc.utf8_length(t["text"]),
+                    pc.binary_length(pc.cast(t["text"], pa.binary())),
+                ),
+                pa.int64(),
+            )
+        ).as_py() or 0
+        return pa.table({"n": pa.array([nonascii], pa.int64())})
+
+    bad = sum(
+        b["n"].to_pylist()[0]
+        for b in docs.map_batches(
+            chk, batch_format="pyarrow", zero_copy_batch=True
+        ).iter_batches(batch_format="pyarrow", batch_size=None)
+    )
+    if bad:
+        raise AssertionError(
+            f"{query}: {bad} non-ASCII fixture texts — the DuckDB oracle "
+            "counts codepoints, the implementation counts UTF-8 bytes; "
+            "rewrite the oracle over BLOB bytes before using such fixtures"
+        )
+
+
 def _q_media_features(sf_dir: str):
     """Binary-payload feature extraction (the reference's cheap color-stats
     analog, K6): per-payload size + Shannon byte entropy from a vectorized
@@ -987,6 +1022,7 @@ def _q_media_features(sf_dir: str):
         payload_feature_stage,
     )
 
+    _assert_ascii_texts(_docs(sf_dir).select_columns(["text"]), "media_features")
     media = media_from_documents(_docs(sf_dir).select_columns(["doc_id", "text"]))
     out = (
         payload_feature_stage(media)
@@ -1011,6 +1047,7 @@ def _q_media_cosine_pairs(sf_dir: str):
         payload_feature_stage,
     )
 
+    _assert_ascii_texts(_docs(sf_dir).select_columns(["text"]), "media_cosine_pairs")
     media = media_from_documents(_docs(sf_dir).select_columns(["doc_id", "text"]))
     emb = payload_feature_stage(media).map_batches(
         lambda t: t.select(["media_id", "hist"]).rename_columns(
@@ -1308,7 +1345,61 @@ def _q_bm25_join(sf_dir: str):
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Order matters: the driver's correctness gate checks the FIRST 50
+    # entries only.  Rounds 1-4 green-lit the 50 now at the tail
+    # (CORRECTNESS_r0{1..4}.json); the 48 entries the driver has never
+    # checked lead so CORRECTNESS_r05 covers them (VERDICT r4, task 4).
+    # All 98 stay green under tools/check_queries.py at every scale.
     return {
+        "media_resize": _q_media_resize,
+        "containment_pairs": _q_containment_pairs,
+        "source_overlap": _q_source_overlap,
+        "latest_by_key": _q_latest_by_key,
+        "chunk_docs": _q_chunk_docs,
+        "redact_pii": _q_redact_pii,
+        "subtract_corpus": _q_subtract_corpus,
+        "pack_sequences": _q_pack_sequences,
+        "sample_token_budget": _q_sample_token_budget,
+        "ngram_counts": _q_ngram_counts,
+        "frequent_terms_by_lang": _q_frequent_terms_by_lang,
+        "winsorize": _q_winsorize,
+        "fuzzy_join": _q_fuzzy_join,
+        "fuzzy_subtract": _q_fuzzy_subtract,
+        "term_cooccurrence": _q_term_cooccurrence,
+        "normalize_text": _q_normalize_text,
+        "lm_perplexity": _q_lm_perplexity,
+        "gopher_quality": _q_gopher_quality,
+        "perplexity_buckets": _q_perplexity_buckets,
+        "hash_split": _q_hash_split,
+        "resample_mixture": _q_resample_mixture,
+        "knn_graph": _q_knn_graph,
+        "graph_pagerank": _q_graph_pagerank,
+        "graph_components": _q_graph_components,
+        "epoch_shuffle": _q_epoch_shuffle,
+        "centroid_distances": _q_centroid_distances,
+        "collocations": _q_collocations,
+        "importance_sample": _q_importance_sample,
+        "curate_corpus": _q_curate_corpus,
+        "semdedup": _q_semdedup,
+        "kmeans": _q_kmeans,
+        "semdedup_kmeans": _q_semdedup_kmeans,
+        "weighted_sample": _q_weighted_sample,
+        "weighted_sample_per_group": _q_weighted_sample_per_group,
+        "bpe_merges": _q_bpe_merges,
+        "bpe_encode": _q_bpe_encode,
+        "media_features": _q_media_features,
+        "media_cosine_pairs": _q_media_cosine_pairs,
+        "dsir_weights": _q_dsir_weights,
+        "nb_classify": _q_nb_classify,
+        "url_canon": _q_url_canon,
+        "url_dedup": _q_url_dedup,
+        "domain_stats": _q_domain_stats,
+        "domain_filter": _q_domain_filter,
+        "crawl_curate": _q_crawl_curate,
+        "histogram": _q_histogram,
+        "bm25_topk": _q_bm25_topk,
+        "bm25_join": _q_bm25_join,
+        # --- driver-checked green in rounds 1-4 (CORRECTNESS_r0{1..4}.json) ---
         "exact_dedup": _q_exact_dedup,
         "exact_dedup_survivors": _q_exact_dedup_survivors,
         "token_stats": _q_token_stats,
@@ -1359,54 +1450,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_counts": _q_pivot_counts,
         "media_decode": _q_media_decode,
         "media_frames": _q_media_frames,
-        "media_resize": _q_media_resize,
-        "containment_pairs": _q_containment_pairs,
-        "source_overlap": _q_source_overlap,
-        "latest_by_key": _q_latest_by_key,
-        "chunk_docs": _q_chunk_docs,
-        "redact_pii": _q_redact_pii,
-        "subtract_corpus": _q_subtract_corpus,
-        "pack_sequences": _q_pack_sequences,
-        "sample_token_budget": _q_sample_token_budget,
-        "ngram_counts": _q_ngram_counts,
-        "frequent_terms_by_lang": _q_frequent_terms_by_lang,
-        "winsorize": _q_winsorize,
-        "fuzzy_join": _q_fuzzy_join,
-        "fuzzy_subtract": _q_fuzzy_subtract,
-        "term_cooccurrence": _q_term_cooccurrence,
-        "normalize_text": _q_normalize_text,
-        "lm_perplexity": _q_lm_perplexity,
-        "gopher_quality": _q_gopher_quality,
-        "perplexity_buckets": _q_perplexity_buckets,
-        "hash_split": _q_hash_split,
-        "resample_mixture": _q_resample_mixture,
-        "knn_graph": _q_knn_graph,
-        "graph_pagerank": _q_graph_pagerank,
-        "graph_components": _q_graph_components,
-        "epoch_shuffle": _q_epoch_shuffle,
-        "centroid_distances": _q_centroid_distances,
-        "collocations": _q_collocations,
-        "importance_sample": _q_importance_sample,
-        "curate_corpus": _q_curate_corpus,
-        "semdedup": _q_semdedup,
-        "kmeans": _q_kmeans,
-        "semdedup_kmeans": _q_semdedup_kmeans,
-        "weighted_sample": _q_weighted_sample,
-        "weighted_sample_per_group": _q_weighted_sample_per_group,
-        "bpe_merges": _q_bpe_merges,
-        "bpe_encode": _q_bpe_encode,
-        "media_features": _q_media_features,
-        "media_cosine_pairs": _q_media_cosine_pairs,
-        "dsir_weights": _q_dsir_weights,
-        "nb_classify": _q_nb_classify,
-        "url_canon": _q_url_canon,
-        "url_dedup": _q_url_dedup,
-        "domain_stats": _q_domain_stats,
-        "domain_filter": _q_domain_filter,
-        "crawl_curate": _q_crawl_curate,
-        "histogram": _q_histogram,
-        "bm25_topk": _q_bm25_topk,
-        "bm25_join": _q_bm25_join,
     }
 
 
@@ -2785,6 +2828,10 @@ def oracle_sql() -> dict[str, str]:
                    round(n_docs / tot, 6) AS doc_share
             FROM s CROSS JOIN t ORDER BY domain
         """,
+        # NOTE (media_features / media_cosine_pairs): ascii(substring(...))
+        # enumerates CODEPOINTS and n_bytes counts octets — equal only for
+        # pure-ASCII fixture text.  _assert_ascii_texts() in both query fns
+        # enforces that invariant at run time (ADVICE r4).
         "media_features": """
             WITH m AS (SELECT doc_id AS media_id,
                               CASE CAST(doc_id % 3 AS INTEGER)

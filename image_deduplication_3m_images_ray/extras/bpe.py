@@ -295,8 +295,9 @@ def bpe_encode(
         doc_of = np.repeat(np.arange(len(t), dtype=np.int64), lens)[keep]
         flat = flat[keep]
         uniq, inv = np.unique(flat, return_inverse=True)
+        merges_list = list(merges)  # hoisted: O(merges) once, not per word
         per_word = np.array(
-            [len(bpe_encode_word(w, list(merges))) for w in uniq], dtype=np.int64
+            [len(bpe_encode_word(w, merges_list)) for w in uniq], dtype=np.int64
         )
         n_tokens = np.zeros(len(t), dtype=np.int64)
         np.add.at(n_tokens, doc_of, per_word[inv])

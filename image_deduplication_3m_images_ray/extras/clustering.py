@@ -55,6 +55,8 @@ def _smallest_k_vectors(embeddings: Dataset, k: int) -> np.ndarray:
         )
         if t.num_rows
     ]
+    if not parts:
+        raise ValueError(f"k={k} exceeds the table's 0 vectors")
     merged = pa.concat_tables(parts)
     ids = np.asarray(merged["vec_id"].to_numpy(zero_copy_only=False))
     rows = np.asarray(

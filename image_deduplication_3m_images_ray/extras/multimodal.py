@@ -235,13 +235,20 @@ def payload_feature_stage(media: Dataset, batch_size: int = 256) -> Dataset:
             pay = pay.combine_chunks()
         if pay.type == pa.large_binary():
             pay = pay.cast(pa.binary())
+        if pay.null_count:
+            # the raw-buffer view below would silently histogram whatever
+            # bytes sit under a null slot — refuse instead (ADVICE r4)
+            raise ValueError(
+                "payload_feature_stage: null payloads are not supported; "
+                "fill or drop null rows first"
+            )
         n = len(pay)
         lens = np.asarray(
             pa.compute.binary_length(pay).to_numpy(zero_copy_only=False),
             dtype=np.int64,
         )
-        # zero-copy view of the packed payload bytes (validity-safe: fixture
-        # payloads are non-null; nulls would need offset-based gathering)
+        # zero-copy view of the packed payload bytes (nulls rejected above —
+        # a null slot's data range is undefined in the values buffer)
         buf = pay.buffers()[2]
         offs = np.frombuffer(pay.buffers()[1], dtype=np.int32)[
             pay.offset : pay.offset + n + 1

@@ -880,6 +880,13 @@ def histogram(
             return pa.table(
                 {"bin": pa.array(ub, pa.int64()), "n": pa.array(cn, pa.int64())}
             )
+        if t[by].null_count:
+            # np.unique over an object array mixing None and str raises an
+            # opaque TypeError mid-task — enforce the non-null contract here
+            raise ValueError(
+                f"histogram: null values in the '{by}' group column are not "
+                "supported; filter or fill them first"
+            )
         kv = np.asarray(t[by].to_numpy(zero_copy_only=False), dtype=object)
         uk, kinv = np.unique(kv, return_inverse=True)
         comp = kinv.astype(np.int64) * n_bins + b

@@ -51,14 +51,20 @@ def _extract_batch(batch: pa.Table) -> pa.Table:
     )
     need = np.asarray(need, dtype=bool)
     if need.any():
-        # per-row Python ONLY for rows whose text must come from html
-        texts = text.to_pylist()
+        # per-row Python ONLY for rows whose text must come from html: gather
+        # just those rows' payloads (take), extract, and scatter the results
+        # back with an Arrow kernel — rows that already have text are never
+        # converted to Python (the old to_pylist() gathered the whole block)
+        idx = np.nonzero(need)[0]
         html_col = batch["html"] if "html" in batch.column_names else None
-        htmls = html_col.to_pylist() if html_col is not None else None
-        for i in np.nonzero(need)[0]:
-            raw = htmls[i] if htmls is not None else None
-            texts[int(i)] = extract_text(raw) if raw else ""
-        raw_text = pa.array(texts, pa.string())
+        if html_col is not None:
+            htmls = html_col.take(pa.array(idx, pa.int64())).to_pylist()
+        else:
+            htmls = [None] * len(idx)
+        extracted = [extract_text(raw) if raw else "" for raw in htmls]
+        raw_text = pc.replace_with_mask(
+            text, pa.array(need), pa.array(extracted, pa.string())
+        )
     else:
         raw_text = text  # zero-copy fast path
     norm = normalize_array(raw_text)

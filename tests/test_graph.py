@@ -78,11 +78,79 @@ def test_deterministic_across_runs(ray_session):
 
 def test_gate_and_validation(ray_session):
     with pytest.raises(ValueError):
-        _run(EDGES, ray_session, broadcast_max_nodes=3)
+        _run(EDGES, ray_session, broadcast_max_nodes=3, plan="broadcast")
     with pytest.raises(ValueError):
         _run(EDGES, ray_session, damping=1.5)
     with pytest.raises(ValueError):
         _run(EDGES, ray_session, n_iters=0)
+    with pytest.raises(ValueError):
+        _run(EDGES, ray_session, plan="pregel")
+
+
+def _knn_like_digraph(n=120, out_deg=5, seed=7, dangling_every=11):
+    """Seeded k-out digraph shaped like the 5-NN graph query feeds pagerank,
+    plus a planted dangling stratum (every ``dangling_every``-th node emits
+    no edges) so the dm path is exercised."""
+    rng = np.random.default_rng(seed)
+    edges = []
+    for v in range(n):
+        if v % dangling_every == 0:
+            continue
+        nbrs = rng.choice([u for u in range(n) if u != v], size=out_deg, replace=False)
+        edges.extend((v, int(u)) for u in nbrs)
+    return edges
+
+
+def test_bsp_matches_bruteforce(ray_session):
+    got = _run(EDGES, ray_session, plan="bsp")
+    want = _brute(EDGES)
+    assert set(got) == set(want)
+    for v in got:
+        assert got[v] == pytest.approx(want[v], abs=1e-12)
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_bsp_matches_broadcast(ray_session):
+    """Cross-plan parity on the 5-NN-shaped digraph: the two plans fold
+    through different reduction trees, so ranks agree to ~1e-13 (pinned
+    here), six decimal orders inside the oracle's 1e-6 rounding quantum —
+    NOT bitwise (see extras/graph.py module docstring)."""
+    edges = _knn_like_digraph()
+    bc = _run(edges, ray_session, plan="broadcast")
+    bsp = _run(edges, ray_session, plan="bsp", num_shards=7)
+    assert set(bc) == set(bsp)
+    for v in bc:
+        assert abs(bc[v] - bsp[v]) < 1e-13
+    # and the auto plan dispatches to BSP above the gate with the same result
+    auto = _run(edges, ray_session, broadcast_max_nodes=3, num_shards=7)
+    assert auto == bsp
+
+
+def test_bsp_deterministic_across_runs(ray_session):
+    edges = _knn_like_digraph(n=60, seed=3)
+    a = _run(edges, ray_session, plan="bsp", n_iters=6, num_shards=5)
+    b = _run(edges, ray_session, plan="bsp", n_iters=6, num_shards=5)
+    assert a == b  # bit-identical, not approx
+
+
+def test_bsp_dangling_sharded_fold(ray_session):
+    """Above dangling_gather_max the dm fold goes per-shard; parity with the
+    gathered path stays inside the documented rounding bound."""
+    edges = _knn_like_digraph(n=80, seed=5, dangling_every=4)
+    gathered = _run(edges, ray_session, plan="bsp", num_shards=5)
+    sharded = _run(edges, ray_session, plan="bsp", num_shards=5, dangling_gather_max=0)
+    assert set(gathered) == set(sharded)
+    for v in gathered:
+        assert abs(gathered[v] - sharded[v]) < 1e-13
+
+
+def test_bsp_empty_edges(ray_session):
+    import ray
+
+    t = pa.table({"src": pa.array([], pa.int64()), "dst": pa.array([], pa.int64())})
+    out = pagerank(ray.data.from_arrow(t).repartition(3), plan="bsp")
+    assert out.count() == 0
+    assert set(out.schema().names) == {"node", "rank"}
 
 
 def test_graph_components(ray_session):
