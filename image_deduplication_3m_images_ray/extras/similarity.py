@@ -91,6 +91,81 @@ def ann_brute_force_topk(
     return partial.groupby("query_id").map_groups(_merge_topk(k), batch_format="pandas")
 
 
+class _BlockedKnnActor:
+    """Query-block × candidate-block exact top-k with a running merge.
+
+    Holds the list of candidate-block refs (ids, L2-normalized matrix — one
+    object-store object per block, zero-copy to every task on the node).
+    Each query batch streams the candidate blocks sequentially, keeps a
+    running per-query top-``kk`` under the exact output order
+    (cosine desc, vec_id asc), and emits final ranked rows directly — the
+    per-task footprint is one query block + ONE candidate block + the
+    (n_queries × kk) running state, and no merge shuffle ever runs.
+    """
+
+    def __init__(self, cand_refs, k: int, exclude_self: bool):
+        self.cand_refs = list(cand_refs)
+        self.k = k
+        self.kk = k + 1 if exclude_self else k
+        self.exclude_self = exclude_self
+
+    @staticmethod
+    def _row_topk(sims: np.ndarray, ids: np.ndarray, kk: int):
+        """Per-row top-kk under (sim desc, id asc) — vectorized lexsort."""
+        order = np.lexsort((ids, -sims), axis=-1)[:, :kk]
+        return np.take_along_axis(sims, order, axis=1), np.take_along_axis(
+            ids, order, axis=1
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                "vec_id": pa.array([], pa.int64()),
+                "cosine": pa.array([], pa.float64()),
+                "rank": pa.array([], pa.int64()),
+            }
+        )
+        if not len(batch) or not self.cand_refs:
+            return empty
+        q_ids, q = embeddings_to_matrix(batch)
+        qn = _l2_normalize(q)
+        nq = len(q_ids)
+        best_sim = np.empty((nq, 0), np.float64)
+        best_id = np.empty((nq, 0), np.int64)
+        for ref in self.cand_refs:
+            c_ids, cn = _ray.get(ref)
+            sim = qn @ cn.T
+            kk = min(self.kk, sim.shape[1])
+            part = np.argpartition(-sim, kk - 1, axis=1)[:, :kk] if sim.shape[1] > kk else (
+                np.broadcast_to(np.arange(sim.shape[1]), sim.shape).copy()
+            )
+            best_sim = np.concatenate(
+                [best_sim, np.take_along_axis(sim, part, axis=1)], axis=1
+            )
+            best_id = np.concatenate([best_id, c_ids[part]], axis=1)
+            if best_sim.shape[1] > self.kk:
+                best_sim, best_id = self._row_topk(best_sim, best_id, self.kk)
+        best_sim, best_id = self._row_topk(best_sim, best_id, self.kk)
+        qcol = np.repeat(q_ids, best_id.shape[1]).reshape(best_id.shape)
+        if self.exclude_self:
+            keep = best_id != qcol
+        else:
+            keep = np.ones(best_id.shape, dtype=bool)
+        rank = np.cumsum(keep, axis=1)
+        keep &= rank <= self.k
+        return pa.table(
+            {
+                "query_id": pa.array(qcol[keep], pa.int64()),
+                "vec_id": pa.array(best_id[keep], pa.int64()),
+                "cosine": pa.array(best_sim[keep], pa.float64()),
+                "rank": pa.array(rank[keep], pa.int64()),
+            }
+        )
+
+
 def knn_graph(
     embeddings: Dataset,
     k: int = 10,
@@ -98,19 +173,32 @@ def knn_graph(
     broadcast_max_rows: int = 100_000,
     concurrency: int = 4,
     batch_size: int = 4096,
+    plan: str = "auto",
 ) -> Dataset:
     """Exact k-nearest-neighbor graph over the table's own vectors.
 
-    Every vector is both query and candidate: the normalized matrix is
-    broadcast ONCE (``ray.put``), the same pinned dataset streams through
-    :class:`_TopKActor` batch-by-batch (one float64 matmul per batch,
-    partial top-(k+1) per batch so dropping the self-hit still leaves k
-    candidates), and a per-query merge takes the global top-k.  The
-    ``materialize()``-once / count / broadcast / scan discipline mirrors
-    :func:`dedup_ops.embedding_cosine_pairs`, including the explicit RAISE
-    above ``broadcast_max_rows``: at corpus scale use
-    :func:`ann_ivf_topk` with the corpus itself as the query shard stream
-    (approximate recall) instead of silently degrading.
+    Two size-selected exact plans (``plan="auto"`` picks by row count):
+
+    - **broadcast** (≤ ``broadcast_max_rows``): the normalized matrix is
+      broadcast ONCE (``ray.put``), the same pinned dataset streams through
+      :class:`_TopKActor` batch-by-batch (one float64 matmul per batch,
+      partial top-(k+1) per batch so dropping the self-hit still leaves k
+      candidates), and a per-query merge takes the global top-k.  The
+      ``materialize()``-once / count / broadcast / scan discipline mirrors
+      :func:`dedup_ops.embedding_cosine_pairs`.
+    - **blocked** (above the bound): query-block × candidate-block tiles via
+      :class:`_BlockedKnnActor` — candidate blocks are normalized and
+      ``ray.put`` per-block by remote tasks (the full matrix is never
+      assembled anywhere, driver holds only refs), each query batch folds a
+      running top-k across blocks and emits final ranked rows directly, so
+      there is no merge shuffle at all.  O(n²d) compute is inherent to the
+      exact operator; for approximate corpus-scale graphs prefer
+      :func:`ann_ivf_topk` with the table streamed as queries.
+
+    Float caveat: the two plans call BLAS on different tile shapes, so
+    cosines can differ in the last ulp and near-exact ties may order
+    differently; both are exact under their own arithmetic and agree far
+    inside the oracle's 1e-6 rounding quantum.
 
     Output: (query_id, vec_id, cosine, rank) with rank 1..k per query over
     ``ORDER BY cosine DESC, vec_id``; self-pairs excluded by default.
@@ -121,14 +209,19 @@ def knn_graph(
 
     if k < 1:
         raise ValueError("knn_graph: k must be >= 1")
+    if plan not in ("auto", "broadcast", "blocked"):
+        raise ValueError(f"knn_graph: unknown plan {plan!r}")
     mat_ds = embeddings.materialize()
     n = mat_ds.count()
+    if plan == "blocked" or (plan == "auto" and n > broadcast_max_rows):
+        return _knn_graph_blocked(
+            mat_ds, k, exclude_self, concurrency, batch_size
+        )
     if n > broadcast_max_rows:
         raise ValueError(
             f"knn_graph: {n} rows exceed broadcast_max_rows="
-            f"{broadcast_max_rows} for the exact plan; run ann_ivf_topk "
-            "with the table streamed as queries for the approximate scale "
-            "path, or raise the bound if the matrix fits every worker heap"
+            f"{broadcast_max_rows} for the broadcast plan; use plan='blocked' "
+            "(or 'auto'), or ann_ivf_topk for the approximate scale path"
         )
     tbl = pa.concat_tables(_ray.get(mat_ds.to_arrow_refs())).combine_chunks()
     ids, matrix = embeddings_to_matrix(tbl)
@@ -152,6 +245,32 @@ def knn_graph(
         return out
 
     return partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+
+
+def _knn_graph_blocked(
+    mat_ds: Dataset,
+    k: int,
+    exclude_self: bool,
+    concurrency: int,
+    batch_size: int,
+) -> Dataset:
+    """The above-gate exact plan: see :func:`knn_graph` (blocked)."""
+    import ray as _ray
+
+    @_ray.remote
+    def norm_block(tbl: pa.Table):
+        ids, rows = embeddings_to_matrix(tbl)
+        return ids, _l2_normalize(rows)
+
+    cand_refs = [norm_block.remote(ref) for ref in mat_ds.to_arrow_refs()]
+    return mat_ds.map_batches(
+        _BlockedKnnActor,
+        fn_constructor_args=(cand_refs, k, exclude_self),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        zero_copy_batch=True,
+    )
 
 
 def centroid_distances(

@@ -1489,13 +1489,75 @@ def test_knn_graph_matches_numpy(ray_session):
     first = out2[out2["rank"] == 1]
     assert (first["vec_id"] == first["query_id"]).all()
     assert np.allclose(first["cosine"], 1.0)
-    # explicit raise above the broadcast bound; k >= 1 validation
+    # explicit raise above the broadcast bound (broadcast plan only); k >= 1
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="broadcast_max_rows"):
-        knn_graph(ds, k=2, broadcast_max_rows=10)
+        knn_graph(ds, k=2, broadcast_max_rows=10, plan="broadcast")
     with _pytest.raises(ValueError, match="k must be"):
         knn_graph(ds, k=0)
+    with _pytest.raises(ValueError, match="unknown plan"):
+        knn_graph(ds, k=2, plan="tiled")
+
+
+def test_knn_graph_blocked_above_gate(ray_session):
+    """The blocked exact plan runs above broadcast_max_rows (the old raise)
+    and matches numpy brute force on the full output."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.similarity import knn_graph
+
+    tbl, _ = _embeddings(n=150, d=12, seed=21)
+    ds = ray.data.from_arrow(tbl).repartition(5)
+    m = np.asarray(tbl["embedding"].to_pylist(), dtype=np.float64)
+    norm = m / np.linalg.norm(m, axis=1, keepdims=True)
+    sim = norm @ norm.T
+    k = 5
+    # auto-dispatch above the (artificially low) gate -> blocked plan
+    out = knn_graph(ds, k=k, broadcast_max_rows=10, batch_size=32).to_pandas()
+    assert len(out) == 150 * k
+    for qi in range(150):
+        row = sim[qi].copy()
+        row[qi] = -np.inf
+        expect = list(np.lexsort((np.arange(150), -row))[:k])
+        sub = out[out["query_id"] == qi].sort_values("rank")
+        assert list(sub["vec_id"]) == expect, qi
+        got = sub.set_index("vec_id")["cosine"]
+        for vid in expect:
+            assert got[vid] == pytest.approx(sim[qi, vid], abs=1e-12)
+    # exclude_self=False keeps the self hit at rank 1
+    out2 = knn_graph(
+        ds, k=2, exclude_self=False, broadcast_max_rows=10, batch_size=32
+    ).to_pandas()
+    first = out2[out2["rank"] == 1]
+    assert (first["vec_id"] == first["query_id"]).all()
+    assert np.allclose(first["cosine"], 1.0)
+
+
+def test_knn_graph_plans_agree(ray_session):
+    """Broadcast and blocked plans produce the same graph on the same input
+    (neighbor sets identical; cosines agree to 1e-12 — different BLAS tile
+    shapes, see the knn_graph float caveat)."""
+    import ray.data
+    from image_deduplication_3m_images_ray.extras.similarity import knn_graph
+
+    tbl, _ = _embeddings(n=90, d=16, seed=33)
+    ds = ray.data.from_arrow(tbl).repartition(3)
+    a = (
+        knn_graph(ds, k=4, plan="broadcast", batch_size=32)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    b = (
+        knn_graph(ds, k=4, plan="blocked", batch_size=32)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert list(a["query_id"]) == list(b["query_id"])
+    assert list(a["vec_id"]) == list(b["vec_id"])
+    assert list(a["rank"]) == list(b["rank"])
+    assert np.allclose(a["cosine"], b["cosine"], atol=1e-12, rtol=0)
 
 
 def test_centroid_distances_matches_numpy(ray_session):
