@@ -299,8 +299,12 @@ def run_scaling() -> dict:
         from image_deduplication_3m_images_ray.fixtures import write_corpus
 
         write_corpus(corpus_dir, bench_rows, seed=42, doc_scale=doc_scale)
-    with open(os.path.join(corpus_dir, "pages.parquet"), "rb") as f:
-        f.read()
+    # warm the page cache: pages.parquet is a directory of part files
+    pp = os.path.join(corpus_dir, "pages.parquet")
+    parts = sorted(os.listdir(pp)) if os.path.isdir(pp) else [""]
+    for part in parts:
+        with open(os.path.join(pp, part), "rb") as f:
+            f.read()
 
     # N vs 4N below the measured single-host memory-bandwidth saturation point
     # (aggregate bandwidth stops scaling between 16 and 32 procs on this box —

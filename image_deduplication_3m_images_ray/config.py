@@ -57,17 +57,17 @@ class DedupConfig:
                                       # pair; a 9-byte (fp, cnt) pre-exchange
                                       # finds the dup fps and the 24-byte rows
                                       # are filtered map-side before the pair
-                                      # sort.  DEFAULT OFF: interleaved A/B
-                                      # measurements (200k pages: off 17.4 s
-                                      # vs on 36.8 s at 4 cpus, off 5.4 s vs
-                                      # on 9.7 s at 16 cpus; 500k pages at 16
-                                      # cpus: off 25-34 s vs on 33-34 s) show
-                                      # the extra exchange costs more than
-                                      # the dead rows up to 65M fp rows on
-                                      # one host.  The opt-in exists for
-                                      # genuinely spill-bound deployments
-                                      # (output is identical — pinned by
-                                      # tests/test_winnow_prefilter.py)
+                                      # sort.  DEFAULT OFF — re-measured in
+                                      # round 5 (tools/measure_prefilter_
+                                      # crossover.py, 16 cpus): prefilter
+                                      # loses at 13.0M fp rows (2.5 s off vs
+                                      # 3.8 s on), 25.9M (4.6 vs 6.8) and
+                                      # 51.9M (9.1 vs 14.8) with the gap
+                                      # WIDENING, so no auto-enable threshold
+                                      # exists in the measurable range.  The
+                                      # opt-in remains for exchange-byte-
+                                      # bound deployments (output identical —
+                                      # pinned by tests/test_winnow_prefilter.py)
     winnow_dupfp_max_ids: int = 20_000_000  # dup-fp broadcast: exact sorted
                                       # array up to here (8 B/fp), else a
                                       # distributed-built Bloom filter (sized

@@ -237,14 +237,32 @@ def write_corpus(
     seed: int = 42,
     giant_size: int | None = None,
     doc_scale: float = 1.0,
+    rows_per_file: int = 50_000,
 ):
-    """Write pages.parquet + truth.parquet under ``out_dir``; returns paths."""
+    """Write pages.parquet + truth.parquet under ``out_dir``; returns paths.
+
+    ``pages.parquet`` is a DIRECTORY of ``part-NNNNN.parquet`` shards
+    (``rows_per_file`` rows each, filename order == row order) — never one
+    giant file: ``ray.data.read_parquet`` creation on a single 5.7 GB file
+    measured 17-21 s of DRIVER-side metadata + size-estimation sampling per
+    call (the round-4 "CPU-invariant report tail" was mostly this, hidden
+    before the first stage pin), vs well under a second over 180 MB shards.
+    Sharded input is also what the engine targets at 100 TB (per-shard
+    resume, parallel metadata fetch).
+    """
     import os
 
     os.makedirs(out_dir, exist_ok=True)
     pages, truth = generate_corpus(n_rows, seed=seed, giant_size=giant_size, doc_scale=doc_scale)
     pages_path = os.path.join(out_dir, "pages.parquet")
     truth_path = os.path.join(out_dir, "truth.parquet")
-    pq.write_table(pages, pages_path)
+    if os.path.isfile(pages_path):
+        os.remove(pages_path)  # pre-round-5 single-file layout
+    os.makedirs(pages_path, exist_ok=True)
+    for i, lo in enumerate(range(0, max(pages.num_rows, 1), rows_per_file)):
+        pq.write_table(
+            pages.slice(lo, rows_per_file),
+            os.path.join(pages_path, f"part-{i:05d}.parquet"),
+        )
     pq.write_table(truth, truth_path)
     return pages_path, truth_path

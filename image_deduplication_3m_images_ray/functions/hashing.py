@@ -558,6 +558,28 @@ def md5_128(values) -> tuple[np.ndarray, np.ndarray]:
     return lo, hi
 
 
+def md5_128_view(offsets: np.ndarray, data: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """:func:`md5_128` over a zero-copy flat-UTF-8 view (``text.flat_utf8_view``).
+
+    Hashes ``data[offsets[i]:offsets[i+1]]`` per row through a memoryview —
+    no Python-string materialization and no re-encode, so the only per-row
+    costs are the hashlib call and the digest unpack.  Bit-identical to
+    ``md5_128(texts)`` for the same strings (MD5 of the same UTF-8 bytes);
+    null rows don't exist in a flat view (callers fill nulls upstream).
+    """
+    import hashlib
+
+    n = len(offsets) - 1
+    lo = np.empty(n, dtype=U64)
+    hi = np.empty(n, dtype=U64)
+    mv = memoryview(data)
+    for i in range(n):
+        d = hashlib.md5(mv[offsets[i] : offsets[i + 1]]).digest()
+        lo[i] = int.from_bytes(d[8:16], "little")
+        hi[i] = int.from_bytes(d[0:8], "little")
+    return lo, hi
+
+
 def member128(flo: np.ndarray, fhi: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
     """Exact membership of 128-bit keys (lo, hi) in a set (flo, fhi).
 

@@ -31,12 +31,17 @@ import pyarrow as pa
 from ray.data import Dataset
 
 from ..config import DedupConfig
-from ..functions.hashing import md5_128
+from ..functions.hashing import md5_128_view
+from ..functions.text import flat_utf8_view
 
 
 def _add_md5(batch: pa.Table) -> pa.Table:
-    texts = batch["norm_text"].to_pylist()
-    lo, hi = md5_128(texts)
+    # hash the Arrow UTF-8 buffer in place (memoryview slices): measured
+    # 1.44x faster than to_pylist() + per-row str.encode on ~4KB docs
+    # (md5 itself dominates), bit-identical digests (round-5 exact_reps
+    # profiling, VERDICT task 5)
+    offs, data = flat_utf8_view(batch["norm_text"])
+    lo, hi = md5_128_view(offs, data)
     return batch.append_column("h_lo", pa.array(lo, pa.uint64())).append_column(
         "h_hi", pa.array(hi, pa.uint64())
     )

@@ -223,17 +223,27 @@ def winnow_pairs_stage(fingerprints: Dataset, cfg: DedupConfig) -> Dataset:
     (keeping only one could pick a seed outside the long shared run).  The
     verify stage dedups after measuring match lengths.
 
-    **Live-row prefilter** (``cfg.winnow_prefilter``): the fingerprint
-    exchange is the pipeline's single biggest cost at scale (34.7% of 16-cpu
-    wall at 500k pages) and ~80% of its rows are DEAD — fingerprints borne by
-    exactly one doc, which can never emit a pair.  A cheap pre-pass
+    **Live-row prefilter** (``cfg.winnow_prefilter``, default OFF on
+    re-measured evidence): ~80% of fingerprint rows are DEAD — fingerprints
+    borne by exactly one doc, which can never emit a pair.  A cheap pre-pass
     (:func:`dup_fingerprint_stage`, 9-byte rows, segmented-sum reduction)
     finds the dup fps; the full 24-byte rows are then filtered map-side
     against a broadcast membership (exact :class:`SortedIdSet` up to
     ``winnow_dupfp_max_ids``, a distributed-built :class:`BloomFilter` above
     it whose false positives only ship dead rows — never drop a live one)
-    before the pair-emission exchange sees them.  Measured at 100k pages /
-    16 cpus: 10.6 s -> 6.4 s for the stage, byte-identical pair output.
+    before the pair-emission exchange sees them.
+
+    Round-5 A/B (``tools/measure_prefilter_crossover.py``, 16 cpus, pair
+    output identical in every run): the prefilter LOSES at every measurable
+    size and the gap widens — 13.0M fp rows (100k pages) 2.5 s off vs 3.8 s
+    on; 25.9M (200k) 4.6 vs 6.8; 51.9M (400k) 9.1 vs 14.8 (0.61-0.67x).
+    Round 4's 10.6 s -> 6.4 s win predates the round-4 exchange work that
+    made the unfiltered sort ~4x faster; the pre-pass's extra exchange +
+    second fingerprint scan now cost more than the dead rows they remove.
+    An auto-enable threshold was therefore REJECTED: no crossover exists in
+    the measured range and the trend is monotonically against the prefilter.
+    The flag stays for exchange-constrained deployments (e.g. slow network
+    fabric where bytes, not sort latency, bind).
     """
     if not cfg.winnow_prefilter:
         return sharded_group_map(
