@@ -233,3 +233,55 @@ def test_epoch_shuffle_deterministic_permutation(ray_session):
 
     with _pytest.raises(ValueError, match="epoch"):
         epoch_shuffle(ray.data.from_arrow(tbl), epoch=-1)
+
+
+# --- normalize_array whitespace-collapse fast path (round 5) ---------------
+
+_WS_REF_CASES = [
+    "", " ", "  ", "a", " a ", "a  b", "\t\n\f\r", "a\t\tb\nc", "a \t b",
+    "\x0b", "a\x0bb", " \x0b ", "a \x0b b",            # \x0b forces the regex path
+    "\xa0", "a\xa0b", " \xa0a\xa0 ", "\x85x\x85",       # unicode ws: neither path splits
+    "é  Ü", "İstanbul  ŞEHIR", "\r\n\r\n", "x \t y \n z", "a　b", "ffi  ı",
+]
+
+
+def _normalize_regex_ref(texts):
+    """The pre-round-5 composition normalize_array must stay equal to:
+    unicodedata NFC -> pc.utf8_lower -> RE2 \\s+ collapse -> unicode trim."""
+    import unicodedata
+
+    import pyarrow.compute as pc
+
+    arr = pc.utf8_lower(
+        pa.array([unicodedata.normalize("NFC", t) for t in texts], pa.string())
+    )
+    arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+    return pc.utf8_trim_whitespace(arr).to_pylist()
+
+
+def test_normalize_fast_path_matches_regex_reference():
+    from image_deduplication_3m_images_ray.functions.text import normalize_array
+
+    got = normalize_array(pa.array(_WS_REF_CASES, pa.string())).to_pylist()
+    ref = _normalize_regex_ref(_WS_REF_CASES)
+    assert got == ref
+
+
+def test_normalize_fast_path_fuzz():
+    from image_deduplication_3m_images_ray.functions.text import normalize_array
+
+    rng = np.random.default_rng(7)
+    alphabet = list("ab .\t\n\f\r\x0b\xa0\x85é　")
+    fuzz = [
+        "".join(rng.choice(alphabet, size=rng.integers(0, 60)))
+        for _ in range(4000)
+    ]
+    got = normalize_array(pa.array(fuzz, pa.string())).to_pylist()
+    assert got == _normalize_regex_ref(fuzz)
+
+
+def test_normalize_nulls_take_regex_path():
+    from image_deduplication_3m_images_ray.functions.text import normalize_array
+
+    arr = pa.array(["a  b", None, " c\t"], pa.string())
+    assert normalize_array(arr).to_pylist() == ["a b", None, "c"]
