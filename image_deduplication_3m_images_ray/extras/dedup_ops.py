@@ -778,10 +778,17 @@ def segment_dedup(docs: Dataset, seg_tokens: int = 10, num_shards: int = 64) -> 
             rows.append((doc[s], " ".join(kept), int(e - s), int(e - s - len(kept))))
         return pd.DataFrame(rows, columns=["doc_id", "clean_text", "n_segs", "n_removed"])
 
-    exploded = docs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    # pin at both exchange boundaries (round-5 A/B, VERDICT task 8): the
+    # segment-hash groupby and the doc-keyed rebuild groupby fused into one
+    # lazy DAG thrash each other — 7.8 s lazy vs 4.5 s pinned at 300k docs
+    # / 4 cpus (tools/measure_shard_formats.py), same exchange-pin finding
+    # as the flagship pipeline and exactsubstr._scrub_sharded
+    exploded = docs.map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
     tagged = sharded_group_map(
         exploded, ["seg_hash"], first_wins, num_shards=num_shards, batch_format="pandas"
-    )
+    ).materialize()
     return sharded_group_map(
         tagged, ["doc_id"], rebuild, num_shards=num_shards, batch_format="pandas"
     )

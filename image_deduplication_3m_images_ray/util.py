@@ -54,6 +54,8 @@ def sharded_group_map(
     def strip(group):
         if isinstance(group, dict):
             group = {k: v for k, v in group.items() if k != "__shard"}
+        elif isinstance(group, pa.Table):  # batch_format="pyarrow"
+            group = group.drop_columns(["__shard"])
         else:  # pandas
             group = group.drop(columns="__shard")
         return fn(group)
