@@ -101,6 +101,14 @@ def _collapse_ws_fast(arr: pa.Array) -> pa.Array:
     (tests/test_transforms.py) and the ``normalize_text`` DuckDB oracle.
     Non-null arrays only (callers with nulls take the regex path).
     """
+    if pa.types.is_large_string(arr.type):
+        # binary_join has no list<large_string> kernel; a sub-2GiB buffer
+        # casts down losslessly, anything bigger keeps the regex path
+        if arr.nbytes < (1 << 31) - 1:
+            arr = arr.cast(pa.string())
+        else:
+            arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
+            return pc.utf8_trim_whitespace(arr)
     if (pc.sum(pc.count_substring(arr, "\x0b")).as_py() or 0) > 0:
         arr = pc.replace_substring_regex(arr, pattern=r"\s+", replacement=" ")
         return pc.utf8_trim_whitespace(arr)

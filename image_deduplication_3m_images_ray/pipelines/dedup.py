@@ -191,7 +191,11 @@ def dedup_pipeline(
         # (31.8 s vs 19.2 s at 16 cpus on 100k docs) — same concurrent
         # all-to-all thrashing as the stage-boundary pins above
         lsh = pin(lambda: lsh_pairs_stage(band_postings_stage(profile, cfg), cfg, dedup=False), "lsh_pairs")
-        wp = pin(lambda: winnow_pairs_stage(fingerprint_stage(profile, cfg), cfg), "winnow_pairs")
+        # pin the fingerprint map BEFORE its exchange: fused lazily into the
+        # pair groupby it measured 27.6 s vs 11.2 + 9.7 s pinned at 500k
+        # pages / 16 cpus (the exactsubstr round-5 finding, same cause)
+        fps = pin(lambda: fingerprint_stage(profile, cfg), "fingerprints")
+        wp = pin(lambda: winnow_pairs_stage(fps, cfg), "winnow_pairs")
         # prepare = consolidate + a-side payload attach in ONE exchange
         # (stages/verify.py module docstring: the two-exchange verify plan)
         return prepare_candidates(lsh.union(wp), profile, cfg)
