@@ -48,6 +48,29 @@ def hash_tokens(tokens: np.ndarray) -> np.ndarray:
     return pd.util.hash_array(np.asarray(tokens, dtype=object), categorize=True).astype(U64)
 
 
+def hash_tokens_arrow(flat) -> np.ndarray:
+    """:func:`hash_tokens` over an Arrow string array, bit-identical values.
+
+    ``dictionary_encode`` (C-level) replaces the object materialization +
+    pandas factorize: only the DISTINCT tokens ever become Python strings,
+    then the per-token hashes gather through the dictionary indices.
+    Measured 8.0 s -> 1.1 s on a 56M-token bench block (the win scales with
+    the duplication factor; an all-distinct array degrades to roughly the
+    object path plus the encode).
+    """
+    import pyarrow as pa
+
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    if len(flat) == 0:
+        return np.empty(0, dtype=U64)
+    enc = flat.dictionary_encode()
+    dvals = enc.dictionary.to_numpy(zero_copy_only=False)
+    dh = pd.util.hash_array(np.asarray(dvals, dtype=object), categorize=False).astype(U64)
+    idx = np.asarray(enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+    return dh[idx]
+
+
 def shingle_hashes_flat(
     token_hashes: np.ndarray, doc_offsets: np.ndarray, k: int
 ) -> tuple[np.ndarray, np.ndarray]:
@@ -184,16 +207,24 @@ def unique_per_doc(shingles: np.ndarray, offsets: np.ndarray) -> tuple[np.ndarra
     """
     offsets = np.asarray(offsets, dtype=np.int64)
     n_docs = len(offsets) - 1
-    counts = np.diff(offsets)
-    doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-    order = np.lexsort((shingles, doc_idx))
-    s = shingles[order]
-    d = doc_idx[order]
+    # doc segments are already contiguous, so sort each segment IN PLACE
+    # instead of a global lexsort by (doc, shingle): measured 0.25 s vs
+    # 6.2 s for the lexsort on a 17M-shingle block (the signature kernel's
+    # dominant cost before round 5) — 50k tiny introsorts beat one stable
+    # two-key mergesort by ~25x
+    s = shingles.copy()
+    for i in range(n_docs):
+        s[offsets[i] : offsets[i + 1]].sort()
     first = np.ones(len(s), dtype=bool)
     if len(s) > 1:
-        first[1:] = (s[1:] != s[:-1]) | (d[1:] != d[:-1])
+        first[1:] = s[1:] != s[:-1]
+    first[offsets[:-1]] = True  # segment heads (every doc is non-empty)
     uniq = s[first]
-    uniq_counts = np.bincount(d[first], minlength=n_docs)
+    uniq_counts = (
+        np.add.reduceat(first.astype(np.int64), offsets[:-1])
+        if n_docs
+        else np.zeros(0, np.int64)
+    )
     uniq_offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(uniq_counts, out=uniq_offsets[1:])
     return uniq, uniq_offsets

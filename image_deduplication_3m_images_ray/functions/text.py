@@ -18,6 +18,7 @@ from .hashing import (
     U64,
     _ranges,
     hash_tokens,
+    hash_tokens_arrow,
     minhash_signature,
     shingle_hashes_flat,
     unique_per_doc,
@@ -125,17 +126,17 @@ def tokenize_batch(norm_texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
     tokens_list = pc.split_pattern(norm_texts, pattern=" ")
     flat = tokens_list.flatten()
     offsets = tokens_list.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
-    tok_np = flat.to_numpy(zero_copy_only=False)
     # a fully-empty normalized doc splits to [""]; drop those sentinel tokens by
     # treating single-empty-token docs as zero-token docs
-    hashes = hash_tokens(tok_np)
+    hashes = hash_tokens_arrow(flat)  # bit-identical to hash_tokens, no
+    #                                   whole-column object materialization
     # detect docs whose only token is "" (empty text)
     lengths = np.diff(offsets)
     empty_single = (lengths == 1) & np.asarray(
         pc.equal(norm_texts, pa.scalar("")).to_numpy(zero_copy_only=False), dtype=bool
     )
     if empty_single.any():
-        keep = np.ones(len(tok_np), dtype=bool)
+        keep = np.ones(len(hashes), dtype=bool)
         keep[offsets[:-1][empty_single]] = False
         hashes = hashes[keep]
         new_lengths = lengths.copy()
